@@ -1,0 +1,247 @@
+"""Scene configuration.
+
+Parity with the reference JSON schema (ref: src/cfg.py:6-97,
+configs/Replica/config_replica_room0.json) but as a typed dataclass with
+defaults, validation, and dict/JSON round-tripping instead of a flat
+attribute bag.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+
+@dataclasses.dataclass
+class NetHyperparams:
+    """CodeNeRF architecture hyperparameters (ref: src/model.py:22-34)."""
+
+    shape_blocks: int = 2
+    texture_blocks: int = 1
+    W: int = 32
+    latent_dim: int = 256
+
+
+@dataclasses.dataclass
+class Config:
+    # --- dataset ---
+    dataset_format: str = "Replica"
+    dataset_dir: str = ""
+    depth_scale: float = 1.0 / 1000.0  # raw depth units -> meters
+
+    # --- trainer ---
+    max_n_models: int = 100
+    max_iter: int = 10001
+    save_iter: int = 2000
+    log_iter: int = 100
+
+    # --- camera ---
+    width: int = 1200
+    height: int = 680
+    fx: float = 600.0
+    fy: float = 600.0
+    cx: float = 599.5
+    cy: float = 339.5
+    mw: int = 0  # crop margin (ScanNet uses 10)
+    mh: int = 0
+    distortion: tuple[float, ...] | None = None
+
+    # --- rendering / sampling ---
+    min_depth: float = 0.0
+    max_depth: float = 8.0
+    n_bins: int = 9
+    n_bins_cam2surface: int = 1
+    n_bins_cam2surface_bg: int = 5
+    n_per_optim: int = 120
+    n_per_optim_bg: int = 1200
+
+    # --- model ---
+    n_unidir_funcs: int = 5
+    obj_scale: float = 2.0
+    bg_scale: float = 5.0
+    color_scaling: float = 5.0
+    opacity_scaling: float = 10.0
+    surface_eps: float = 0.1
+    stop_eps: float = 0.05  # "other_eps" in reference JSON
+    hidden_feature_size: int = 32
+    hidden_feature_size_bg: int = 128
+    net_hyperparams: NetHyperparams = dataclasses.field(default_factory=NetHyperparams)
+
+    # --- optimizer ---
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.013
+    code_learning_rate: float = 1e-3
+    code_weight_decay: float = 0.013
+
+    # --- vis / meshing ---
+    live_voxel_size: float = 0.005
+    grid_dim: int = 256
+    mesh_it: int = 10000
+
+    # --- registration ---
+    load_registration_result: bool = True
+    load_pretrained: bool = True
+    weight_root: str = ""
+    multi_init_pose: bool = True
+    eta1: float = 0.06
+    eta2: float = 0.15
+    eta3: float = 0.12
+
+    # --- ScanNet extras ---
+    use_refined_mask: bool = False
+    load_refined_mask: bool = False
+
+    # --- TPU-native extras (no reference equivalent) ---
+    seed: int = 0
+    dtype: str = "float32"
+
+    @property
+    def W_frame(self) -> int:
+        """Effective frame width after margin crop (ref: src/cfg.py:32)."""
+        return self.width - 2 * self.mw
+
+    @property
+    def H_frame(self) -> int:
+        """Effective frame height after margin crop (ref: src/cfg.py:31)."""
+        return self.height - 2 * self.mh
+
+    @property
+    def cx_eff(self) -> float:
+        return self.cx - self.mw
+
+    @property
+    def cy_eff(self) -> float:
+        return self.cy - self.mh
+
+    @property
+    def bins_per_ray_obj(self) -> int:
+        return self.n_bins_cam2surface + self.n_bins
+
+    @property
+    def bins_per_ray_bg(self) -> int:
+        return self.n_bins_cam2surface_bg + self.n_bins
+
+    def validate(self) -> None:
+        assert self.n_bins > 0 and self.n_bins_cam2surface > 0
+        assert self.max_depth > self.min_depth
+        assert self.net_hyperparams.W > 0
+
+    @classmethod
+    def from_json(cls, path: str) -> "Config":
+        """Load a reference-schema JSON scene config (ref: src/cfg.py:7-97)."""
+        with open(path) as f:
+            raw = json.load(f)
+        return cls.from_reference_dict(raw, config_dir=os.path.dirname(path))
+
+    @classmethod
+    def from_reference_dict(cls, raw: dict[str, Any], config_dir: str = "") -> "Config":
+        cam = raw.get("camera", {})
+        trainer = raw.get("trainer", {})
+        render = raw.get("render", {})
+        model = raw.get("model", {})
+        optim = raw.get("optimizer", {}).get("args", {})
+        vis = raw.get("vis", {})
+        reg = raw.get("registration", {})
+        ds = raw.get("dataset", {})
+
+        cfg = cls()
+        cfg.dataset_format = ds.get("format", cfg.dataset_format)
+        cfg.dataset_dir = ds.get("path", cfg.dataset_dir)
+        cfg.depth_scale = 1.0 / trainer.get("scale", 1000.0)
+
+        cfg.max_n_models = trainer.get("n_models", cfg.max_n_models)
+        cfg.max_iter = trainer.get("max_iter", cfg.max_iter)
+        cfg.save_iter = trainer.get("save_iter", cfg.save_iter)
+        cfg.log_iter = trainer.get("log_iter", cfg.log_iter)
+
+        cfg.min_depth, cfg.max_depth = render.get(
+            "depth_range", [cfg.min_depth, cfg.max_depth]
+        )
+        cfg.n_bins = render.get("n_bins", cfg.n_bins)
+        cfg.n_bins_cam2surface = render.get("n_bins_cam2surface", cfg.n_bins_cam2surface)
+        cfg.n_bins_cam2surface_bg = render.get(
+            "n_bins_cam2surface_bg", cfg.n_bins_cam2surface_bg
+        )
+        cfg.n_per_optim = render.get("n_per_optim", cfg.n_per_optim)
+        cfg.n_per_optim_bg = render.get("n_per_optim_bg", cfg.n_per_optim_bg)
+
+        cfg.width = cam.get("w", cfg.width)
+        cfg.height = cam.get("h", cfg.height)
+        cfg.mw = cam.get("mw", cfg.mw)
+        cfg.mh = cam.get("mh", cfg.mh)
+        if "fx" in cam:
+            cfg.fx, cfg.fy = cam["fx"], cam["fy"]
+            cfg.cx, cfg.cy = cam["cx"], cam["cy"]
+        else:
+            # ScanNet: intrinsics live in <dataset>/intrinsic/intrinsic_depth.txt
+            # (ref: src/cfg.py:38-43). Resolved lazily by the dataset loader.
+            intr_path = os.path.join(
+                cfg.dataset_dir, "intrinsic", "intrinsic_depth.txt"
+            )
+            if os.path.exists(intr_path):
+                import numpy as np
+
+                vals = np.loadtxt(intr_path).reshape(4, 4)
+                cfg.fx, cfg.fy = float(vals[0, 0]), float(vals[1, 1])
+                cfg.cx, cfg.cy = float(vals[0, 2]), float(vals[1, 2])
+        if "distortion" in cam:
+            cfg.distortion = tuple(cam["distortion"])
+        elif "k1" in cam:
+            cfg.distortion = (
+                cam["k1"], cam["k2"], cam["p1"], cam["p2"],
+                cam["k3"], cam["k4"], cam["k5"], cam["k6"],
+            )
+
+        cfg.n_unidir_funcs = model.get("n_unidir_funcs", cfg.n_unidir_funcs)
+        cfg.obj_scale = model.get("obj_scale", cfg.obj_scale)
+        cfg.bg_scale = model.get("bg_scale", cfg.bg_scale)
+        cfg.color_scaling = model.get("color_scaling", cfg.color_scaling)
+        cfg.opacity_scaling = model.get("opacity_scaling", cfg.opacity_scaling)
+        cfg.surface_eps = model.get("surface_eps", cfg.surface_eps)
+        cfg.stop_eps = model.get("other_eps", cfg.stop_eps)
+        cfg.hidden_feature_size = model.get(
+            "hidden_feature_size", cfg.hidden_feature_size
+        )
+        cfg.hidden_feature_size_bg = model.get(
+            "hidden_feature_size_bg", cfg.hidden_feature_size_bg
+        )
+        nh = model.get("net_hyperparams", {})
+        cfg.net_hyperparams = NetHyperparams(
+            shape_blocks=nh.get("shape_blocks", 2),
+            texture_blocks=nh.get("texture_blocks", 1),
+            W=nh.get("W", 32),
+            latent_dim=nh.get("latent_dim", 256),
+        )
+
+        cfg.learning_rate = optim.get("lr", cfg.learning_rate)
+        cfg.code_learning_rate = optim.get("code_lr", cfg.code_learning_rate)
+        cfg.weight_decay = optim.get("weight_decay", cfg.weight_decay)
+        cfg.code_weight_decay = optim.get("code_weight_decay", cfg.code_weight_decay)
+
+        cfg.live_voxel_size = vis.get("live_voxel_size", cfg.live_voxel_size)
+        cfg.grid_dim = vis.get("grid_dim", cfg.grid_dim)
+        cfg.mesh_it = vis.get("mesh_it", cfg.mesh_it)
+
+        cfg.load_registration_result = reg.get(
+            "load_registration_result", cfg.load_registration_result
+        )
+        cfg.load_pretrained = reg.get("load_pretrained", cfg.load_pretrained)
+        cfg.weight_root = reg.get("weight_root", cfg.weight_root)
+        cfg.multi_init_pose = reg.get("multi_init_pose", cfg.multi_init_pose)
+        cfg.eta1 = reg.get("eta1", cfg.eta1)
+        cfg.eta2 = reg.get("eta2", cfg.eta2)
+        cfg.eta3 = reg.get("eta3", cfg.eta3)
+
+        if cfg.dataset_format == "ScanNet":
+            cfg.use_refined_mask = ds.get("use_refined_mask", False)
+            cfg.load_refined_mask = (
+                ds.get("load_refined_mask", False) and cfg.use_refined_mask
+            )
+
+        cfg.validate()
+        return cfg
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)

@@ -1,0 +1,93 @@
+"""CodeNeRF — the conditional category-level neural field.
+
+Parity target: `CodeNeRF` (ref: src/model.py:22-84). A W-wide MLP over the
+87-dim density embedding, conditioned on per-instance shape/texture latent
+codes via additive (Linear+ReLU)-projected injections; at shape block j==1
+the xyz embedding is re-concatenated through `cat_layer`. The sigma head is
+scaled x10 (UniSurf logit scale); the color branch consumes the high-frequency
+42-dim embedding tail and ends in a sigmoid.
+
+Implemented as a pure function over a parameter pytree so that `jax.vmap`
+over a stacked leading axis trains every category's model in one XLA program
+(replacing functorch combine_state_for_ensemble, ref: src/utils.py:24-28).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from catnerf_tpu.models.embedding import EMB_SIZE1
+from catnerf_tpu.models.layers import linear, linear_relu, linear_init
+
+
+def init_params(key: jax.Array, *, emb_size1: int = EMB_SIZE1, emb_size2: int = 42,
+                shape_blocks: int = 2, texture_blocks: int = 1, W: int = 32,
+                latent_dim: int = 256) -> dict:
+    """Parameter pytree mirroring the reference layer graph
+    (ref: src/model.py:30-54)."""
+    keys = iter(jax.random.split(key, 16 + 4 * (shape_blocks + texture_blocks)))
+    p = {
+        "encoding_xyz": linear_init(next(keys), emb_size1, W),
+        "cat_layer": linear_init(next(keys), W + emb_size1, W),
+        "cat_latent_layer": linear_init(next(keys), latent_dim, W),
+        "encoding_shape": linear_init(next(keys), W, W),
+        "sigma": linear_init(next(keys), W, 1),
+        "encoding_viewdir": linear_init(next(keys), W + emb_size2, W),
+        "rgb_0": linear_init(next(keys), W, W // 2),
+        "rgb_1": linear_init(next(keys), W // 2, 3),
+        "shape_latent_layers": [
+            linear_init(next(keys), latent_dim, W) for _ in range(shape_blocks)
+        ],
+        "shape_layers": [
+            linear_init(next(keys), W, W) for _ in range(shape_blocks)
+        ],
+        "texture_latent_layers": [
+            linear_init(next(keys), latent_dim, W) for _ in range(texture_blocks)
+        ],
+        "texture_layers": [
+            linear_init(next(keys), W, W) for _ in range(texture_blocks)
+        ],
+    }
+    return p
+
+
+def apply(params: dict, emb: jnp.ndarray, shape_latent: jnp.ndarray,
+          texture_latent: jnp.ndarray, *, emb_size1: int = EMB_SIZE1,
+          do_cat: bool = True):
+    """Forward pass (ref: src/model.py:56-84).
+
+    emb: [..., 129]; shape/texture_latent: [..., latent_dim] broadcastable
+    against emb's leading axes. Returns (sigma [..., 1], rgb [..., 3]).
+    """
+    x1 = emb[..., :emb_size1]
+    x2 = emb[..., emb_size1:]
+    shape_blocks = len(params["shape_layers"])
+    texture_blocks = len(params["texture_layers"])
+
+    y = linear_relu(params["encoding_xyz"], x1)
+    for j in range(shape_blocks):
+        if do_cat and j == 1:
+            z = linear_relu(params["cat_latent_layer"], shape_latent)
+            y = y + z
+            y = jnp.concatenate(
+                [y, jnp.broadcast_to(x1, y.shape[:-1] + (x1.shape[-1],))], axis=-1
+            )
+            y = linear_relu(params["cat_layer"], y)
+        z = linear_relu(params["shape_latent_layers"][j], shape_latent)
+        y = y + z
+        y = linear_relu(params["shape_layers"][j], y)
+
+    y = linear(params["encoding_shape"], y)
+    sigma = linear(params["sigma"], y) * 10.0  # UniSurf logit scale
+
+    y = jnp.concatenate(
+        [y, jnp.broadcast_to(x2, y.shape[:-1] + (x2.shape[-1],))], axis=-1
+    )
+    y = linear_relu(params["encoding_viewdir"], y)
+    for j in range(texture_blocks):
+        z = linear_relu(params["texture_latent_layers"][j], texture_latent)
+        y = y + z
+        y = linear_relu(params["texture_layers"][j], y)
+    rgb = jax.nn.sigmoid(linear(params["rgb_1"], jax.nn.relu(linear(params["rgb_0"], y))))
+    return sigma, rgb

@@ -1,0 +1,125 @@
+"""Ray -> 3D sample-point generation (the vMAP sampling strategy).
+
+Parity targets (ref: src/scene_cateogries.py:51-96, 453-546) but redesigned
+for XLA: the reference partitions rays into invalid/this-object/other-object
+groups with data-dependent boolean indexing; here every ray computes all
+three candidate bin layouts branchlessly and selects with `jnp.where`, so the
+whole sampler is one fixed-shape fused program (no host sync, no recompiles).
+
+Pixel-state convention (ref: src/scene_cateogries.py:141-144):
+  0 = other object, 1 = this object, 2 = unknown.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+OTHER_OBJ = 0
+THIS_OBJ = 1
+UNKNOWN_OBJ = 2
+
+
+def stratified_bins(key: jax.Array, min_depth: jnp.ndarray, max_depth: jnp.ndarray,
+                    n_bins: int) -> jnp.ndarray:
+    """Stratified depth samples per ray (ref: src/scene_cateogries.py:51-81).
+
+    min_depth/max_depth: [n_rays] (or scalars broadcast by the caller).
+    Returns [n_rays, n_bins]: one uniform sample inside each of n_bins equal
+    sub-intervals of [min_depth, max_depth].
+    """
+    n_rays = min_depth.shape[0]
+    depth_range = max_depth - min_depth
+    edges = jnp.linspace(0.0, 1.0, n_bins + 1)[:-1]
+    lower = depth_range[:, None] * edges[None, :] + min_depth[:, None]
+    bin_length = depth_range / n_bins
+    u = jax.random.uniform(key, (n_rays, n_bins))
+    return lower + u * bin_length[:, None]
+
+
+def normal_bins_sampling(key: jax.Array, depth: jnp.ndarray, n_bins: int,
+                         delta: float) -> jnp.ndarray:
+    """Sorted, clipped normal samples around the surface depth
+    (ref: src/scene_cateogries.py:84-96): N(0, (delta/3)^2), sorted along the
+    bin axis, clipped to +-delta, centered at `depth`.
+    """
+    n_rays = depth.shape[0]
+    bins = jax.random.normal(key, (n_rays, n_bins)) * (delta / 3.0)
+    bins = jnp.sort(bins, axis=-1)
+    bins = jnp.clip(bins, -delta, delta)
+    return depth[:, None] + bins
+
+
+class RaySamples(NamedTuple):
+    """Per-ray training sample bundle (ref return tuple of sample_3d_points,
+    src/scene_cateogries.py:543-546)."""
+
+    gt_rgb: jnp.ndarray        # [n_rays, 3]
+    gt_depth: jnp.ndarray      # [n_rays]
+    valid_depth_mask: jnp.ndarray  # [n_rays] bool
+    obj_labels: jnp.ndarray    # [n_rays] pixel state (0/1/2)
+    input_pcs: jnp.ndarray     # [n_rays, n_bins_total, 3]
+    z_vals: jnp.ndarray        # [n_rays, n_bins_total]
+
+
+def sample_3d_points(key: jax.Array, rgbs: jnp.ndarray, states: jnp.ndarray,
+                     depth: jnp.ndarray, origins: jnp.ndarray, dirs: jnp.ndarray,
+                     *, n_bins_cam2surface: int, n_bins: int, min_depth: float,
+                     surface_eps: float, stop_eps: float) -> RaySamples:
+    """Branchless vMAP 3D sampling (ref: src/scene_cateogries.py:453-546).
+
+    Strategy per ray:
+      invalid depth (<= min_depth): all (n_bins_cam2surface + n_bins) bins
+        stratified in [min_depth, max(depth in batch)]
+      valid depth:
+        first n_bins_cam2surface bins stratified in [min_depth, d - eps]
+        this-object rays: n_bins sorted-normal samples around d (sigma eps/3)
+        other rays:       n_bins stratified in [d - eps, d + stop_eps]
+
+    rgbs: [n, 3] uint8/float; states: [n] int; depth: [n];
+    origins/dirs: [n, 3] already in the target (object/world) frame.
+    """
+    n_rays = depth.shape[0]
+    total_bins = n_bins_cam2surface + n_bins
+    k_inv, k_c2s, k_norm, k_other = jax.random.split(key, 4)
+
+    invalid = depth <= min_depth
+    valid = ~invalid
+    # Reference uses the batch max depth as the far bound for invalid rays
+    # (ref: src/scene_cateogries.py:486).
+    max_bound = jnp.max(depth)
+
+    # Candidate A: invalid-depth layout over the full range.
+    z_invalid = stratified_bins(
+        k_inv, jnp.full((n_rays,), min_depth), jnp.full((n_rays,), max_bound),
+        total_bins)
+
+    # Candidate B: camera->surface bins for valid rays.
+    z_c2s = stratified_bins(
+        k_c2s, jnp.full((n_rays,), min_depth), depth - surface_eps,
+        n_bins_cam2surface)
+
+    # Candidate C: near-surface bins, this-object (sorted normal).
+    z_surf_obj = normal_bins_sampling(k_norm, depth, n_bins, surface_eps)
+
+    # Candidate D: near-surface bins, other-object (stratified past surface).
+    z_surf_other = stratified_bins(
+        k_other, depth - surface_eps, depth + stop_eps, n_bins)
+
+    this_obj = (states == THIS_OBJ) & valid
+    z_surf = jnp.where(this_obj[:, None], z_surf_obj, z_surf_other)
+    z_valid = jnp.concatenate([z_c2s, z_surf], axis=-1)
+    z_vals = jnp.where(invalid[:, None], z_invalid, z_valid)
+
+    input_pcs = origins[:, None, :] + dirs[:, None, :] * z_vals[..., None]
+
+    return RaySamples(
+        gt_rgb=rgbs,
+        gt_depth=depth,
+        valid_depth_mask=valid,
+        obj_labels=states,
+        input_pcs=input_pcs,
+        z_vals=z_vals,
+    )
