@@ -1,0 +1,243 @@
+"""Scene ray buffers + per-step batch assembly.
+
+Parity target: `sceneCategory` (ref: src/scene_cateogries.py:100-597).
+Each category flattens every instance's 2D-bbox crops across all frames into
+one shuffled ray buffer. Differences from the reference, by design:
+
+* Ray origins/directions in the target frame (canonical object frame for
+  multi-instance categories, world frame for single-instance and background)
+  are precomputed at buffer build. The reference stores per-ray 4x4 T_CO and
+  re-inverts it every step (src/scene_cateogries.py:380-386) even though
+  object poses are fixed during training — hoisting it removes a matrix
+  inverse from the hot path and shrinks the buffer.
+* RGB stays uint8 until device upload (the /255 happens on device).
+* The epoch-shuffle cursor semantics are preserved exactly: buffers are
+  shuffled at build, a cursor walks them sequentially, and a full reshuffle
+  happens when fewer than n samples remain (ref: src/scene_cateogries.py:
+  251-261, 438-449).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from catnerf_tpu.config import Config
+from catnerf_tpu.data.camera import CameraInfo
+from catnerf_tpu.ops.sim3 import sim3_to_tensor_np
+
+
+@dataclasses.dataclass
+class OrientedBBox:
+    """Oriented bounding box (replaces reference BoundingBox,
+    ref: src/utils.py:16-22)."""
+
+    center: np.ndarray  # (3,)
+    R: np.ndarray       # (3, 3)
+    extent: np.ndarray  # (3,)
+
+    def corners(self) -> np.ndarray:
+        signs = np.array(
+            [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+        )
+        return self.center + (signs * self.extent / 2.0) @ self.R.T
+
+
+@dataclasses.dataclass
+class InstanceInfo:
+    """Per-instance registration artifact (the `inst_dict` contract,
+    ref: src/dataset.py:153-156, src/category_registration.py:268-311)."""
+
+    inst_id: int
+    frame_info: list[dict]           # [{'frame': int, 'bbox': (w0, w1, h0, h1)}]
+    T_obj: np.ndarray | None = None  # sim(3) object->world
+    bbox3d: OrientedBBox | None = None
+
+
+class RayBuffer:
+    """Flat shuffled ray store with epoch-cursor sampling."""
+
+    def __init__(self, arrays: dict[str, np.ndarray], rng: np.random.Generator):
+        n = arrays["depth"].shape[0]
+        assert all(a.shape[0] == n for a in arrays.values())
+        self.arrays = arrays
+        self.n = n
+        self.rng = rng
+        self.cursor = 0
+        self._shuffle()
+
+    def _shuffle(self) -> None:
+        perm = self.rng.permutation(self.n)
+        self.arrays = {k: v[perm] for k, v in self.arrays.items()}
+
+    def sample(self, n: int) -> dict[str, np.ndarray]:
+        """Sequential slice of n rays; reshuffles once fewer than n remain
+        after the slice (ref: src/scene_cateogries.py:438-449)."""
+        if n > self.n:
+            # Tiny scenes/tests: sample with replacement.
+            idx = self.rng.integers(0, self.n, size=n)
+            return {k: v[idx] for k, v in self.arrays.items()}
+        out = {k: v[self.cursor:self.cursor + n] for k, v in self.arrays.items()}
+        self.cursor += n
+        if self.cursor >= self.n - n:
+            self._shuffle()
+            self.cursor = 0
+        return out
+
+
+def _pixel_states(obj_mask_crop: np.ndarray, this_id: int) -> np.ndarray:
+    """0=other, 1=this object, 2=unknown (ref: src/scene_cateogries.py:202-204)."""
+    state = np.zeros(obj_mask_crop.shape, dtype=np.uint8)
+    state[obj_mask_crop == this_id] = 1
+    state[obj_mask_crop == -1] = 2
+    return state
+
+
+class CategoryScene:
+    """One category's ray buffer + static metadata (ref: sceneCategory)."""
+
+    def __init__(self, cfg: Config, cls_id: int, inst_dict: dict,
+                 sample_dict: dict, cam: CameraInfo,
+                 rng: np.random.Generator | None = None):
+        self.cls_id = cls_id
+        self.is_background = cls_id == 0
+        rng = rng if rng is not None else np.random.default_rng(cfg.seed + cls_id)
+
+        if self.is_background:
+            self.obj_ids = [0]
+            self.bound = inst_dict.get("bbox3D")
+            instances = {0: InstanceInfo(0, inst_dict["frame_info"])}
+        else:
+            self.obj_ids = list(inst_dict.keys())
+            instances = {
+                i: InstanceInfo(
+                    i, info["frame_info"], info.get("T_obj"), info.get("bbox3D")
+                )
+                for i, info in inst_dict.items()
+            }
+        self.inst_id_to_index = {iid: k for k, iid in enumerate(self.obj_ids)}
+        self.n_obj = len(self.obj_ids)
+        # Single-instance categories and background train in world frame
+        # (ref: src/scene_cateogries.py:374-386).
+        self.world_frame = self.is_background or self.n_obj == 1
+
+        self.extent_dict: dict[int, np.ndarray] = {}
+        self.object_tensor_dict: dict[int, np.ndarray] = {}
+        self.bound_dict: dict[int, OrientedBBox] = {}
+        if not self.is_background:
+            for iid in self.obj_ids:
+                info = instances[iid]
+                if info.bbox3d is not None:
+                    self.extent_dict[iid] = np.asarray(info.bbox3d.extent)
+                    self.bound_dict[iid] = info.bbox3d
+                else:
+                    self.extent_dict[iid] = np.array([2.0, 2.0, 2.0])
+                if info.T_obj is not None:
+                    self.object_tensor_dict[iid] = sim3_to_tensor_np(info.T_obj)
+
+        self.buffer = self._build_buffer(instances, sample_dict, cam, rng)
+
+    def _build_buffer(self, instances: dict[int, InstanceInfo], sample_dict: dict,
+                      cam: CameraInfo, rng: np.random.Generator) -> RayBuffer:
+        origins_all, dirs_all = [], []
+        rgb_all, state_all, depth_all, idx_all = [], [], [], []
+
+        for iid, info in instances.items():
+            obj_index = self.inst_id_to_index[iid]
+            T_obj = info.T_obj
+            for fi in info.frame_info:
+                sample = sample_dict[fi["frame"]]
+                w0, w1, h0, h1 = (int(v) for v in fi["bbox"])
+                T_wc = np.asarray(sample["T"], dtype=np.float64)
+
+                if self.world_frame:
+                    R, t = T_wc[:3, :3], T_wc[:3, 3]
+                else:
+                    # T_CO = inv(T_WC) @ T_obj; rays go through inv(T_CO)
+                    # = inv(T_obj) @ T_WC (ref: src/scene_cateogries.py:24-35,
+                    # 235-238). inv(T_obj) carries the 1/s sim(3) factor.
+                    T_oc = np.linalg.inv(T_obj) @ T_wc
+                    R, t = T_oc[:3, :3], T_oc[:3, 3]
+
+                crop_dirs = cam.rays_dir_cache[w0:w1, h0:h1].reshape(-1, 3)
+                dirs = crop_dirs @ R.T
+                n_px = dirs.shape[0]
+
+                mask_crop = sample["obj_mask"][w0:w1, h0:h1]
+                this_id = iid if not self.is_background else 0
+                state = _pixel_states(mask_crop, this_id).reshape(-1)
+
+                origins_all.append(
+                    np.broadcast_to(t.astype(np.float32), (n_px, 3))
+                )
+                dirs_all.append(dirs.astype(np.float32))
+                rgb_all.append(
+                    sample["image"][w0:w1, h0:h1].reshape(-1, 3).astype(np.uint8)
+                )
+                state_all.append(state)
+                depth_all.append(
+                    sample["depth"][w0:w1, h0:h1].reshape(-1).astype(np.float32)
+                )
+                idx_all.append(np.full((n_px,), obj_index, dtype=np.int32))
+
+        arrays = {
+            "origins": np.concatenate(origins_all),
+            "dirs": np.concatenate(dirs_all),
+            "rgb": np.concatenate(rgb_all),
+            "state": np.concatenate(state_all),
+            "depth": np.concatenate(depth_all),
+            "obj_idx": np.concatenate(idx_all),
+        }
+        return RayBuffer(arrays, rng)
+
+    def sample(self, n: int) -> dict[str, np.ndarray]:
+        return self.buffer.sample(n)
+
+
+class SceneBatcher:
+    """Assembles the fixed-shape per-step batches for the jitted train step
+    (ref: the per-iteration gather+stack loop, train.py:113-150)."""
+
+    def __init__(self, categories: list[CategoryScene],
+                 background: CategoryScene | None):
+        assert all(not c.is_background for c in categories)
+        self.categories = categories
+        self.background = background
+
+    @property
+    def n_cls(self) -> int:
+        return len(self.categories)
+
+    @property
+    def n_objs_per_cls(self) -> list[int]:
+        return [c.n_obj for c in self.categories]
+
+    def rays_per_category(self, n_per_optim: int) -> int:
+        """n_objs_total * n_per_optim // n_cls (ref: train.py:92-96)."""
+        n_objs = sum(self.n_objs_per_cls)
+        return max(1, n_objs * n_per_optim // max(1, self.n_cls))
+
+    def next_batch(self, n_per_cls: int, n_bg: int):
+        """Returns (cat_arrays: dict of stacked (n_cls, r, ...) numpy arrays,
+        bg_arrays: dict or None)."""
+        samples = [c.sample(n_per_cls) for c in self.categories]
+        cat = {
+            "rgbs": np.stack([s["rgb"] for s in samples]).astype(np.float32) / 255.0,
+            "states": np.stack([s["state"] for s in samples]).astype(np.int32),
+            "depth": np.stack([s["depth"] for s in samples]),
+            "origins": np.stack([s["origins"] for s in samples]),
+            "dirs": np.stack([s["dirs"] for s in samples]),
+            "obj_indices": np.stack([s["obj_idx"] for s in samples]),
+        }
+        bg = None
+        if self.background is not None:
+            s = self.background.sample(n_bg)
+            bg = {
+                "rgbs": s["rgb"].astype(np.float32) / 255.0,
+                "states": s["state"].astype(np.int32),
+                "depth": s["depth"],
+                "origins": s["origins"],
+                "dirs": s["dirs"],
+            }
+        return cat, bg

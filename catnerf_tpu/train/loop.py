@@ -1,0 +1,126 @@
+"""Training session driver.
+
+Replaces the reference's flat training loop (ref: train.py:15-243): builds
+per-category ray buffers, the stacked train state, and runs the jitted step.
+Checkpointing/meshing/logging hook in via the driver methods.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from catnerf_tpu.config import Config
+from catnerf_tpu.data.camera import CameraInfo
+from catnerf_tpu.data.scene import CategoryScene, SceneBatcher
+from catnerf_tpu.models import codes as codes_mod
+from catnerf_tpu.train.state import TrainState, init_train_state
+from catnerf_tpu.train.step import (
+    BackgroundBatch,
+    CategoryBatch,
+    StepMetrics,
+    make_train_step,
+)
+
+
+class TrainingSession:
+    def __init__(self, cfg: Config, inst_dict: dict, sample_dict: dict,
+                 cam: CameraInfo | None = None, with_background: bool = True):
+        self.cfg = cfg
+        cam = cam if cam is not None else CameraInfo.from_config(cfg)
+        self.cam = cam
+
+        cls_ids = sorted(k for k in inst_dict.keys() if k != 0)
+        assert len(cls_ids) <= cfg.max_n_models, (
+            f"{len(cls_ids)} categories exceeds max_n_models={cfg.max_n_models}"
+        )
+        self.categories = [
+            CategoryScene(cfg, cid, inst_dict[cid], sample_dict, cam)
+            for cid in cls_ids
+        ]
+        self.cls_ids = cls_ids
+        self.background = (
+            CategoryScene(cfg, 0, inst_dict[0], sample_dict, cam)
+            if with_background and 0 in inst_dict else None
+        )
+        self.batcher = SceneBatcher(self.categories, self.background)
+
+        n_objs = self.batcher.n_objs_per_cls
+        self.obj_mask = codes_mod.obj_validity_mask(n_objs)
+        key = jax.random.PRNGKey(cfg.seed)
+        self.base_key, init_key = jax.random.split(key)
+        self.state: TrainState = init_train_state(
+            init_key, cfg, n_objs, with_background=self.background is not None
+        )
+        self.step_fn = make_train_step(
+            cfg, self.obj_mask, with_background=self.background is not None
+        )
+        self.n_per_cls = self.batcher.rays_per_category(cfg.n_per_optim)
+        self.iteration = 0
+
+    # ------------------------------------------------------------------
+    def _device_batches(self):
+        cat_np, bg_np = self.batcher.next_batch(
+            self.n_per_cls, self.cfg.n_per_optim_bg
+        )
+        cat = CategoryBatch(**{k: jnp.asarray(v) for k, v in cat_np.items()})
+        bg = (
+            BackgroundBatch(**{k: jnp.asarray(v) for k, v in bg_np.items()})
+            if bg_np is not None else None
+        )
+        return cat, bg
+
+    def step_once(self) -> StepMetrics:
+        cat, bg = self._device_batches()
+        self.state, metrics = self.step_fn(self.state, cat, bg, self.base_key)
+        self.iteration += 1
+        return metrics
+
+    def run(self, n_iters: int,
+            callback: Callable[[int, StepMetrics], None] | None = None,
+            callback_every: int = 100) -> list[dict[str, Any]]:
+        history = []
+        for _ in range(n_iters):
+            metrics = self.step_once()
+            if callback is not None and self.iteration % callback_every == 0:
+                callback(self.iteration, metrics)
+            if self.iteration % callback_every == 0 or self.iteration == n_iters:
+                history.append(self.metrics_to_dict(metrics))
+        return history
+
+    def metrics_to_dict(self, m: StepMetrics) -> dict[str, Any]:
+        d = {
+            "iteration": self.iteration,
+            "total": float(m.total),
+            "bg_psnr": float(m.bg_psnr),
+        }
+        for i, cid in enumerate(self.cls_ids):
+            d[f"cls_{cid}/depth"] = float(m.cat_depth[i])
+            d[f"cls_{cid}/color"] = float(m.cat_color[i])
+            d[f"cls_{cid}/opacity"] = float(m.cat_opacity[i])
+            d[f"cls_{cid}/psnr"] = float(m.cat_psnr[i])
+        if self.background is not None:
+            d["background/depth"] = float(m.bg_depth)
+            d["background/color"] = float(m.bg_color)
+            d["background/opacity"] = float(m.bg_opacity)
+        return d
+
+    # ------------------------------------------------------------------
+    def category_params(self, cls_id: int) -> dict:
+        """Per-category parameter slices (PE, FC, codes) for meshing/eval."""
+        i = self.cls_ids.index(cls_id)
+        p = self.state.params
+        return {
+            "pe": jax.tree_util.tree_map(lambda x: x[i], p["cat_pe"]),
+            "fc": jax.tree_util.tree_map(lambda x: x[i], p["cat_fc"]),
+            "shape_codes": p["codes"]["shape"][i],
+            "texture_codes": p["codes"]["texture"][i],
+        }
+
+    def background_params(self) -> dict | None:
+        if self.background is None:
+            return None
+        return {"pe": self.state.params["bg_pe"], "fc": self.state.params["bg_fc"]}

@@ -11,8 +11,9 @@ from catnerf_tpu.ops import render as R
 def test_occupancy_activation_is_sigmoid():
     x = jnp.array([-2.0, 0.0, 3.0])
     np.testing.assert_allclose(
-        R.occupancy_activation(x), 1.0 / (1.0 + np.exp(-np.array([-2.0, 0.0, 3.0]))),
-        rtol=1e-6,
+        np.asarray(R.occupancy_activation(x)),
+        1.0 / (1.0 + np.exp(-np.array([-2.0, 0.0, 3.0]))),
+        rtol=1e-5, atol=1e-7,
     )
 
 
