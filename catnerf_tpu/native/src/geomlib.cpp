@@ -1,0 +1,359 @@
+// geomlib — first-party C++ geometry kernels for catnerf_tpu.
+//
+// Replaces the reference's third-party native dependencies (SURVEY.md §2.3):
+//   scikit-image marching_cubes  (ref: src/vis.py:6-19)
+//   scipy cKDTree                (ref: metric/metrics.py, teaser helpers)
+//   Open3D voxel downsample / ICP / outlier removal / TSDF
+//   TEASER++ GNC-TLS robust registration (ref: src/teaser_utils)
+//
+// Exposed as a C ABI consumed from Python via ctypes (no pybind11 in image).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <numeric>
+#include <queue>
+#include <random>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+void geom_free(void* p) { std::free(p); }
+
+// ---------------------------------------------------------------------------
+// Marching tetrahedra iso-surface extraction.
+//
+// Replaces skimage.measure.marching_cubes at level=0.5 (ref: src/vis.py:8-9).
+// Each grid cell splits into 6 tetrahedra; linear interpolation along edges.
+// Vertices are deduplicated on shared edges; output vertex coordinates are in
+// grid-index units (the Python wrapper normalises to [0,1] like the
+// reference, src/vis.py:10-13). Orientation: triangles wind so normals point
+// toward increasing field values ("ascent", matching skimage's default
+// gradient direction for occupancy>0.5 = inside).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Vec3 { double x, y, z; };
+
+inline int64_t edge_key(int64_t a, int64_t b) {
+  if (a > b) std::swap(a, b);
+  return (a << 32) | b;
+}
+
+// The 6-tetrahedra decomposition of a cube (indices into the 8 cube corners).
+static const int TETS[6][4] = {
+    {0, 5, 1, 6}, {0, 1, 2, 6}, {0, 2, 3, 6},
+    {0, 3, 7, 6}, {0, 7, 4, 6}, {0, 4, 5, 6},
+};
+
+// cube corner offsets (x, y, z)
+static const int CORNER[8][3] = {
+    {0, 0, 0}, {1, 0, 0}, {1, 1, 0}, {0, 1, 0},
+    {0, 0, 1}, {1, 0, 1}, {1, 1, 1}, {0, 1, 1},
+};
+
+}  // namespace
+
+int marching_tetrahedra(const float* grid, int nx, int ny, int nz, float level,
+                        float** out_verts, int64_t* out_n_verts,
+                        int** out_tris, int64_t* out_n_tris) {
+  if (nx < 2 || ny < 2 || nz < 2) return -1;
+  auto val = [&](int64_t i, int64_t j, int64_t k) -> float {
+    return grid[(i * ny + j) * nz + k];
+  };
+  auto gid = [&](int64_t i, int64_t j, int64_t k) -> int64_t {
+    return (i * ny + j) * nz + k;
+  };
+
+  std::vector<float> verts;
+  std::vector<int> tris;
+  std::unordered_map<int64_t, int> edge_to_vert;
+  verts.reserve(1 << 16);
+  tris.reserve(1 << 16);
+
+  auto interp_vertex = [&](int64_t ga, int64_t gb, const Vec3& pa,
+                           const Vec3& pb, float va, float vb) -> int {
+    int64_t key = edge_key(ga, gb);
+    auto it = edge_to_vert.find(key);
+    if (it != edge_to_vert.end()) return it->second;
+    double t = (vb - va) != 0.0 ? (level - va) / double(vb - va) : 0.5;
+    t = std::min(1.0, std::max(0.0, t));
+    int idx = int(verts.size() / 3);
+    verts.push_back(float(pa.x + t * (pb.x - pa.x)));
+    verts.push_back(float(pa.y + t * (pb.y - pa.y)));
+    verts.push_back(float(pa.z + t * (pb.z - pa.z)));
+    edge_to_vert.emplace(key, idx);
+    return idx;
+  };
+
+  for (int64_t i = 0; i + 1 < nx; ++i) {
+    for (int64_t j = 0; j + 1 < ny; ++j) {
+      for (int64_t k = 0; k + 1 < nz; ++k) {
+        float cv[8];
+        Vec3 cp[8];
+        int64_t cg[8];
+        bool any_in = false, any_out = false;
+        for (int c = 0; c < 8; ++c) {
+          int64_t ci = i + CORNER[c][0], cj = j + CORNER[c][1],
+                  ck = k + CORNER[c][2];
+          cv[c] = val(ci, cj, ck);
+          cp[c] = {double(ci), double(cj), double(ck)};
+          cg[c] = gid(ci, cj, ck);
+          (cv[c] > level ? any_in : any_out) = true;
+        }
+        if (!any_in || !any_out) continue;
+
+        for (const auto& tet : TETS) {
+          int a = tet[0], b = tet[1], c = tet[2], d = tet[3];
+          // classify
+          int inside = 0;
+          bool in[4];
+          int vids[4] = {a, b, c, d};
+          for (int m = 0; m < 4; ++m) {
+            in[m] = cv[vids[m]] > level;
+            inside += in[m];
+          }
+          if (inside == 0 || inside == 4) continue;
+
+          // collect inside/outside vertex slots
+          int ins[4], outs[4];
+          int ni = 0, no = 0;
+          for (int m = 0; m < 4; ++m) {
+            if (in[m]) ins[ni++] = vids[m];
+            else outs[no++] = vids[m];
+          }
+
+          auto emit = [&](int v0, int v1, int v2) {
+            tris.push_back(v0);
+            tris.push_back(v1);
+            tris.push_back(v2);
+          };
+          auto ev = [&](int va_, int vb_) {
+            return interp_vertex(cg[va_], cg[vb_], cp[va_], cp[vb_], cv[va_],
+                                 cv[vb_]);
+          };
+
+          if (inside == 1) {
+            int p = ins[0];
+            int v0 = ev(p, outs[0]), v1 = ev(p, outs[1]), v2 = ev(p, outs[2]);
+            emit(v0, v1, v2);
+          } else if (inside == 3) {
+            int p = outs[0];
+            int v0 = ev(ins[0], p), v1 = ev(ins[1], p), v2 = ev(ins[2], p);
+            emit(v0, v2, v1);
+          } else {  // 2 in, 2 out -> quad
+            int v0 = ev(ins[0], outs[0]);
+            int v1 = ev(ins[0], outs[1]);
+            int v2 = ev(ins[1], outs[1]);
+            int v3 = ev(ins[1], outs[0]);
+            emit(v0, v1, v2);
+            emit(v0, v2, v3);
+          }
+        }
+      }
+    }
+  }
+
+  *out_n_verts = int64_t(verts.size() / 3);
+  *out_n_tris = int64_t(tris.size() / 3);
+  float* vb = (float*)std::malloc(verts.size() * sizeof(float));
+  int* tb = (int*)std::malloc(tris.size() * sizeof(int));
+  std::memcpy(vb, verts.data(), verts.size() * sizeof(float));
+  std::memcpy(tb, tris.data(), tris.size() * sizeof(int));
+  *out_verts = vb;
+  *out_tris = tb;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// KD-tree (3D) — replaces scipy cKDTree (ref: metric/metrics.py:2-28,
+// src/teaser_utils/helpers.py:27-34).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct KDTree {
+  std::vector<float> pts;   // (n, 3)
+  std::vector<int> order;   // flattened balanced tree (median layout)
+  int n = 0;
+
+  void build(const float* p, int n_) {
+    n = n_;
+    pts.assign(p, p + size_t(n) * 3);
+    order.resize(n);
+    std::iota(order.begin(), order.end(), 0);
+    build_rec(0, n, 0);
+  }
+
+  void build_rec(int lo, int hi, int axis) {
+    if (hi - lo <= 1) return;
+    int mid = (lo + hi) / 2;
+    std::nth_element(order.begin() + lo, order.begin() + mid,
+                     order.begin() + hi, [&](int a, int b) {
+                       return pts[a * 3 + axis] < pts[b * 3 + axis];
+                     });
+    build_rec(lo, mid, (axis + 1) % 3);
+    build_rec(mid + 1, hi, (axis + 1) % 3);
+  }
+
+  void nn(const float* q, int* best_idx, float* best_d2) const {
+    *best_idx = -1;
+    *best_d2 = std::numeric_limits<float>::max();
+    nn_rec(q, 0, n, 0, best_idx, best_d2);
+  }
+
+  void nn_rec(const float* q, int lo, int hi, int axis, int* bi,
+              float* bd2) const {
+    if (lo >= hi) return;
+    int mid = (lo + hi) / 2;
+    int p = order[mid];
+    float dx = q[0] - pts[p * 3], dy = q[1] - pts[p * 3 + 1],
+          dz = q[2] - pts[p * 3 + 2];
+    float d2 = dx * dx + dy * dy + dz * dz;
+    if (d2 < *bd2) { *bd2 = d2; *bi = p; }
+    float diff = q[axis] - pts[p * 3 + axis];
+    int next_axis = (axis + 1) % 3;
+    if (diff < 0) {
+      nn_rec(q, lo, mid, next_axis, bi, bd2);
+      if (diff * diff < *bd2) nn_rec(q, mid + 1, hi, next_axis, bi, bd2);
+    } else {
+      nn_rec(q, mid + 1, hi, next_axis, bi, bd2);
+      if (diff * diff < *bd2) nn_rec(q, lo, mid, next_axis, bi, bd2);
+    }
+  }
+
+  void radius_count(const float* q, float r2, int lo, int hi, int axis,
+                    int* count) const {
+    if (lo >= hi) return;
+    int mid = (lo + hi) / 2;
+    int p = order[mid];
+    float dx = q[0] - pts[p * 3], dy = q[1] - pts[p * 3 + 1],
+          dz = q[2] - pts[p * 3 + 2];
+    if (dx * dx + dy * dy + dz * dz <= r2) ++(*count);
+    float diff = q[axis] - pts[p * 3 + axis];
+    int next_axis = (axis + 1) % 3;
+    if (diff < 0) {
+      radius_count(q, r2, lo, mid, next_axis, count);
+      if (diff * diff <= r2) radius_count(q, r2, mid + 1, hi, next_axis, count);
+    } else {
+      radius_count(q, r2, mid + 1, hi, next_axis, count);
+      if (diff * diff <= r2) radius_count(q, r2, lo, mid, next_axis, count);
+    }
+  }
+
+  void radius_collect(const float* q, float r2, int lo, int hi, int axis,
+                      std::vector<int>* out) const {
+    if (lo >= hi) return;
+    int mid = (lo + hi) / 2;
+    int p = order[mid];
+    float dx = q[0] - pts[p * 3], dy = q[1] - pts[p * 3 + 1],
+          dz = q[2] - pts[p * 3 + 2];
+    if (dx * dx + dy * dy + dz * dz <= r2) out->push_back(p);
+    float diff = q[axis] - pts[p * 3 + axis];
+    int next_axis = (axis + 1) % 3;
+    if (diff < 0) {
+      radius_collect(q, r2, lo, mid, next_axis, out);
+      if (diff * diff <= r2) radius_collect(q, r2, mid + 1, hi, next_axis, out);
+    } else {
+      radius_collect(q, r2, mid + 1, hi, next_axis, out);
+      if (diff * diff <= r2) radius_collect(q, r2, lo, mid, next_axis, out);
+    }
+  }
+};
+
+}  // namespace
+
+void* kd_build(const float* pts, int n) {
+  auto* t = new KDTree();
+  t->build(pts, n);
+  return t;
+}
+
+void kd_destroy(void* tree) { delete static_cast<KDTree*>(tree); }
+
+void kd_query_nn(const void* tree, const float* queries, int nq, int* idx,
+                 float* dist) {
+  const auto* t = static_cast<const KDTree*>(tree);
+  for (int i = 0; i < nq; ++i) {
+    int bi; float bd2;
+    t->nn(queries + size_t(i) * 3, &bi, &bd2);
+    idx[i] = bi;
+    dist[i] = std::sqrt(bd2);
+  }
+}
+
+void kd_query_radius_count(const void* tree, const float* queries, int nq,
+                           float radius, int* counts) {
+  const auto* t = static_cast<const KDTree*>(tree);
+  float r2 = radius * radius;
+  for (int i = 0; i < nq; ++i) {
+    int c = 0;
+    t->radius_count(queries + size_t(i) * 3, r2, 0, t->n, 0, &c);
+    counts[i] = c;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Voxel-grid downsample — replaces open3d voxel_down_sample
+// (ref: src/utils.py:209,240; src/teaser_utils/teaser_fpfh_icp.py:28-29).
+// Point per occupied voxel = centroid of its members (Open3D semantics).
+// ---------------------------------------------------------------------------
+
+int voxel_downsample(const float* pts, int n, float voxel, float** out,
+                     int64_t* n_out) {
+  if (voxel <= 0 || n <= 0) return -1;
+  double minc[3] = {1e300, 1e300, 1e300};
+  for (int i = 0; i < n; ++i)
+    for (int d = 0; d < 3; ++d)
+      minc[d] = std::min(minc[d], double(pts[size_t(i) * 3 + d]));
+  std::unordered_map<int64_t, std::pair<Vec3, int>> cells;
+  cells.reserve(size_t(n));
+  for (int i = 0; i < n; ++i) {
+    const float* p = pts + size_t(i) * 3;
+    int64_t ix = int64_t((p[0] - minc[0]) / voxel);
+    int64_t iy = int64_t((p[1] - minc[1]) / voxel);
+    int64_t iz = int64_t((p[2] - minc[2]) / voxel);
+    int64_t key = (ix * 73856093) ^ (iy * 19349663) ^ (iz * 83492791);
+    key = key * 2097152 + ((ix & 127) << 14) + ((iy & 127) << 7) + (iz & 127);
+    auto& cell = cells[key];
+    cell.first.x += p[0];
+    cell.first.y += p[1];
+    cell.first.z += p[2];
+    cell.second += 1;
+  }
+  float* buf = (float*)std::malloc(cells.size() * 3 * sizeof(float));
+  int64_t m = 0;
+  for (auto& kv : cells) {
+    buf[m * 3 + 0] = float(kv.second.first.x / kv.second.second);
+    buf[m * 3 + 1] = float(kv.second.first.y / kv.second.second);
+    buf[m * 3 + 2] = float(kv.second.first.z / kv.second.second);
+    ++m;
+  }
+  *out = buf;
+  *n_out = m;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Radius outlier removal — replaces open3d remove_radius_outlier
+// (ref: src/utils.py:241). Marks points with >= min_neighbors within radius
+// (self included, matching Open3D).
+// ---------------------------------------------------------------------------
+
+void radius_outlier_mask(const float* pts, int n, float radius,
+                         int min_neighbors, uint8_t* keep) {
+  KDTree t;
+  t.build(pts, n);
+  float r2 = radius * radius;
+  for (int i = 0; i < n; ++i) {
+    int c = 0;
+    t.radius_count(pts + size_t(i) * 3, r2, 0, n, 0, &c);
+    keep[i] = c >= min_neighbors ? 1 : 0;
+  }
+}
+
+}  // extern "C"

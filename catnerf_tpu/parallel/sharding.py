@@ -1,0 +1,111 @@
+"""Sharding rules + sharded train step.
+
+Layout:
+  stacked category params / codes / their optimizer moments
+      -> category axis sharded over 'model' (expert parallel)
+  background params -> replicated
+  category ray batch -> ('model', 'data'): categories over experts, rays DP
+  background ray batch -> ('data',)
+  metrics -> replicated
+
+XLA inserts the gradient all-reduce over 'data' and keeps per-category
+updates local to their 'model' shard; all collectives ride ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from catnerf_tpu.config import Config
+from catnerf_tpu.train.state import TrainState, make_optimizer, init_train_state
+from catnerf_tpu.train.step import BackgroundBatch, CategoryBatch, make_train_step
+from catnerf_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def state_shardings(state: TrainState, mesh: Mesh, n_cls: int):
+    """Pytree of NamedShardings for the train state: any leaf whose path
+    passes through a category-stacked group ('cat_pe'/'cat_fc'/'codes') and
+    whose leading dim equals n_cls is sharded over 'model'; everything else
+    (background params, scalar optimizer counters) is replicated. The optax
+    state mirrors the param tree, so the same rule covers the moments."""
+    ep = NamedSharding(mesh, P(MODEL_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def rule(path, leaf):
+        keys = {getattr(p, "key", getattr(p, "name", None)) for p in path}
+        stacked = keys & {"cat_pe", "cat_fc", "codes"}
+        if stacked and getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == n_cls:
+            return ep
+        return repl
+
+    return jax.tree_util.tree_map_with_path(rule, state)
+
+
+def batch_shardings(mesh: Mesh):
+    cat = CategoryBatch(
+        rgbs=NamedSharding(mesh, P(MODEL_AXIS, DATA_AXIS)),
+        states=NamedSharding(mesh, P(MODEL_AXIS, DATA_AXIS)),
+        depth=NamedSharding(mesh, P(MODEL_AXIS, DATA_AXIS)),
+        origins=NamedSharding(mesh, P(MODEL_AXIS, DATA_AXIS)),
+        dirs=NamedSharding(mesh, P(MODEL_AXIS, DATA_AXIS)),
+        obj_indices=NamedSharding(mesh, P(MODEL_AXIS, DATA_AXIS)),
+    )
+    bg = BackgroundBatch(
+        rgbs=NamedSharding(mesh, P(DATA_AXIS)),
+        states=NamedSharding(mesh, P(DATA_AXIS)),
+        depth=NamedSharding(mesh, P(DATA_AXIS)),
+        origins=NamedSharding(mesh, P(DATA_AXIS)),
+        dirs=NamedSharding(mesh, P(DATA_AXIS)),
+    )
+    return cat, bg
+
+
+def make_sharded_train_step(cfg: Config, obj_mask, mesh: Mesh,
+                            state_template: TrainState, n_cls: int,
+                            with_background: bool = True):
+    """jit the train step with explicit in/out shardings over `mesh`."""
+    inner = make_train_step(cfg, obj_mask, with_background=with_background,
+                            jit=False)
+
+    st_sh = state_shardings(state_template, mesh, n_cls)
+    cat_sh, bg_sh = batch_shardings(mesh)
+    repl = NamedSharding(mesh, P())
+    metrics_sh = jax.tree_util.tree_map(
+        lambda _: repl, _metrics_template()
+    )
+    return jax.jit(
+        inner,
+        in_shardings=(st_sh, cat_sh, bg_sh if with_background else None, repl),
+        out_shardings=(st_sh, metrics_sh),
+        donate_argnums=(0,),
+    )
+
+
+def _metrics_template():
+    from catnerf_tpu.train.step import StepMetrics
+
+    z = np.zeros(())
+    return StepMetrics(*([z] * len(StepMetrics._fields)))
+
+
+def shard_state(state: TrainState, mesh: Mesh, n_cls: int) -> TrainState:
+    return jax.device_put(state, state_shardings(state, mesh, n_cls))
+
+
+def shard_batches(cat: CategoryBatch, bg: BackgroundBatch | None, mesh: Mesh):
+    cat_sh, bg_sh = batch_shardings(mesh)
+    cat = jax.device_put(cat, cat_sh)
+    if bg is not None:
+        bg = jax.device_put(bg, bg_sh)
+    return cat, bg
+
+
+def init_sharded_session(key, cfg: Config, n_objs_per_cls, mesh: Mesh,
+                         with_background: bool = True):
+    """Init state directly with the target sharding (params materialise
+    sharded; no host round-trip)."""
+    state = init_train_state(key, cfg, n_objs_per_cls,
+                             with_background=with_background)
+    return shard_state(state, mesh, len(n_objs_per_cls))

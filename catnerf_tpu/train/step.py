@@ -116,7 +116,7 @@ def background_forward(params: dict, batch: BackgroundBatch, key: jax.Array,
 
 def make_train_step(cfg: Config, obj_mask: jnp.ndarray,
                     reg_scaling: float = 5e-4, with_background: bool = True,
-                    donate: bool = True):
+                    donate: bool = True, jit: bool = True):
     """Build the jitted train step.
 
     obj_mask: (n_cls, max_n_obj) validity mask for code regularisation.
@@ -178,5 +178,7 @@ def make_train_step(cfg: Config, obj_mask: jnp.ndarray,
                                step=state.step + 1)
         return new_state, metrics
 
+    if not jit:
+        return train_step
     donate_argnums = (0,) if donate else ()
     return jax.jit(train_step, donate_argnums=donate_argnums)
