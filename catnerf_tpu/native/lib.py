@@ -1,0 +1,325 @@
+"""ctypes bindings for the first-party C++ geometry library.
+
+The library auto-builds on first import (g++ -O3 -shared); the .so is cached
+next to the sources. Python surface mirrors the third-party APIs the
+reference leaned on (SURVEY.md §2.3) so the rest of the codebase stays free
+of raw pointers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libgeom.so")
+_LOCK = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    srcs = [os.path.join(_DIR, "src", f)
+            for f in ("geomlib.cpp", "registration.cpp", "tsdf.cpp")]
+    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17", "-shared",
+           *srcs, "-o", _SO]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def _stale() -> bool:
+    if not os.path.exists(_SO):
+        return True
+    so_m = os.path.getmtime(_SO)
+    src_dir = os.path.join(_DIR, "src")
+    return any(
+        os.path.getmtime(os.path.join(src_dir, f)) > so_m
+        for f in os.listdir(src_dir)
+    )
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    with _LOCK:
+        if _lib is not None:
+            return _lib
+        if _stale():
+            _build()
+        lib = ctypes.CDLL(_SO)
+
+        c_fp = ctypes.POINTER(ctypes.c_float)
+        c_ip = ctypes.POINTER(ctypes.c_int)
+
+        lib.geom_free.argtypes = [ctypes.c_void_p]
+
+        lib.marching_tetrahedra.argtypes = [
+            c_fp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+            ctypes.POINTER(c_fp), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(c_ip), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.marching_tetrahedra.restype = ctypes.c_int
+
+        lib.kd_build.argtypes = [c_fp, ctypes.c_int]
+        lib.kd_build.restype = ctypes.c_void_p
+        lib.kd_destroy.argtypes = [ctypes.c_void_p]
+        lib.kd_query_nn.argtypes = [ctypes.c_void_p, c_fp, ctypes.c_int,
+                                    c_ip, c_fp]
+        lib.kd_query_radius_count.argtypes = [
+            ctypes.c_void_p, c_fp, ctypes.c_int, ctypes.c_float, c_ip]
+
+        lib.voxel_downsample.argtypes = [
+            c_fp, ctypes.c_int, ctypes.c_float, ctypes.POINTER(c_fp),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.voxel_downsample.restype = ctypes.c_int
+
+        lib.radius_outlier_mask.argtypes = [
+            c_fp, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
+
+        lib.estimate_normals.argtypes = [c_fp, ctypes.c_int, ctypes.c_float,
+                                         ctypes.c_int, c_fp]
+        lib.compute_fpfh.argtypes = [c_fp, c_fp, ctypes.c_int, ctypes.c_float,
+                                     ctypes.c_int, c_fp]
+
+        lib.icp_point_to_point.argtypes = [
+            c_fp, ctypes.c_int, c_fp, ctypes.c_int, ctypes.c_float,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
+        lib.icp_point_to_point.restype = ctypes.c_int
+
+        lib.max_clique_inliers.argtypes = [c_fp, c_fp, ctypes.c_int,
+                                           ctypes.c_float, c_ip]
+        lib.max_clique_inliers.restype = ctypes.c_int
+
+        lib.gnc_tls_solve.argtypes = [
+            c_fp, c_fp, ctypes.c_int, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8)]
+        lib.gnc_tls_solve.restype = ctypes.c_int
+
+        lib.tsdf_create.argtypes = [ctypes.c_float, ctypes.c_float]
+        lib.tsdf_create.restype = ctypes.c_void_p
+        lib.tsdf_destroy.argtypes = [ctypes.c_void_p]
+        lib.tsdf_integrate.argtypes = [
+            ctypes.c_void_p, c_fp, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.POINTER(ctypes.c_double),
+            ctypes.c_float]
+        lib.tsdf_extract_points.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(c_fp), ctypes.POINTER(c_fp)]
+        lib.tsdf_extract_points.restype = ctypes.c_int64
+
+        _lib = lib
+        return lib
+
+
+def _as_f32(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.float32)
+
+
+def _fp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+class geomlib:
+    """Static namespace over the C ABI."""
+
+    # -------------------------------------------------- marching cubes
+    @staticmethod
+    def marching_cubes(grid: np.ndarray, level: float = 0.5):
+        """(nx, ny, nz) scalar field -> (verts (n,3) float32 in grid-index
+        units, tris (m,3) int32), or None when no surface crosses `level`
+        (matching the reference's None-on-failure contract,
+        ref: src/vis.py:6-19)."""
+        lib = _load()
+        g = _as_f32(grid)
+        nx, ny, nz = g.shape
+        vp = ctypes.POINTER(ctypes.c_float)()
+        tp = ctypes.POINTER(ctypes.c_int)()
+        nv = ctypes.c_int64()
+        nt = ctypes.c_int64()
+        rc = lib.marching_tetrahedra(_fp(g), nx, ny, nz, level,
+                                     ctypes.byref(vp), ctypes.byref(nv),
+                                     ctypes.byref(tp), ctypes.byref(nt))
+        if rc != 0 or nv.value == 0 or nt.value == 0:
+            for p in (vp, tp):
+                if p:
+                    lib.geom_free(p)
+            return None
+        verts = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy()
+        tris = np.ctypeslib.as_array(tp, shape=(nt.value, 3)).copy()
+        lib.geom_free(vp)
+        lib.geom_free(tp)
+        return verts, tris
+
+    # -------------------------------------------------- KD-tree
+    class KDTree:
+        """Replaces scipy cKDTree for 3D NN queries
+        (ref: metric/metrics.py:10-28)."""
+
+        def __init__(self, points: np.ndarray):
+            self._lib = _load()
+            self._pts = _as_f32(points)
+            assert self._pts.ndim == 2 and self._pts.shape[1] == 3
+            self._h = self._lib.kd_build(_fp(self._pts), len(self._pts))
+
+        def query(self, queries: np.ndarray):
+            q = _as_f32(queries)
+            n = len(q)
+            idx = np.empty(n, np.int32)
+            dist = np.empty(n, np.float32)
+            self._lib.kd_query_nn(
+                self._h, _fp(q), n,
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), _fp(dist))
+            return dist, idx
+
+        def radius_counts(self, queries: np.ndarray, radius: float):
+            q = _as_f32(queries)
+            n = len(q)
+            counts = np.empty(n, np.int32)
+            self._lib.kd_query_radius_count(
+                self._h, _fp(q), n, radius,
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+            return counts
+
+        def __del__(self):
+            if getattr(self, "_h", None):
+                self._lib.kd_destroy(self._h)
+                self._h = None
+
+    # -------------------------------------------------- point cloud ops
+    @staticmethod
+    def voxel_downsample(points: np.ndarray, voxel: float) -> np.ndarray:
+        """Centroid-per-voxel downsample (Open3D semantics,
+        ref: src/utils.py:209)."""
+        lib = _load()
+        p = _as_f32(points)
+        out = ctypes.POINTER(ctypes.c_float)()
+        n_out = ctypes.c_int64()
+        rc = lib.voxel_downsample(_fp(p), len(p), voxel, ctypes.byref(out),
+                                  ctypes.byref(n_out))
+        assert rc == 0
+        pts = np.ctypeslib.as_array(out, shape=(n_out.value, 3)).copy()
+        lib.geom_free(out)
+        return pts
+
+    @staticmethod
+    def remove_radius_outliers(points: np.ndarray, nb_points: int,
+                               radius: float):
+        """(kept_points, keep_mask) (ref: src/utils.py:241)."""
+        lib = _load()
+        p = _as_f32(points)
+        keep = np.empty(len(p), np.uint8)
+        lib.radius_outlier_mask(
+            _fp(p), len(p), radius, nb_points,
+            keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        mask = keep.astype(bool)
+        return p[mask], mask
+
+    @staticmethod
+    def estimate_normals(points: np.ndarray, radius: float = 0.1,
+                         max_nn: int = 100) -> np.ndarray:
+        lib = _load()
+        p = _as_f32(points)
+        normals = np.empty_like(p)
+        lib.estimate_normals(_fp(p), len(p), radius, max_nn, _fp(normals))
+        return normals
+
+    @staticmethod
+    def compute_fpfh(points: np.ndarray, normals: np.ndarray, radius: float,
+                     max_nn: int = 100) -> np.ndarray:
+        lib = _load()
+        p = _as_f32(points)
+        nrm = _as_f32(normals)
+        out = np.empty((len(p), 33), np.float32)
+        lib.compute_fpfh(_fp(p), _fp(nrm), len(p), radius, max_nn, _fp(out))
+        return out
+
+    # -------------------------------------------------- registration
+    @staticmethod
+    def icp(src: np.ndarray, dst: np.ndarray, max_corr_dist: float,
+            init: np.ndarray | None = None, max_iter: int = 100):
+        """Point-to-point ICP. Returns (T 4x4, fitness, rmse)."""
+        lib = _load()
+        s = _as_f32(src)
+        d = _as_f32(dst)
+        T = np.ascontiguousarray(
+            init if init is not None else np.eye(4), dtype=np.float64)
+        fitness = ctypes.c_double(0)
+        rmse = ctypes.c_double(0)
+        lib.icp_point_to_point(
+            _fp(s), len(s), _fp(d), len(d), max_corr_dist, max_iter,
+            T.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.byref(fitness), ctypes.byref(rmse))
+        return T, fitness.value, rmse.value
+
+    @staticmethod
+    def max_clique(src_corr: np.ndarray, dst_corr: np.ndarray,
+                   noise_bound: float) -> np.ndarray:
+        """Indices of the consistency-graph max clique (TEASER inlier
+        selection, ref: helpers.py:62-64)."""
+        lib = _load()
+        a = _as_f32(src_corr)
+        b = _as_f32(dst_corr)
+        out = np.empty(len(a), np.int32)
+        n = lib.max_clique_inliers(
+            _fp(a), _fp(b), len(a), noise_bound,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        return out[:n].copy()
+
+    @staticmethod
+    def gnc_tls(src_corr: np.ndarray, dst_corr: np.ndarray,
+                noise_bound: float):
+        """GNC-TLS rigid solve dst ~ R src + t. Returns (T 4x4, inlier_mask)
+        or (None, None) on degenerate input."""
+        lib = _load()
+        a = _as_f32(src_corr)
+        b = _as_f32(dst_corr)
+        T = np.zeros((4, 4), np.float64)
+        mask = np.zeros(len(a), np.uint8)
+        rc = lib.gnc_tls_solve(
+            _fp(a), _fp(b), len(a), noise_bound,
+            T.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc != 0:
+            return None, None
+        return T, mask.astype(bool)
+
+    # -------------------------------------------------- TSDF
+    class TSDFVolume:
+        """Replaces Open3D ScalableTSDFVolume (ref: src/utils.py:212-247)."""
+
+        def __init__(self, voxel_length: float, sdf_trunc: float):
+            self._lib = _load()
+            self._h = self._lib.tsdf_create(voxel_length, sdf_trunc)
+
+        def integrate(self, depth_wh: np.ndarray, color_wh3: np.ndarray | None,
+                      fx: float, fy: float, cx: float, cy: float,
+                      T_CW: np.ndarray, max_depth: float = 6.0):
+            d = _as_f32(depth_wh)
+            w, h = d.shape
+            cptr = None
+            if color_wh3 is not None:
+                c = np.ascontiguousarray(color_wh3, dtype=np.uint8)
+                cptr = c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            T = np.ascontiguousarray(T_CW, dtype=np.float64)
+            self._lib.tsdf_integrate(
+                self._h, _fp(d), cptr, w, h, fx, fy, cx, cy,
+                T.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), max_depth)
+
+        def extract_point_cloud(self):
+            pp = ctypes.POINTER(ctypes.c_float)()
+            cp = ctypes.POINTER(ctypes.c_float)()
+            n = self._lib.tsdf_extract_points(self._h, ctypes.byref(pp),
+                                              ctypes.byref(cp))
+            pts = np.ctypeslib.as_array(pp, shape=(n, 3)).copy() if n else np.zeros((0, 3), np.float32)
+            cols = np.ctypeslib.as_array(cp, shape=(n, 3)).copy() if n else np.zeros((0, 3), np.float32)
+            self._lib.geom_free(pp)
+            self._lib.geom_free(cp)
+            return pts, cols
+
+        def __del__(self):
+            if getattr(self, "_h", None):
+                self._lib.tsdf_destroy(self._h)
+                self._h = None

@@ -127,7 +127,27 @@ int marching_tetrahedra(const float* grid, int nx, int ny, int nz, float level,
             else outs[no++] = vids[m];
           }
 
+          // centroid of the inside corners: triangles wind so normals point
+          // away from the occupied (> level) region
+          Vec3 ic{0, 0, 0};
+          for (int m = 0; m < ni; ++m) {
+            ic.x += cp[ins[m]].x; ic.y += cp[ins[m]].y; ic.z += cp[ins[m]].z;
+          }
+          ic.x /= ni; ic.y /= ni; ic.z /= ni;
+
           auto emit = [&](int v0, int v1, int v2) {
+            const float* p0 = &verts[size_t(v0) * 3];
+            const float* p1 = &verts[size_t(v1) * 3];
+            const float* p2 = &verts[size_t(v2) * 3];
+            double e1[3] = {p1[0] - p0[0], p1[1] - p0[1], p1[2] - p0[2]};
+            double e2[3] = {p2[0] - p0[0], p2[1] - p0[1], p2[2] - p0[2]};
+            double nx = e1[1] * e2[2] - e1[2] * e2[1];
+            double ny = e1[2] * e2[0] - e1[0] * e2[2];
+            double nz = e1[0] * e2[1] - e1[1] * e2[0];
+            double cx_ = (p0[0] + p1[0] + p2[0]) / 3.0 - ic.x;
+            double cy_ = (p0[1] + p1[1] + p2[1]) / 3.0 - ic.y;
+            double cz_ = (p0[2] + p1[2] + p2[2]) / 3.0 - ic.z;
+            if (nx * cx_ + ny * cy_ + nz * cz_ < 0) std::swap(v1, v2);
             tris.push_back(v0);
             tris.push_back(v1);
             tris.push_back(v2);
