@@ -1,0 +1,239 @@
+"""ScanNet dataset loader.
+
+Parity target: `ScanNet` (ref: src/dataset.py:188-439). Real-world RGB-D:
+jpg color resized to depth resolution, edge crop (mw), inf-pose frame
+skipping, instance ids shifted +1, background class filtering, optional
+geometric-segmentation mask refinement with on-disk caching, per-object
+point-cloud accumulation during load.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+import time
+
+import numpy as np
+
+from catnerf_tpu.config import Config
+from catnerf_tpu.data import transforms
+from catnerf_tpu.data.bbox import enlarge_bbox, mask_bbox
+from catnerf_tpu.data.camera import CameraInfo
+
+# (ref: src/dataset.py:242)
+BACKGROUND_CLS_LIST = [-1, 0, 1, 3, 16, 41, 232, 21, 161, 128, 21]
+BBOX_SCALE = 0.2
+
+
+def _sorted_paths(root: str, sub: str, ext: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(root, sub, f"*.{ext}")),
+                  key=lambda x: int(os.path.basename(x).split(".")[0]))
+
+
+class ScanNet:
+    def __init__(self, cfg: Config, run_registration: bool = True):
+        import cv2
+
+        self._cv2 = cv2
+        self.name = "scannet"
+        self.root_dir = cfg.dataset_dir
+        self.cfg = cfg
+        self.cam = CameraInfo.from_config(cfg)
+
+        self.color_paths = _sorted_paths(self.root_dir, "color", "jpg")
+        self.depth_paths = _sorted_paths(self.root_dir, "depth", "png")
+        self.raw_inst_paths = _sorted_paths(self.root_dir, "instance-filt", "png")
+        self.raw_sem_paths = _sorted_paths(self.root_dir, "label-filt", "png")
+        if cfg.use_refined_mask:
+            os.makedirs(os.path.join(self.root_dir, "instance-refined"), exist_ok=True)
+            os.makedirs(os.path.join(self.root_dir, "inst_to_cls"), exist_ok=True)
+        if cfg.load_refined_mask:
+            self.inst_paths = _sorted_paths(self.root_dir, "instance-refined", "npy")
+            self.sem_paths = _sorted_paths(self.root_dir, "inst_to_cls", "pkl")
+        else:
+            self.inst_paths = self.raw_inst_paths
+            self.sem_paths = self.raw_sem_paths
+
+        self.poses = self._load_poses(os.path.join(self.root_dir, "pose"))
+        self.n_img = len(self.color_paths)
+        self.edge = cfg.mw
+
+        self.inst_dict: dict = {}
+        self.sample_dict: dict = {}
+        self.get_all_frames()
+
+        result_file = os.path.join(self.root_dir, "inst_dict.pkl")
+        if cfg.load_registration_result and os.path.exists(result_file):
+            with open(result_file, "rb") as f:
+                self.inst_dict = pickle.load(f)
+        elif run_registration:
+            from catnerf_tpu.geometry.registration import run_registration
+
+            run_registration(self.inst_dict, self.sample_dict, self.cam, cfg,
+                             name=self.name)
+            for cls_id in self.inst_dict:
+                if cls_id == 0:
+                    self.inst_dict[0].pop("pcs", None)
+                else:
+                    for inst in self.inst_dict[cls_id].values():
+                        inst.pop("pcs", None)
+            with open(result_file, "wb") as f:
+                pickle.dump(self.inst_dict, f)
+
+    def _load_poses(self, path: str) -> list[np.ndarray]:
+        """(ref: src/dataset.py:421-433)."""
+        poses = []
+        for p in sorted(glob.glob(os.path.join(path, "*.txt")),
+                        key=lambda x: int(os.path.basename(x)[:-4])):
+            poses.append(np.loadtxt(p).reshape(4, 4))
+        return poses
+
+    def get_all_frames(self) -> None:
+        cv2 = self._cv2
+        t1 = time.time()
+        reduce = 0
+        for index in range(self.n_img):
+            index_reduced = index - reduce
+            T = self.poses[index] if self.poses else None
+            if T is not None and np.any(np.isinf(T)):
+                # (ref: src/dataset.py:296-300)
+                reduce += 1
+                continue
+
+            color = cv2.imread(self.color_paths[index]).astype(np.uint8)
+            color = cv2.cvtColor(color, cv2.COLOR_BGR2RGB)
+            depth = cv2.imread(self.depth_paths[index],
+                               cv2.IMREAD_UNCHANGED).astype(np.float32)
+            depth = np.nan_to_num(depth, nan=0.0)
+            H, W = depth.shape
+            color = cv2.resize(color, (W, H), interpolation=cv2.INTER_LINEAR)
+
+            if self.edge:
+                e = self.edge
+                color = color[e:-e, e:-e]
+                depth = depth[e:-e, e:-e]
+            depth = transforms.depth_filter(
+                transforms.depth_scale(depth, self.cfg.depth_scale),
+                self.cfg.max_depth)
+
+            inst_path = (self.inst_paths[index]
+                         if len(self.inst_paths) > index else "")
+            sem_path = (self.sem_paths[index]
+                        if len(self.sem_paths) > index else "")
+
+            if (self.cfg.load_refined_mask and os.path.exists(inst_path)
+                    and os.path.exists(sem_path)):
+                inst_data = np.load(inst_path)
+                with open(sem_path, "rb") as f:
+                    inst_to_cls = pickle.load(f)
+            else:
+                inst_path = self.raw_inst_paths[index]
+                sem_path = self.raw_sem_paths[index]
+                inst_data = cv2.imread(inst_path, cv2.IMREAD_UNCHANGED)
+                inst_data = cv2.resize(inst_data, (W, H),
+                                       interpolation=cv2.INTER_NEAREST).astype(np.int32)
+                sem_data = cv2.imread(sem_path, cv2.IMREAD_UNCHANGED)
+                sem_data = cv2.resize(sem_data, (W, H),
+                                      interpolation=cv2.INTER_NEAREST)
+                if self.edge:
+                    e = self.edge
+                    inst_data = inst_data[e:-e, e:-e]
+                    sem_data = sem_data[e:-e, e:-e]
+                inst_data += 1  # 0 reserved for background
+
+                inst_to_cls = {0: 0}
+                for inst_id in np.unique(inst_data):
+                    inst_mask = inst_data == inst_id
+                    sem_cls = np.unique(sem_data[inst_mask])
+                    assert sem_cls.shape[0] == 1
+                    sem_cls = int(sem_cls[0])
+                    if sem_cls in BACKGROUND_CLS_LIST:
+                        inst_data[inst_mask] = 0
+                        continue
+                    inst_to_cls[int(inst_id)] = sem_cls
+
+                if self.cfg.use_refined_mask:
+                    from catnerf_tpu.geometry.segmentation import (
+                        geometry_segmentation, refine_inst_data)
+
+                    _, _, segment_masks = geometry_segmentation(
+                        color, depth, self.cam.fx, self.cam.fy,
+                        self.cam.cx, self.cam.cy)
+                    inst_data = refine_inst_data(inst_data, segment_masks)
+                    np.save(os.path.join(
+                        self.root_dir, "instance-refined",
+                        os.path.basename(inst_path)[:-4] + ".npy"), inst_data)
+                    with open(os.path.join(
+                            self.root_dir, "inst_to_cls",
+                            os.path.basename(sem_path)[:-4] + ".pkl"), "wb") as f:
+                        pickle.dump(inst_to_cls, f)
+
+            # bboxes over refined ids (ref: src/dataset.py:368-383)
+            for obj_id in np.unique(inst_data):
+                if obj_id == 0 or obj_id not in inst_to_cls:
+                    if obj_id != 0 and obj_id not in inst_to_cls:
+                        inst_data[inst_data == obj_id] = 0
+                    continue
+                mask = inst_data == obj_id
+                bb = mask_bbox(mask)
+                if bb is None:
+                    inst_data[mask] = 0
+                    continue
+                rmin, rmax, cmin, cmax = bb  # r: H axis, c: W axis (H,W layout)
+                enlarged = enlarge_bbox([cmin, rmin, cmax, rmax], BBOX_SCALE,
+                                        w=inst_data.shape[1],
+                                        h=inst_data.shape[0])
+                if enlarged is None:
+                    inst_data[mask] = 0
+                    continue
+                sem_cls = inst_to_cls[int(obj_id)]
+                # store [w0, w1, h0, h1] in transposed (W, H) convention:
+                # W axis = image x = columns here
+                bbox = np.array([enlarged[0], enlarged[2],
+                                 enlarged[1], enlarged[3]])
+                self.inst_dict.setdefault(sem_cls, {}).setdefault(
+                    int(obj_id), {"frame_info": []}
+                )["frame_info"].append({"frame": index_reduced, "bbox": bbox})
+
+            # accumulate per-object world point clouds
+            # (ref: src/dataset.py:385-400)
+            T_CW = np.linalg.inv(T)
+            depth_wh = depth.transpose(1, 0)
+            inst_wh = inst_data.transpose(1, 0)
+            for obj_id in np.unique(inst_data):
+                if obj_id == 0:
+                    continue
+                sem_cls = inst_to_cls.get(int(obj_id))
+                if sem_cls is None or int(obj_id) not in self.inst_dict.get(sem_cls, {}):
+                    continue
+                d = np.where(inst_wh == obj_id, depth_wh, 0.0)
+                pts = self.cam.unproject_depth(d, np.linalg.inv(T_CW))
+                info = self.inst_dict[sem_cls][int(obj_id)]
+                info["pcs"] = (pts if "pcs" not in info
+                               else np.concatenate([info["pcs"], pts]))
+
+            if index_reduced == 0:
+                self.inst_dict[0] = {"frame_info": []}
+            self.inst_dict[0]["frame_info"].append({
+                "frame": index_reduced,
+                "bbox": np.array([0, inst_wh.shape[0], 0, inst_wh.shape[1]]),
+            })
+
+            self.sample_dict[index_reduced] = {
+                "image": color.transpose(1, 0, 2),
+                "depth": depth_wh,
+                "obj_mask": inst_wh,
+                "T": T,
+                "frame_id": index_reduced,
+            }
+
+        self.n_img -= reduce
+        print(f"get_all_frames took {time.time() - t1:.1f}s "
+              f"({self.n_img} frames)")
+
+    def __len__(self) -> int:
+        return self.n_img
+
+    def __getitem__(self, idx: int):
+        return self.sample_dict[idx]

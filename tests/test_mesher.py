@@ -1,0 +1,123 @@
+"""Mesher + metrics tests, ending in the full L0-L6 slice: train on the
+synthetic scene, extract meshes, evaluate 3D metrics against the analytic
+ground truth."""
+
+import os
+
+import numpy as np
+import pytest
+
+from catnerf_tpu.config import Config
+from catnerf_tpu.data.synthetic import make_scene
+from catnerf_tpu.mesher.mesh import TriMesh, load_mesh
+from catnerf_tpu.mesher import meshing
+from catnerf_tpu.metrics import metrics3d
+from catnerf_tpu.native.lib import geomlib
+from catnerf_tpu.train.loop import TrainingSession
+
+
+def _unit_sphere_mesh(radius=1.0, center=(0, 0, 0), n=48):
+    t = np.linspace(-1.5 * radius, 1.5 * radius, n)
+    X, Y, Z = np.meshgrid(t, t, t, indexing="ij")
+    d = np.sqrt(X**2 + Y**2 + Z**2)
+    occ = 1.0 / (1.0 + np.exp((d - radius) * 30 / radius))
+    verts, tris = geomlib.marching_cubes(occ.astype(np.float32), 0.5)
+    verts = verts / (n - 1) * (3 * radius) - 1.5 * radius + np.asarray(center)
+    return TriMesh(verts, tris)
+
+
+def test_trimesh_sample_surface():
+    m = TriMesh(np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0.0]]),
+                np.array([[0, 1, 2]]))
+    pts = m.sample_surface(500)
+    assert pts.shape == (500, 3)
+    assert (pts[:, 2] == 0).all()
+    assert (pts[:, 0] >= 0).all() and (pts[:, 1] >= 0).all()
+    assert (pts[:, 0] + pts[:, 1] <= 1 + 1e-9).all()
+    np.testing.assert_allclose(m.area, 0.5)
+
+
+def test_trimesh_export_load_roundtrip(tmp_path):
+    m = _unit_sphere_mesh(0.5)
+    m.vertex_colors = np.full((len(m.vertices), 3), 128, np.uint8)
+    for ext in ("obj", "ply"):
+        path = os.path.join(tmp_path, f"m.{ext}")
+        m.export(path)
+        m2 = load_mesh(path)
+        np.testing.assert_allclose(m2.vertices, m.vertices, atol=1e-5)
+        np.testing.assert_array_equal(m2.faces, m.faces)
+        np.testing.assert_array_equal(m2.vertex_colors, m.vertex_colors)
+
+
+def test_trimesh_crop_to_obb():
+    m = _unit_sphere_mesh(1.0)
+    half = m.crop_to_obb(center=[0, 0, 0], R=np.eye(3), extent=[2, 2, 1])
+    # crop keeps faces with |z| <= 0.5
+    assert len(half.faces) < len(m.faces)
+    centroids = half.vertices[half.faces].mean(1)
+    assert (np.abs(centroids[:, 2]) <= 0.52).all()
+
+
+def test_metrics_identical_and_shifted():
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((2000, 3))
+    assert metrics3d.accuracy(pts, pts) == 0.0
+    assert metrics3d.completion(pts, pts) == 0.0
+    assert metrics3d.completion_ratio(pts, pts) == 1.0
+    shifted = pts + np.array([0.03, 0, 0])
+    acc = metrics3d.accuracy(pts, shifted)
+    assert 0.0 < acc <= 0.03 + 1e-6
+    assert metrics3d.completion_ratio(pts, shifted, 0.05) > 0.95
+    assert metrics3d.chamfer(pts, shifted) > 0
+
+
+def test_calc_3d_metric_sphere_vs_itself():
+    m = _unit_sphere_mesh(0.5)
+    res = metrics3d.calc_3d_metric(m, m, n_samples=5000)
+    # independent surface samples of the same mesh: mean NN distance ~ the
+    # sampling spacing (~1.3 cm at 5k samples on a 0.5 m sphere)
+    assert res["accuracy"] < 2.5  # cm
+    assert res["completion"] < 2.5
+    assert res["completion_ratio"] > 99.0
+
+
+@pytest.fixture(scope="module")
+def trained_session():
+    cfg = Config()
+    cfg.net_hyperparams.latent_dim = 16
+    cfg.hidden_feature_size_bg = 64
+    cfg.n_per_optim = 120
+    cfg.n_per_optim_bg = 600
+    scene = make_scene(n_frames=6, width=80, height=60, n_categories=1,
+                       insts_per_cat=2, seed=2)
+    sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
+                           cam=scene.cam)
+    sess.run(600, callback_every=200)
+    return sess, scene
+
+
+def test_mesh_field_and_eval(trained_session, tmp_path):
+    sess, scene = trained_session
+    written = meshing.mesh_scene(sess, str(tmp_path), iteration=600)
+    # background + both instances meshed
+    assert 0 in written
+    sphere_ids = [sp.inst_id for sp in scene.spheres]
+    meshed = [i for i in sphere_ids if i in written]
+    assert len(meshed) >= 1, f"no object meshes written: {written}"
+
+    for iid in meshed:
+        sp = next(s for s in scene.spheres if s.inst_id == iid)
+        rec = load_mesh(written[iid])
+        gt = _unit_sphere_mesh(sp.radius, sp.center)
+        res = metrics3d.calc_3d_metric(rec, gt, n_samples=3000)
+        # coarse CPU training: just require the mesh to be in the right
+        # place at roughly the right size (accuracy/completion < 15 cm)
+        assert res["accuracy"] < 15.0, res
+        assert res["completion"] < 15.0, res
+
+
+def test_adaptive_grid_dim():
+    # 1.0 // 0.005 = 199 in binary float (the reference's formula has the
+    # same behavior, train.py:220)
+    assert meshing.adaptive_grid_dim([1.0, 0.5, 0.2], 0.005, 256) == 200
+    assert meshing.adaptive_grid_dim([10, 10, 10], 0.005, 256) == 256
