@@ -1,1 +1,8 @@
-from catnerf_tpu.geometry import pointcloud, segmentation  # noqa: F401
+from catnerf_tpu.geometry import (  # noqa: F401
+    obb,
+    pointcloud,
+    registration,
+    segmentation,
+    teaser,
+    uncertainty,
+)

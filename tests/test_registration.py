@@ -1,0 +1,177 @@
+"""Registration pipeline tests on synthetic clouds with known transforms
+(SURVEY.md §4: 'registration tests on synthetic transformed point clouds')."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from catnerf_tpu.config import Config
+from catnerf_tpu.data.synthetic import make_scene
+from catnerf_tpu.geometry import obb as obb_mod
+from catnerf_tpu.geometry.pointcloud import (
+    accumulate_pointcloud,
+    chamfer_unidirectional,
+)
+from catnerf_tpu.geometry.registration import (
+    align_poses,
+    coverage_score,
+    get_all_poses,
+    run_registration,
+)
+from catnerf_tpu.geometry.teaser import teaser_fpfh_icp
+from catnerf_tpu.ops.sim3 import transform_pointcloud_np
+
+
+def _box_cloud(rng, n=2000, extents=(0.8, 0.5, 0.3)):
+    """Points on the surface of a box (distinct extents -> unique OBB)."""
+    ex = np.asarray(extents)
+    pts = []
+    for axis in range(3):
+        for sign in (-1, 1):
+            m = n // 6
+            p = (rng.random((m, 3)) - 0.5) * ex
+            p[:, axis] = sign * ex[axis] / 2
+            pts.append(p)
+    return np.concatenate(pts)
+
+
+def test_oriented_bounds_recovers_box():
+    rng = np.random.default_rng(0)
+    base = _box_cloud(rng)
+    R = Rotation.from_euler("xyz", [20, 40, -30], degrees=True).as_matrix()
+    t = np.array([1.0, -0.5, 2.0])
+    pts = base @ R.T + t
+    out = obb_mod.oriented_bounds(pts)
+    assert out is not None
+    T, extents = out
+    np.testing.assert_allclose(sorted(extents), [0.3, 0.5, 0.8], atol=0.02)
+    np.testing.assert_allclose(T[:3, 3], t, atol=0.03)
+    # rotation maps box axes onto +-R axes in some permutation
+    M = np.abs(R.T @ T[:3, :3])
+    perm_ok = np.allclose(np.sort(M.max(0)), [1, 1, 1], atol=0.02)
+    assert perm_ok
+
+
+def test_oriented_bounds_degenerate():
+    assert obb_mod.oriented_bounds(np.zeros((3, 3))) is None
+
+
+def test_get_pose_from_pointcloud_sim3():
+    rng = np.random.default_rng(1)
+    pts = _box_cloud(rng) + np.array([2.0, 0.0, 1.0])
+    T_obj, bbox3d = obb_mod.get_pose_from_pointcloud(pts)
+    s = np.linalg.det(T_obj[:3, :3]) ** (1 / 3)
+    np.testing.assert_allclose(s, np.max(bbox3d.extent) / 2, rtol=1e-5)
+    np.testing.assert_allclose(T_obj[:3, 3], bbox3d.center, atol=1e-8)
+
+
+def test_possible_transforms_are_24_rotations():
+    Ts = obb_mod.get_possible_transform_from_bbox()
+    assert len(Ts) == 24
+    mats = np.round(np.stack([T[:3, :3] for T in Ts]), 6)
+    # all proper rotations, all distinct
+    for R in mats:
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+        assert np.linalg.det(R) > 0.99
+    assert len(np.unique(mats.reshape(24, -1), axis=0)) == 24
+
+
+def test_teaser_pipeline_recovers_rigid_transform():
+    rng = np.random.default_rng(2)
+    src = _box_cloud(rng, n=3000)
+    R = Rotation.from_euler("xyz", [10, -15, 25], degrees=True).as_matrix()
+    t = np.array([0.3, 0.2, -0.4])
+    target = src @ R.T + t + rng.normal(0, 0.003, src.shape)
+    R_est, t_est = teaser_fpfh_icp(src, target, voxel_size=0.1, spc=True)
+    src_tf = src @ R_est.T + t_est[:, 0]
+    cd = chamfer_unidirectional(src_tf, target)
+    # spc protocol (0.1 m voxels, 0.01 ICP gate — the reference's own
+    # parameters, teaser_fpfh_icp.py:70,85) resolves to ~half a voxel
+    assert cd < 0.05, cd
+
+
+def test_teaser_fpfh_mode():
+    rng = np.random.default_rng(3)
+    src = _box_cloud(rng, n=3000)
+    R = Rotation.from_euler("xyz", [8, 12, -5], degrees=True).as_matrix()
+    t = np.array([0.1, -0.1, 0.2])
+    target = src @ R.T + t
+    R_est, t_est = teaser_fpfh_icp(src, target, voxel_size=0.05, spc=False)
+    src_tf = src @ R_est.T + t_est[:, 0]
+    assert chamfer_unidirectional(src_tf, target) < 0.03
+
+
+def test_coverage_score_full_vs_partial():
+    rng = np.random.default_rng(4)
+    full = rng.standard_normal((5000, 3))
+    full /= np.linalg.norm(full, axis=-1, keepdims=True)
+    partial = full[full[:, 2] > 0]  # half sphere
+    s_full = coverage_score(full)
+    s_partial = coverage_score(partial)
+    assert s_full > 1.6 * s_partial
+
+
+def _registration_inputs(seed=0):
+    scene = make_scene(n_frames=6, width=80, height=60, n_categories=2,
+                       insts_per_cat=2, seed=seed, unknown_band=False)
+    inst_dict = {}
+    for cls_id, d in scene.inst_dict.items():
+        if cls_id == 0:
+            inst_dict[0] = {"frame_info": d["frame_info"]}
+        else:
+            inst_dict[cls_id] = {
+                iid: {"frame_info": info["frame_info"]}
+                for iid, info in d.items()
+            }
+    return scene, inst_dict
+
+
+def test_full_registration_pipeline_synthetic():
+    """End-to-end run_registration on the synthetic scene with the
+    first-party coverage score (no pretrained fields)."""
+    scene, inst_dict = _registration_inputs()
+    cfg = Config()
+    cfg.load_pretrained = False
+    run_registration(inst_dict, scene.sample_dict, scene.cam, cfg,
+                     name="replica")
+
+    # background got an OBB covering the room
+    assert inst_dict[0]["bbox3D"] is not None
+    assert np.max(inst_dict[0]["bbox3D"].extent) > 4.0
+
+    # every surviving instance has pose + bbox
+    for cls_id, d in inst_dict.items():
+        if cls_id == 0:
+            continue
+        for iid, info in d.items():
+            assert "T_obj" in info, (cls_id, iid)
+            assert "bbox3D" in info, (cls_id, iid)
+            s = np.linalg.det(np.asarray(info["T_obj"])[:3, :3]) ** (1 / 3)
+            assert 0.05 < s < 2.0
+            # canonical cloud is normalized: points inside unit-ish ball
+            pts_o = transform_pointcloud_np(
+                np.asarray(info["pcs"]), np.linalg.inv(info["T_obj"]))
+            assert np.abs(pts_o).max() < 1.6
+
+    # spheres of the same category should NOT subcategorize (they align)
+    base_ids = [c for c in inst_dict if c not in (0,) and c < 100 + 80]
+    assert 80 in inst_dict and 81 in inst_dict
+
+
+def test_subcategorization_on_mismatched_shapes():
+    """Two incompatible shapes in one class split into a subcategory
+    (ref: src/category_registration.py:276-313)."""
+    rng = np.random.default_rng(5)
+    sphere = rng.standard_normal((3000, 3))
+    sphere = sphere / np.linalg.norm(sphere, axis=-1, keepdims=True) * 0.3
+    rod = _box_cloud(rng, n=3000, extents=(1.6, 0.08, 0.08)) + np.array([2, 0, 0])
+
+    inst_dict = {7: {1: {"frame_info": [], "pcs": sphere},
+                     2: {"frame_info": [], "pcs": rod}}}
+    count_dict = {7: {1: 100, 2: 50}}
+    bbox3d_dict = {7: {1: None, 2: None}}
+    align_poses(inst_dict, bbox3d_dict, count_dict, {}, name="replica")
+    # rod cannot align to the sphere -> moved to 7 + 100
+    assert 107 in inst_dict
+    assert 2 in inst_dict[107]
+    assert 2 not in inst_dict[7]
