@@ -1,9 +1,17 @@
-"""Throughput benchmark: ray-samples/sec through the full jitted training
-step (in-jit 3D sampling + vmapped PE/CodeNeRF fwd+bwd + background model +
-AdamW) on one chip.
+"""Throughput benchmark: ray-samples/sec through the full training step on
+one chip (in-jit 3D sampling + vmapped PE/CodeNeRF fwd+bwd + background
+model + AdamW).
 
-Baseline: the BASELINE.md north-star target of 10M ray-samples/sec/chip
-(the reference publishes no throughput numbers — SURVEY.md §6).
+Two modes are measured:
+  * parity   — per-dispatch single step with host-staged batches (the
+               reference's execution shape, ref: train.py:98-201)
+  * superstep — production fast path: device-resident ray buffers, on-device
+               batch sampling, lax.scan over inner steps (one dispatch per
+               N steps)
+
+Headline metric = superstep mode. Baseline: the BASELINE.md north-star of
+10M ray-samples/sec/chip (the reference publishes no throughput numbers —
+SURVEY.md §6).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -15,20 +23,20 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 BASELINE_RAY_SAMPLES_PER_SEC = 10e6
+N_INNER = 20
 
 
 def main():
     from catnerf_tpu.config import Config
+    from catnerf_tpu.data.device_buffer import build_device_store, make_superstep
     from catnerf_tpu.data.synthetic import make_scene
     from catnerf_tpu.train.loop import TrainingSession
-    from catnerf_tpu.train.step import BackgroundBatch, CategoryBatch
+    from catnerf_tpu.train.step import make_train_step
 
     # Replica-room_0-scale workload: 8 categories, 3 instances each,
-    # reference ray budget (n_per_optim=120 -> 360 rays/cat/step, 1200 bg).
+    # reference ray budget (n_per_optim=120, 1200 bg rays).
     cfg = Config()
     cfg.seed = 0
     scene = make_scene(n_frames=4, width=96, height=72, n_categories=8,
@@ -43,35 +51,51 @@ def main():
         n_cls * r * cfg.bins_per_ray_obj + r_bg * cfg.bins_per_ray_bg
     )
 
-    # Pre-stage a rotation of device batches so host gather isn't timed as
-    # part of steady-state device throughput (the buffers live on device in
-    # the production loop design).
+    # ---------------- superstep (device buffers, scan over inner steps)
+    store = build_device_store(sess.categories, sess.background)
+    inner = make_train_step(cfg, sess.obj_mask, jit=False)
+    superstep = make_superstep(inner, store, n_per_cls=r, n_bg=r_bg,
+                               n_inner=N_INNER)
+    state = sess.state
+    key = sess.base_key
+    for i in range(2):  # compile + warmup
+        key, k = jax.random.split(key)
+        state, metrics = superstep(state, k)
+    jax.block_until_ready(metrics.total)
+
+    n_dispatch = 30
+    t0 = time.perf_counter()
+    for _ in range(n_dispatch):
+        key, k = jax.random.split(key)
+        state, metrics = superstep(state, k)
+    jax.block_until_ready(metrics.total)
+    dt = time.perf_counter() - t0
+    steps_per_sec = n_dispatch * N_INNER / dt
+    ray_samples_per_sec = steps_per_sec * samples_per_step
+
+    # ---------------- parity mode (host-staged single-step dispatches)
+    from catnerf_tpu.train.step import BackgroundBatch, CategoryBatch
+    import jax.numpy as jnp
+
     batches = []
     for _ in range(8):
         cat_np, bg_np = sess.batcher.next_batch(r, r_bg)
         batches.append((
-            CategoryBatch(**{k: jnp.asarray(v) for k, v in cat_np.items()}),
-            BackgroundBatch(**{k: jnp.asarray(v) for k, v in bg_np.items()}),
+            CategoryBatch(**{k2: jnp.asarray(v) for k2, v in cat_np.items()}),
+            BackgroundBatch(**{k2: jnp.asarray(v) for k2, v in bg_np.items()}),
         ))
-
-    key = sess.base_key
-    state = sess.state
-    # warmup / compile
+    pstate = sess.state
     for i in range(3):
-        cat, bg = batches[i % len(batches)]
-        state, metrics = sess.step_fn(state, cat, bg, key)
-    jax.block_until_ready(metrics.total)
-
-    n_iters = 200
+        cat, bg = batches[i % 8]
+        pstate, pm = sess.step_fn(pstate, cat, bg, key)
+    jax.block_until_ready(pm.total)
+    n_iters = 100
     t0 = time.perf_counter()
     for i in range(n_iters):
-        cat, bg = batches[i % len(batches)]
-        state, metrics = sess.step_fn(state, cat, bg, key)
-    jax.block_until_ready(metrics.total)
-    dt = time.perf_counter() - t0
-
-    steps_per_sec = n_iters / dt
-    ray_samples_per_sec = steps_per_sec * samples_per_step
+        cat, bg = batches[i % 8]
+        pstate, pm = sess.step_fn(pstate, cat, bg, key)
+    jax.block_until_ready(pm.total)
+    parity_sps = n_iters / (time.perf_counter() - t0)
 
     print(json.dumps({
         "metric": "train_ray_samples_per_sec",
@@ -79,11 +103,13 @@ def main():
         "unit": "ray-samples/s/chip",
         "vs_baseline": round(ray_samples_per_sec / BASELINE_RAY_SAMPLES_PER_SEC, 3),
         "detail": {
-            "steps_per_sec": round(steps_per_sec, 2),
+            "steps_per_sec_superstep": round(steps_per_sec, 2),
+            "steps_per_sec_parity": round(parity_sps, 2),
             "samples_per_step": samples_per_step,
             "n_cls": n_cls,
             "rays_per_cat": r,
             "bg_rays": r_bg,
+            "n_inner": N_INNER,
             "device": str(jax.devices()[0]),
             "final_loss": float(metrics.total),
         },

@@ -1,0 +1,69 @@
+"""Small shared utilities.
+
+Covers the reference's misc utils that don't belong to a subsystem:
+performance timing (ref: src/scene_cateogries.py:10-22), to8b
+(ref: src/utils.py:493), CDF importance sampling
+(ref: src/utils.py:495-526 — imported but never called in the reference;
+provided here as a working jit-safe op), and matrix-from-txt loading
+(ref: src/utils.py:322-327).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@contextlib.contextmanager
+def performance_measure(name: str):
+    """Wall-clock timing context (ref: src/scene_cateogries.py:10-22). Use
+    `jax.profiler.trace` / `annotate_trace` for device-side profiles."""
+    t0 = time.perf_counter_ns()
+    try:
+        yield
+    finally:
+        dt_ms = (time.perf_counter_ns() - t0) / 1e6
+        print(f"{name} execution time: {dt_ms:.2f} ms")
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """jax.profiler trace capture (TPU-native replacement for the
+    reference's ad-hoc timers; view in TensorBoard/XProf)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def to8b(x: np.ndarray) -> np.ndarray:
+    """(ref: src/utils.py:493)."""
+    return (255 * np.clip(x, 0, 1)).astype(np.uint8)
+
+
+def load_matrix_from_txt(path: str, shape=(4, 4)) -> np.ndarray:
+    """(ref: src/utils.py:322-327)."""
+    return np.loadtxt(path).reshape(shape)
+
+
+def importance_sampling_coords(key: jax.Array, weights: jnp.ndarray,
+                               n_samples: int, det: bool = False):
+    """Inverse-CDF importance sampling over per-bin weights
+    (ref: src/utils.py:495-526). weights: [..., n_bins].
+    Returns (bin indices [..., n_samples], u, cdf)."""
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, -1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    if det:
+        u = jnp.linspace(0.0, 1.0, n_samples)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
+    inds = jnp.searchsorted(cdf, u, side="right")
+    inds = jnp.clip(inds, 0, cdf.shape[-1] - 1)
+    return inds, u, cdf

@@ -1,0 +1,128 @@
+"""CLI + checkpoint/resume tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from catnerf_tpu.config import Config
+from catnerf_tpu.data.synthetic import make_scene
+from catnerf_tpu.train import checkpoint as ckpt_mod
+from catnerf_tpu.train.loop import TrainingSession
+
+
+def _session():
+    cfg = Config()
+    cfg.net_hyperparams.latent_dim = 16
+    cfg.hidden_feature_size_bg = 32
+    cfg.n_per_optim = 24
+    cfg.n_per_optim_bg = 64
+    scene = make_scene(n_frames=3, width=48, height=36, n_categories=2,
+                       insts_per_cat=2, seed=3)
+    return TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
+                           cam=scene.cam)
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    sess = _session()
+    sess.run(5, callback_every=100)
+    path = ckpt_mod.save_checkpoint(str(tmp_path / "ckpt"), sess.state, 5)
+    assert os.path.exists(path)
+    assert ckpt_mod.latest_checkpoint(str(tmp_path / "ckpt")) == path
+
+    sess2 = _session()  # fresh init, different params
+    restored = ckpt_mod.load_checkpoint(path, sess2.state)
+    assert int(restored.step) == 5
+    # params identical to saved
+    for a, b in zip(jax.tree_util.tree_leaves(sess.state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer moments restored too (resume is real, unlike the reference)
+    for a, b in zip(jax.tree_util.tree_leaves(sess.state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # training continues from the restored state
+    sess2.state = restored
+    sess2.iteration = int(restored.step)
+    m = sess2.step_once()
+    assert np.isfinite(float(m.total))
+
+
+def test_train_cli_synthetic(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    logdir = str(tmp_path / "logs")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');\n"
+        "import sys; sys.argv = ['train.py', '--synthetic',\n"
+        f" '--logdir', {logdir!r}, '--max-iter', '13', '--log-iter', '4',\n"
+        " '--save-iter', '6', '--mesh-it', '12', '--grid-dim', '48'];\n"
+        "import train; train.main()\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=900,
+                          cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    # metrics logged
+    metrics_file = os.path.join(logdir, "metrics.jsonl")
+    assert os.path.exists(metrics_file)
+    lines = [json.loads(l) for l in open(metrics_file)]
+    assert len(lines) >= 2
+    # checkpoint written
+    assert ckpt_mod.latest_checkpoint(os.path.join(logdir, "ckpt")) is not None
+    # meshes exported at iter 12
+    mesh_dir = os.path.join(logdir, "scene_mesh")
+    assert os.path.isdir(mesh_dir) and len(os.listdir(mesh_dir)) >= 1
+
+
+def test_eval_cli_on_synthetic_fixture(tmp_path):
+    """Exercise the eval protocol end-to-end with generated GT + rec meshes
+    (Replica habitat layout, ref: metric/eval_3D_obj.py:130-160)."""
+    from catnerf_tpu.metrics.eval_obj import eval_scene
+    from catnerf_tpu.native.lib import geomlib
+    from catnerf_tpu.mesher.mesh import TriMesh
+
+    def sphere_mesh(radius, center, n=40):
+        t = np.linspace(-1.5 * radius, 1.5 * radius, n)
+        X, Y, Z = np.meshgrid(t, t, t, indexing="ij")
+        occ = 1 / (1 + np.exp((np.sqrt(X**2 + Y**2 + Z**2) - radius) * 30 / radius))
+        v, f = geomlib.marching_cubes(occ.astype(np.float32), 0.5)
+        v = v / (n - 1) * 3 * radius - 1.5 * radius + np.asarray(center)
+        return TriMesh(v, f)
+
+    data_dir = tmp_path / "Replica"
+    log_dir = tmp_path / "logs"
+    gt_dir = data_dir / "room_0" / "habitat"
+    mesh_dir = log_dir / "room_0" / "scene_mesh"
+    gt_dir.mkdir(parents=True)
+    mesh_dir.mkdir(parents=True)
+
+    # GT: objects 1, 2 + background walls (class 93)
+    sphere_mesh(0.3, [1, 0, 0]).export_ply(str(gt_dir / "mesh_semantic.ply_1.ply"))
+    sphere_mesh(0.4, [-1, 0, 0]).export_ply(str(gt_dir / "mesh_semantic.ply_2.ply"))
+    sphere_mesh(3.0, [0, 0, 0]).export_ply(str(gt_dir / "mesh_semantic.ply_9.ply"))
+    with open(gt_dir / "info_semantic.json", "w") as f:
+        json.dump({"objects": [
+            {"id": 1, "class_id": 20}, {"id": 2, "class_id": 20},
+            {"id": 9, "class_id": 93},
+        ]}, f)
+
+    # rec meshes: slightly perturbed copies
+    for oid, (r, c) in {1: (0.3, [1.01, 0, 0]), 2: (0.4, [-1, 0.01, 0]),
+                        0: (3.0, [0, 0, 0])}.items():
+        sphere_mesh(r, c).export(str(mesh_dir / f"iteration_100_obj{oid}.obj"))
+
+    arr = eval_scene(str(data_dir), str(log_dir), "room_0", "Replica",
+                     iteration=100)
+    assert arr is not None
+    assert arr.shape[0] == 3 and arr.shape[1] == 3  # 3 metrics x 3 objects
+    acc, comp, ratio = arr[0].mean(), arr[1].mean(), arr[2].mean()
+    assert acc < 5.0, acc         # cm
+    assert comp < 5.0, comp
+    assert ratio > 90.0, ratio    # %
+    assert os.path.exists(log_dir / "room_0" / "eval_mesh" / "metrics_3D_obj.npy")

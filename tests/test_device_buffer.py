@@ -1,0 +1,62 @@
+"""Device-resident buffer + superstep tests."""
+
+import jax
+import numpy as np
+
+from catnerf_tpu.config import Config
+from catnerf_tpu.data.device_buffer import (
+    build_device_store,
+    make_superstep,
+    sample_batch,
+)
+from catnerf_tpu.data.synthetic import make_scene
+from catnerf_tpu.train.loop import TrainingSession
+from catnerf_tpu.train.step import make_train_step
+
+
+def _session():
+    cfg = Config()
+    cfg.net_hyperparams.latent_dim = 16
+    cfg.hidden_feature_size_bg = 32
+    scene = make_scene(n_frames=3, width=48, height=36, n_categories=2,
+                       insts_per_cat=2, seed=5)
+    return TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
+                           cam=scene.cam)
+
+
+def test_device_store_shapes_and_sampling():
+    sess = _session()
+    store = build_device_store(sess.categories, sess.background)
+    n_cls = len(sess.categories)
+    assert store.origins.shape[0] == n_cls
+    assert store.origins.shape[1] == max(c.buffer.n for c in sess.categories)
+    np.testing.assert_array_equal(
+        np.asarray(store.lengths), [c.buffer.n for c in sess.categories])
+
+    cat, bg = sample_batch(store, jax.random.PRNGKey(0), 32, 64)
+    assert cat.rgbs.shape == (n_cls, 32, 3)
+    assert bg.depth.shape == (64,)
+    assert float(cat.rgbs.max()) <= 1.0
+    # sampled depths exist in source buffers
+    d0 = np.asarray(cat.depth[0])
+    src = np.asarray(store.depth[0][: int(store.lengths[0])])
+    assert np.isin(np.round(d0, 5), np.round(src, 5)).all()
+
+
+def test_superstep_trains():
+    sess = _session()
+    store = build_device_store(sess.categories, sess.background)
+    inner = make_train_step(sess.cfg, sess.obj_mask, jit=False)
+    superstep = make_superstep(inner, store, n_per_cls=32, n_bg=64,
+                               n_inner=4, donate=False)
+    state = sess.state
+    key = jax.random.PRNGKey(0)
+    state, m1 = superstep(state, key)
+    assert int(state.step) == 4
+    for _ in range(10):
+        key, k = jax.random.split(key)
+        state, m = superstep(state, k)
+    assert int(state.step) == 44
+    assert np.isfinite(float(m.total))
+    # training signal: opacity falls vs the first superstep
+    assert float(m.cat_opacity.mean()) < float(m1.cat_opacity.mean()) * 1.5

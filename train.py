@@ -1,0 +1,111 @@
+"""Training CLI.
+
+Parity target: the reference driver (`python train.py --config <json>
+--logdir <dir>`, ref: train.py:15-251), with working resume (--resume) and a
+--synthetic mode that runs the full pipeline on a generated scene (no
+dataset required).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", type=str,
+                        default="./configs/Replica/config_replica_room0.json")
+    parser.add_argument("--logdir", type=str, default="./logs/Replica/room_0")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on a generated synthetic scene")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint in logdir")
+    parser.add_argument("--max-iter", type=int, default=None,
+                        help="override cfg.max_iter")
+    parser.add_argument("--log-iter", type=int, default=None)
+    parser.add_argument("--save-iter", type=int, default=None)
+    parser.add_argument("--mesh-it", type=int, default=None)
+    parser.add_argument("--grid-dim", type=int, default=None,
+                        help="override cfg.grid_dim (max marching-cubes res)")
+    parser.add_argument("--no-background", action="store_true")
+    args = parser.parse_args()
+
+    from catnerf_tpu.config import Config
+    from catnerf_tpu.data.camera import CameraInfo
+    from catnerf_tpu.mesher.meshing import mesh_scene
+    from catnerf_tpu.train import checkpoint as ckpt_mod
+    from catnerf_tpu.train.logging import MetricsWriter
+    from catnerf_tpu.train.loop import TrainingSession
+
+    os.makedirs(args.logdir, exist_ok=True)
+
+    if args.synthetic:
+        from catnerf_tpu.data.synthetic import make_scene
+
+        cfg = Config()
+        cfg.net_hyperparams.latent_dim = 32
+        scene = make_scene(n_frames=8, width=160, height=120,
+                           n_categories=3, insts_per_cat=2)
+        inst_dict, sample_dict, cam = scene.inst_dict, scene.sample_dict, scene.cam
+    else:
+        cfg = Config.from_json(args.config)
+        shutil.copy(args.config, args.logdir)
+        from catnerf_tpu.data.replica import get_dataset
+
+        data = get_dataset(cfg)
+        inst_dict, sample_dict = data.inst_dict, data.sample_dict
+        cam = CameraInfo.from_config(cfg)
+
+    if args.max_iter is not None:
+        cfg.max_iter = args.max_iter
+    if args.log_iter is not None:
+        cfg.log_iter = args.log_iter
+    if args.save_iter is not None:
+        cfg.save_iter = args.save_iter
+    if args.mesh_it is not None:
+        cfg.mesh_it = args.mesh_it
+    if args.grid_dim is not None:
+        cfg.grid_dim = args.grid_dim
+        cfg.live_voxel_size = max(cfg.live_voxel_size, 8.0 / args.grid_dim)
+
+    session = TrainingSession(cfg, inst_dict, sample_dict, cam=cam,
+                              with_background=not args.no_background)
+    writer = MetricsWriter(args.logdir)
+    ckpt_dir = os.path.join(args.logdir, "ckpt")
+
+    start = 0
+    if args.resume:
+        latest = ckpt_mod.latest_checkpoint(ckpt_dir)
+        if latest is not None:
+            session.state = ckpt_mod.load_checkpoint(latest, session.state)
+            start = int(session.state.step)
+            session.iteration = start
+            print(f"resumed from {latest} at iteration {start}")
+
+    print(f"training {len(session.cls_ids)} categories "
+          f"({session.batcher.n_objs_per_cls} instances) "
+          f"+ background={session.background is not None}; "
+          f"{session.n_per_cls} rays/cat/step")
+
+    mesh_dir = os.path.join(args.logdir, "scene_mesh")
+    for it in range(start + 1, cfg.max_iter):
+        metrics = session.step_once()
+        if it % cfg.log_iter == 0:
+            writer.log_step(session, metrics, it)
+            psnr = float(metrics.cat_psnr.mean())
+            print(f"iter {it}: loss={float(metrics.total):.3f} "
+                  f"psnr={psnr:.2f} bg_psnr={float(metrics.bg_psnr):.2f}")
+        if it % cfg.save_iter == 0:
+            path = ckpt_mod.save_checkpoint(ckpt_dir, session.state, it)
+            print(f"saved checkpoint {path}")
+        if it % cfg.mesh_it == 0:
+            written = mesh_scene(session, mesh_dir, it)
+            print(f"exported {len(written)} meshes to {mesh_dir}")
+
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()
