@@ -52,11 +52,17 @@ def main():
     )
 
     # ---------------- superstep (device buffers, scan over inner steps)
+    # Each mode gets its own copy of the initial state: the jitted steps
+    # donate their state argument, which would delete sess.state's buffers
+    # out from under the other mode.
+    import jax.numpy as jnp
+
+    state0 = jax.tree.map(jnp.copy, sess.state)
     store = build_device_store(sess.categories, sess.background)
     inner = make_train_step(cfg, sess.obj_mask, jit=False)
     superstep = make_superstep(inner, store, n_per_cls=r, n_bg=r_bg,
                                n_inner=N_INNER)
-    state = sess.state
+    state = jax.tree.map(jnp.copy, state0)
     key = sess.base_key
     for i in range(2):  # compile + warmup
         key, k = jax.random.split(key)
@@ -75,7 +81,6 @@ def main():
 
     # ---------------- parity mode (host-staged single-step dispatches)
     from catnerf_tpu.train.step import BackgroundBatch, CategoryBatch
-    import jax.numpy as jnp
 
     batches = []
     for _ in range(8):
@@ -84,7 +89,7 @@ def main():
             CategoryBatch(**{k2: jnp.asarray(v) for k2, v in cat_np.items()}),
             BackgroundBatch(**{k2: jnp.asarray(v) for k2, v in bg_np.items()}),
         ))
-    pstate = sess.state
+    pstate = jax.tree.map(jnp.copy, state0)
     for i in range(3):
         cat, bg = batches[i % 8]
         pstate, pm = sess.step_fn(pstate, cat, bg, key)
