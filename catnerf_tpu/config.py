@@ -96,6 +96,13 @@ class Config:
     # --- TPU-native extras (no reference equivalent) ---
     seed: int = 0
     dtype: str = "float32"
+    # Pallas fused PE+MLP kernels for the training hot path (the pure-XLA
+    # modules remain the reference path; fused kernels fall back to them
+    # automatically when the architecture diverges from the shipped
+    # hyperparams). Auto-interprets on non-TPU backends. Off by default
+    # pending the packed-ensemble kernel (v1 grid-per-category layout is
+    # slower than XLA's batched matmuls at these shapes).
+    use_fused_kernels: bool = False
 
     @property
     def W_frame(self) -> int:

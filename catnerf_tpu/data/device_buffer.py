@@ -87,15 +87,19 @@ def sample_batch(store: DeviceRayStore, key: jax.Array, n_per_cls: int,
     """Draw (CategoryBatch, BackgroundBatch|None) fully on device."""
     n_cls = store.lengths.shape[0]
     k_cat, k_bg = jax.random.split(key)
-    cat_keys = jax.random.split(k_cat, n_cls)
 
-    def draw_cat(k, length, *arrays):
-        idx = jax.random.randint(k, (n_per_cls,), 0, length)
-        return tuple(jnp.take(a, idx, axis=0) for a in arrays)
+    # One fused randint for every category (maxval broadcasts per row) — far
+    # fewer RNG/gather ops than a vmap of per-category draws.
+    idx = jax.random.randint(k_cat, (n_cls, n_per_cls), 0,
+                             store.lengths[:, None])
 
-    origins, dirs, rgbs, states, depth, obj_idx = jax.vmap(draw_cat)(
-        cat_keys, store.lengths, store.origins, store.dirs, store.rgbs,
-        store.states, store.depth, store.obj_idx)
+    def gather(a):
+        ix = idx[..., None] if a.ndim == 3 else idx
+        return jnp.take_along_axis(a, ix, axis=1)
+
+    origins, dirs, rgbs, states, depth, obj_idx = (
+        gather(store.origins), gather(store.dirs), gather(store.rgbs),
+        gather(store.states), gather(store.depth), gather(store.obj_idx))
     cat = CategoryBatch(rgbs=rgbs, states=states, depth=depth,
                         origins=origins, dirs=dirs, obj_indices=obj_idx)
 

@@ -18,7 +18,7 @@ import optax
 
 from catnerf_tpu.config import Config
 from catnerf_tpu.models import codenerf, embedding, occupancy
-from catnerf_tpu.ops import losses, sampling
+from catnerf_tpu.ops import fused_field, losses, sampling
 from catnerf_tpu.train.state import TrainState, make_optimizer
 
 
@@ -65,6 +65,21 @@ class StepMetrics(NamedTuple):
     bg_psnr: jnp.ndarray
 
 
+def _fused_eligible(cfg: Config) -> bool:
+    """The Pallas kernels are specialised for the reference's shipped
+    architecture (every config in configs/ — SURVEY.md §6)."""
+    nh = cfg.net_hyperparams
+    return (cfg.use_fused_kernels and nh.shape_blocks == 2
+            and nh.texture_blocks == 1 and nh.W == 32
+            and cfg.n_unidir_funcs == 5)
+
+
+def _batched_linear_relu(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """linear+relu with stacked [C, in, out] params over [C, R, in] input."""
+    y = jnp.einsum("cri,cio->cro", x, p["w"]) + p["b"][:, None, :]
+    return jax.nn.relu(y)
+
+
 def category_forward(params: dict, batch: CategoryBatch, key: jax.Array,
                      cfg: Config):
     """Sample 3D points and run the vmapped category ensemble.
@@ -83,19 +98,44 @@ def category_forward(params: dict, batch: CategoryBatch, key: jax.Array,
         keys, batch.rgbs, batch.states, batch.depth, batch.origins, batch.dirs
     )
 
-    pe_fn = partial(embedding.apply, scale=cfg.obj_scale,
-                    max_deg=cfg.n_unidir_funcs)
-    emb = jax.vmap(pe_fn)(params["cat_pe"], rays.input_pcs)
-
     # Per-ray code lookup inside each category (ref: train.py:136-137).
     sc = jax.vmap(lambda c, i: jnp.take(c, i, axis=0))(
         params["codes"]["shape"], batch.obj_indices
-    )[:, :, None, :]
+    )
     tc = jax.vmap(lambda c, i: jnp.take(c, i, axis=0))(
         params["codes"]["texture"], batch.obj_indices
-    )[:, :, None, :]
+    )
 
-    alpha, color = jax.vmap(codenerf.apply)(params["cat_fc"], emb, sc, tc)
+    if _fused_eligible(cfg):
+        fc = params["cat_fc"]
+        C, R, Bt, _ = rays.input_pcs.shape
+        N = R * Bt
+        # Per-ray latent injections (latent_dim-wide, per ray not per point)
+        # stay in XLA; broadcast to per-point for the kernel.
+        zs0 = _batched_linear_relu(fc["shape_latent_layers"][0], sc)
+        zc = _batched_linear_relu(fc["cat_latent_layer"], sc)
+        zs1 = _batched_linear_relu(fc["shape_latent_layers"][1], sc)
+        zt0 = _batched_linear_relu(fc["texture_latent_layers"][0], tc)
+
+        def per_point(z):
+            return jnp.broadcast_to(
+                z[:, :, None, :], (C, R, Bt, z.shape[-1])
+            ).reshape(C, N, z.shape[-1])
+
+        pts = rays.input_pcs.reshape(C, N, 3)
+        sigma, rgb = fused_field.codenerf_fused_apply(
+            fc, params["cat_pe"], pts,
+            per_point(zs0), per_point(zc), per_point(zs1), per_point(zt0),
+            scale=cfg.obj_scale,
+        )
+        return sigma.reshape(C, R, Bt), rgb.reshape(C, R, Bt, 3), rays
+
+    pe_fn = partial(embedding.apply, scale=cfg.obj_scale,
+                    max_deg=cfg.n_unidir_funcs)
+    emb = jax.vmap(pe_fn)(params["cat_pe"], rays.input_pcs)
+    alpha, color = jax.vmap(codenerf.apply)(
+        params["cat_fc"], emb, sc[:, :, None, :], tc[:, :, None, :]
+    )
     return alpha[..., 0], color, rays
 
 
@@ -108,6 +148,14 @@ def background_forward(params: dict, batch: BackgroundBatch, key: jax.Array,
         min_depth=cfg.min_depth, surface_eps=cfg.surface_eps,
         stop_eps=cfg.stop_eps,
     )
+    fc = params["bg_fc"]
+    if _fused_eligible(cfg) and len(fc["mid1"]) == 1 and len(fc["mid2"]) == 1:
+        R, Bt, _ = rays.input_pcs.shape
+        alpha, color = fused_field.occupancy_fused_apply(
+            fc, params["bg_pe"], rays.input_pcs.reshape(R * Bt, 3),
+            scale=cfg.bg_scale,
+        )
+        return alpha.reshape(R, Bt), color.reshape(R, Bt, 3), rays
     emb = embedding.apply(params["bg_pe"], rays.input_pcs, scale=cfg.bg_scale,
                           max_deg=cfg.n_unidir_funcs)
     alpha, color = occupancy.apply(params["bg_fc"], emb)
