@@ -27,92 +27,90 @@ from catnerf_tpu.data.scene import CategoryScene
 from catnerf_tpu.train.step import BackgroundBatch, CategoryBatch
 
 
-class DeviceRayStore(NamedTuple):
-    """Stacked per-category buffers, padded to the max category length.
+_CAT_COLS = 12  # origins 0:3 | dirs 3:6 | rgb 6:9 | depth 9 | state 10 | obj 11
+_BG_COLS = 11   # same minus obj_idx
 
-    Arrays: [n_cls, max_len, ...]; `lengths`: [n_cls] valid ray counts.
-    Background (optional): flat [n_bg, ...] arrays + scalar length.
+
+class DeviceRayStore(NamedTuple):
+    """Row-packed ray buffers: every per-ray field lives in one float32 row
+    so a training batch is ONE gather op (column layout above; state/obj_idx
+    are small ints, exact in f32).
+
+    packed: [n_cls, max_len, 12]; lengths: [n_cls] valid ray counts.
+    bg_packed: [n_bg, 11] (optional) + scalar length.
     """
 
-    origins: jnp.ndarray
-    dirs: jnp.ndarray
-    rgbs: jnp.ndarray       # float32 in [0, 1]
-    states: jnp.ndarray     # int32
-    depth: jnp.ndarray
-    obj_idx: jnp.ndarray
+    packed: jnp.ndarray
     lengths: jnp.ndarray
-
-    bg_origins: jnp.ndarray | None = None
-    bg_dirs: jnp.ndarray | None = None
-    bg_rgbs: jnp.ndarray | None = None
-    bg_states: jnp.ndarray | None = None
-    bg_depth: jnp.ndarray | None = None
+    bg_packed: jnp.ndarray | None = None
     bg_length: jnp.ndarray | None = None
+
+
+def _pack_rows(arrays: dict, n: int, with_obj: bool) -> np.ndarray:
+    cols = _CAT_COLS if with_obj else _BG_COLS
+    out = np.zeros((n, cols), np.float32)
+    out[:, 0:3] = arrays["origins"]
+    out[:, 3:6] = arrays["dirs"]
+    out[:, 6:9] = np.asarray(arrays["rgb"], np.float32) / 255.0
+    out[:, 9] = arrays["depth"]
+    out[:, 10] = arrays["state"]
+    if with_obj:
+        out[:, 11] = arrays["obj_idx"]
+    return out
+
+
+def _unpack_cat(rows: jnp.ndarray) -> CategoryBatch:
+    return CategoryBatch(
+        rgbs=rows[..., 6:9], states=rows[..., 10].astype(jnp.int32),
+        depth=rows[..., 9], origins=rows[..., 0:3], dirs=rows[..., 3:6],
+        obj_indices=rows[..., 11].astype(jnp.int32))
+
+
+def _unpack_bg(rows: jnp.ndarray) -> BackgroundBatch:
+    return BackgroundBatch(
+        rgbs=rows[..., 6:9], states=rows[..., 10].astype(jnp.int32),
+        depth=rows[..., 9], origins=rows[..., 0:3], dirs=rows[..., 3:6])
 
 
 def build_device_store(categories: list[CategoryScene],
                        background: CategoryScene | None) -> DeviceRayStore:
-    def stack(key, dtype, extra=()):
-        max_len = max(c.buffer.n for c in categories)
-        out = np.zeros((len(categories), max_len) + extra, dtype)
-        for i, c in enumerate(categories):
-            a = c.buffer.arrays[key]
-            out[i, : len(a)] = a
-        return jnp.asarray(out)
-
+    max_len = max(c.buffer.n for c in categories)
+    packed = np.zeros((len(categories), max_len, _CAT_COLS), np.float32)
+    for i, c in enumerate(categories):
+        packed[i, : c.buffer.n] = _pack_rows(c.buffer.arrays, c.buffer.n, True)
     kwargs = dict(
-        origins=stack("origins", np.float32, (3,)),
-        dirs=stack("dirs", np.float32, (3,)),
-        rgbs=stack("rgb", np.float32, (3,)) / 255.0,
-        states=stack("state", np.int32),
-        depth=stack("depth", np.float32),
-        obj_idx=stack("obj_idx", np.int32),
+        packed=jnp.asarray(packed),
         lengths=jnp.asarray([c.buffer.n for c in categories], jnp.int32),
     )
     if background is not None:
         b = background.buffer.arrays
+        n = b["depth"].shape[0]
         kwargs.update(
-            bg_origins=jnp.asarray(b["origins"]),
-            bg_dirs=jnp.asarray(b["dirs"]),
-            bg_rgbs=jnp.asarray(b["rgb"], jnp.float32) / 255.0,
-            bg_states=jnp.asarray(b["state"], jnp.int32),
-            bg_depth=jnp.asarray(b["depth"]),
-            bg_length=jnp.asarray(b["depth"].shape[0], jnp.int32),
+            bg_packed=jnp.asarray(_pack_rows(b, n, False)),
+            bg_length=jnp.asarray(n, jnp.int32),
         )
     return DeviceRayStore(**kwargs)
 
 
 def sample_batch(store: DeviceRayStore, key: jax.Array, n_per_cls: int,
                  n_bg: int):
-    """Draw (CategoryBatch, BackgroundBatch|None) fully on device."""
-    n_cls = store.lengths.shape[0]
+    """Draw (CategoryBatch, BackgroundBatch|None) fully on device: one fused
+    randint + ONE flat row-gather for all categories (plus one for the
+    background)."""
+    n_cls, max_len, _ = store.packed.shape
     k_cat, k_bg = jax.random.split(key)
 
-    # One fused randint for every category (maxval broadcasts per row) — far
-    # fewer RNG/gather ops than a vmap of per-category draws.
     idx = jax.random.randint(k_cat, (n_cls, n_per_cls), 0,
                              store.lengths[:, None])
-
-    def gather(a):
-        ix = idx[..., None] if a.ndim == 3 else idx
-        return jnp.take_along_axis(a, ix, axis=1)
-
-    origins, dirs, rgbs, states, depth, obj_idx = (
-        gather(store.origins), gather(store.dirs), gather(store.rgbs),
-        gather(store.states), gather(store.depth), gather(store.obj_idx))
-    cat = CategoryBatch(rgbs=rgbs, states=states, depth=depth,
-                        origins=origins, dirs=dirs, obj_indices=obj_idx)
+    flat_idx = (idx + (jnp.arange(n_cls) * max_len)[:, None]).reshape(-1)
+    rows = jnp.take(store.packed.reshape(n_cls * max_len, _CAT_COLS),
+                    flat_idx, axis=0).reshape(n_cls, n_per_cls, _CAT_COLS)
+    cat = _unpack_cat(rows)
 
     bg = None
-    if store.bg_origins is not None:
-        idx = jax.random.randint(k_bg, (n_bg,), 0, store.bg_length)
-        bg = BackgroundBatch(
-            rgbs=jnp.take(store.bg_rgbs, idx, axis=0),
-            states=jnp.take(store.bg_states, idx, axis=0),
-            depth=jnp.take(store.bg_depth, idx, axis=0),
-            origins=jnp.take(store.bg_origins, idx, axis=0),
-            dirs=jnp.take(store.bg_dirs, idx, axis=0),
-        )
+    if store.bg_packed is not None:
+        bidx = jax.random.randint(k_bg, (n_bg,), 0, store.bg_length)
+        bg = _unpack_bg(jnp.take(store.bg_packed, bidx, axis=0))
     return cat, bg
 
 

@@ -637,3 +637,342 @@ def occupancy_fused_apply(fc: dict, pe: dict, pts: jnp.ndarray, *,
     hidden = fc["in_layer"]["w"].shape[1]
     return _make_occ_fused(float(scale), int(hidden), bool(interpret))(
         fc, pe["B"], pts)
+
+
+# ---------------------------------------------------------------------------
+# v2: packed-ensemble CodeNeRF kernel ("category-in-lanes")
+#
+# v1 above grids over (category, row-tile) and pays ~480 serialized tiny MXU
+# ops per forward plus lane-relayout costs for the in-kernel PE concats. v2
+# eliminates the category grid axis entirely: rows are point indices and all
+# C categories live side by side in lanes ([N, C*32] activations), so every
+# layer is ONE block-diagonal matmul for the whole ensemble. The PE is
+# reformulated as a single matmul against a precomputed frequency-scaled
+# basis (B2), so no in-kernel concatenation or unaligned lane slicing exists
+# anywhere: per-category slots are 128-lane aligned for S and 32-lane slots
+# for activations are only ever touched by whole-array ops.
+#
+# Block-diagonal packing happens in XLA on param-sized arrays each step
+# (einsum with an identity; autodiff extracts the diagonal blocks from the
+# dense packed cotangents automatically).
+# ---------------------------------------------------------------------------
+
+_SLOT = 128          # per-category S-slot width: 84 low + 42 high + 2 pad
+_LOW, _HIGH = 84, 42
+
+
+def _pack_bd(W: jnp.ndarray) -> jnp.ndarray:
+    """[C, i, o] -> block-diagonal [C*i, C*o]."""
+    C = W.shape[0]
+    eye = jnp.eye(C, dtype=W.dtype)
+    return jnp.einsum("cio,cd->cido", W, eye).reshape(
+        C * W.shape[1], C * W.shape[2])
+
+
+def _pack_bias(b: jnp.ndarray) -> jnp.ndarray:
+    """[C, o] -> [1, C*o] (slot-ordered)."""
+    return b.reshape(1, -1)
+
+
+def _pack_b2(B: jnp.ndarray) -> jnp.ndarray:
+    """PE basis [C, 21, 3] -> frequency-scaled [C, 3, _SLOT] (then block-diag
+    [C*3, C*_SLOT] by the caller). Slot layout: [f0..f3 | f4..f5 | 0pad]."""
+    C = B.shape[0]
+    Bt = jnp.swapaxes(B, 1, 2)  # [C, 3, 21]
+    scaled = jnp.stack(
+        [Bt * (_PI * (2.0 ** f)) for f in range(_N_FREQS)], axis=2
+    )  # [C, 3, 6, 21]
+    low = scaled[:, :, :4].reshape(C, 3, _LOW)
+    high = scaled[:, :, 4:].reshape(C, 3, _HIGH)
+    pad = jnp.zeros((C, 3, _SLOT - _LOW - _HIGH), B.dtype)
+    return jnp.concatenate([low, high, pad], axis=-1)
+
+
+def _pack_rows(W: jnp.ndarray, src_rows: slice, dst_off: int) -> jnp.ndarray:
+    """Embed W[:, src_rows, :] into zero rows [C, _SLOT, o] at dst_off."""
+    C, _, o = W.shape
+    sub = W[:, src_rows, :]
+    out = jnp.zeros((C, _SLOT, o), W.dtype)
+    return out.at[:, dst_off:dst_off + sub.shape[1], :].set(sub)
+
+
+def pack_codenerf_ensemble(fc: dict, peB: jnp.ndarray) -> tuple:
+    """Stacked cat_fc pytree + PE basis [C, 21, 3] -> packed kernel operands.
+
+    Returns (weights 13-tuple, biases 10-tuple); all differentiable XLA ops
+    on param-sized arrays.
+    """
+    We = fc["encoding_xyz"]["w"]          # [C, 87, 32]
+    Wc = fc["cat_layer"]["w"]             # [C, 119, 32]
+    Wvd = fc["encoding_viewdir"]["w"]     # [C, 74, 32]
+    weights = (
+        _pack_bd(_pack_b2(peB)),                          # B2   [3C, 128C]
+        _pack_bd(We[:, :3, :]),                           # We_t [3C, 32C]
+        _pack_bd(_pack_rows(We, slice(3, 87), 0)),        # We_s [128C, 32C]
+        _pack_bd(fc["shape_layers"][0]["w"]),             # Ws0  [32C, 32C]
+        _pack_bd(Wc[:, :32, :]),                          # Wc_y
+        _pack_bd(Wc[:, 32:35, :]),                        # Wc_t [3C, 32C]
+        _pack_bd(_pack_rows(Wc, slice(35, 119), 0)),      # Wc_s [128C, 32C]
+        _pack_bd(fc["shape_layers"][1]["w"]),             # Ws1
+        _pack_bd(fc["encoding_shape"]["w"]),              # Wen
+        _pack_bd(fc["sigma"]["w"]),                       # Wsg  [32C, C]
+        _pack_bd(Wvd[:, :32, :]),                         # Wvd_h
+        _pack_bd(_pack_rows(Wvd, slice(32, 74), _LOW)),   # Wvd_s [128C, 32C]
+        _pack_bd(fc["texture_layers"][0]["w"]),           # Wt0
+    ) + (
+        _pack_bd(fc["rgb_0"]["w"]),                       # W0 [32C, 16C]
+        _pack_bd(fc["rgb_1"]["w"]),                       # W1 [16C, 3C]
+    )
+    biases = tuple(_pack_bias(fc[k]["b"]) for k in (
+        "encoding_xyz", "cat_layer", "encoding_shape", "sigma",
+        "encoding_viewdir", "rgb_0", "rgb_1",
+    )) + tuple(_pack_bias(fc[g][i]["b"]) for g, i in (
+        ("shape_layers", 0), ("shape_layers", 1), ("texture_layers", 0),
+    ))
+    return weights, biases
+
+
+_W2_NAMES = ("B2", "We_t", "We_s", "Ws0", "Wc_y", "Wc_t", "Wc_s", "Ws1",
+             "Wen", "Wsg", "Wvd_h", "Wvd_s", "Wt0", "W0", "W1")
+_B2_NAMES = ("be", "bc", "ben", "bsg", "bvd", "b0", "b1", "bs0", "bs1", "bt0")
+
+
+def _cn2_chain(pts, zs0, zc, zs1, zt0, W, b, inv_scale):
+    """Packed forward chain. pts [T, 3C]; z* [T, 32C]. Returns
+    (sg [T, C], color [T, 3C], intermediates)."""
+    t = pts * inv_scale
+    sinarg = _mm(t, W["B2"])          # [T, 128C]
+    S = jnp.sin(sinarg)
+    a0 = _mm(t, W["We_t"]) + _mm(S, W["We_s"]) + b["be"]
+    r0 = jnp.maximum(a0, 0.0)
+    g0 = r0 + zs0
+    a1 = _mm(g0, W["Ws0"]) + b["bs0"]
+    r1 = jnp.maximum(a1, 0.0)
+    g1 = r1 + zc
+    a2 = _mm(g1, W["Wc_y"]) + _mm(t, W["Wc_t"]) + _mm(S, W["Wc_s"]) + b["bc"]
+    r2 = jnp.maximum(a2, 0.0)
+    g2 = r2 + zs1
+    a3 = _mm(g2, W["Ws1"]) + b["bs1"]
+    r3 = jnp.maximum(a3, 0.0)
+    h = _mm(r3, W["Wen"]) + b["ben"]
+    sg = (_mm(h, W["Wsg"]) + b["bsg"]) * 10.0
+    a4 = _mm(h, W["Wvd_h"]) + _mm(S, W["Wvd_s"]) + b["bvd"]
+    r4 = jnp.maximum(a4, 0.0)
+    g4 = r4 + zt0
+    a5 = _mm(g4, W["Wt0"]) + b["bt0"]
+    r5 = jnp.maximum(a5, 0.0)
+    a6 = _mm(r5, W["W0"]) + b["b0"]
+    r6 = jnp.maximum(a6, 0.0)
+    a7 = _mm(r6, W["W1"]) + b["b1"]
+    color = jax.nn.sigmoid(a7)
+    iv = dict(t=t, sinarg=sinarg, S=S, a0=a0, g0=g0, a1=a1, g1=g1, a2=a2,
+              g2=g2, a3=a3, r3=r3, h=h, a4=a4, g4=g4, a5=a5, r5=r5, a6=a6,
+              r6=r6, color=color)
+    return sg, color, iv
+
+
+def _cn2_fwd_kernel(inv_scale, *refs):
+    refs = iter(refs)
+    pts = next(refs)[:]
+    zs0, zc, zs1, zt0 = (next(refs)[:] for _ in range(4))
+    W = {k: next(refs)[:] for k in _W2_NAMES}
+    b = {k: next(refs)[:] for k in _B2_NAMES}
+    sg_ref = next(refs)
+    col_ref = next(refs)
+    sg, color, _ = _cn2_chain(pts, zs0, zc, zs1, zt0, W, b, inv_scale)
+    sg_ref[:] = sg
+    col_ref[:] = color
+
+
+def _cn2_bwd_kernel(inv_scale, *refs):
+    refs = iter(refs)
+    pts = next(refs)[:]
+    zs0, zc, zs1, zt0 = (next(refs)[:] for _ in range(4))
+    W = {k: next(refs)[:] for k in _W2_NAMES}
+    b = {k: next(refs)[:] for k in _B2_NAMES}
+    dsg_in = next(refs)[:]   # [T, C]
+    dcol = next(refs)[:]     # [T, 3C]
+
+    dpts_ref = next(refs)
+    dz_refs = [next(refs) for _ in range(4)]
+    dW_refs = {k: next(refs) for k in _W2_NAMES}
+    db_refs = {k: next(refs) for k in _B2_NAMES}
+
+    _, _, iv = _cn2_chain(pts, zs0, zc, zs1, zt0, W, b, inv_scale)
+
+    def mmT_acc(x, d):  # x^T @ d
+        return jax.lax.dot_general(x, d, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def mm_T(d, w):  # d @ w^T
+        return jax.lax.dot_general(d, w, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    dW = {}
+    db = {}
+    dsg = dsg_in * 10.0
+    da7 = dcol * iv["color"] * (1.0 - iv["color"])
+    dW["W1"] = mmT_acc(iv["r6"], da7)
+    db["b1"] = jnp.sum(da7, axis=0, keepdims=True)
+    da6 = mm_T(da7, W["W1"]) * (iv["a6"] > 0)
+    dW["W0"] = mmT_acc(iv["r5"], da6)
+    db["b0"] = jnp.sum(da6, axis=0, keepdims=True)
+    da5 = mm_T(da6, W["W0"]) * (iv["a5"] > 0)
+    dW["Wt0"] = mmT_acc(iv["g4"], da5)
+    db["bt0"] = jnp.sum(da5, axis=0, keepdims=True)
+    dg4 = mm_T(da5, W["Wt0"])
+    da4 = dg4 * (iv["a4"] > 0)
+    dW["Wvd_h"] = mmT_acc(iv["h"], da4)
+    dW["Wvd_s"] = mmT_acc(iv["S"], da4)
+    db["bvd"] = jnp.sum(da4, axis=0, keepdims=True)
+    dW["Wsg"] = mmT_acc(iv["h"], dsg)
+    db["bsg"] = jnp.sum(dsg, axis=0, keepdims=True)
+    dh = mm_T(da4, W["Wvd_h"]) + mm_T(dsg, W["Wsg"])
+    dW["Wen"] = mmT_acc(iv["r3"], dh)
+    db["ben"] = jnp.sum(dh, axis=0, keepdims=True)
+    da3 = mm_T(dh, W["Wen"]) * (iv["a3"] > 0)
+    dW["Ws1"] = mmT_acc(iv["g2"], da3)
+    db["bs1"] = jnp.sum(da3, axis=0, keepdims=True)
+    dg2 = mm_T(da3, W["Ws1"])
+    da2 = dg2 * (iv["a2"] > 0)
+    dW["Wc_y"] = mmT_acc(iv["g1"], da2)
+    dW["Wc_t"] = mmT_acc(iv["t"], da2)
+    dW["Wc_s"] = mmT_acc(iv["S"], da2)
+    db["bc"] = jnp.sum(da2, axis=0, keepdims=True)
+    dg1 = mm_T(da2, W["Wc_y"])
+    da1 = dg1 * (iv["a1"] > 0)
+    dW["Ws0"] = mmT_acc(iv["g0"], da1)
+    db["bs0"] = jnp.sum(da1, axis=0, keepdims=True)
+    dg0 = mm_T(da1, W["Ws0"])
+    da0 = dg0 * (iv["a0"] > 0)
+    dW["We_t"] = mmT_acc(iv["t"], da0)
+    dW["We_s"] = mmT_acc(iv["S"], da0)
+    db["be"] = jnp.sum(da0, axis=0, keepdims=True)
+
+    dS = mm_T(da0, W["We_s"]) + mm_T(da2, W["Wc_s"]) + mm_T(da4, W["Wvd_s"])
+    dsinarg = dS * jnp.cos(iv["sinarg"])
+    dW["B2"] = mmT_acc(iv["t"], dsinarg)
+    dt = (mm_T(dsinarg, W["B2"]) + mm_T(da0, W["We_t"])
+          + mm_T(da2, W["Wc_t"]))
+    dpts_ref[:] = dt * inv_scale
+    for ref, val in zip(dz_refs, (dg0, dg1, dg2, dg4)):
+        ref[:] = val
+
+    is_first = pl.program_id(0) == 0
+
+    @pl.when(is_first)
+    def _():
+        for k in _W2_NAMES:
+            dW_refs[k][:] = dW[k]
+        for k in _B2_NAMES:
+            db_refs[k][:] = db[k]
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        for k in _W2_NAMES:
+            dW_refs[k][:] += dW[k]
+        for k in _B2_NAMES:
+            db_refs[k][:] += db[k]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_codenerf_packed(scale: float, interpret: bool, tile: int):
+    inv_scale = 1.0 / scale
+
+    def full_spec(a):
+        return pl.BlockSpec(a.shape, lambda t: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    def row_spec(f, T):
+        return pl.BlockSpec((T, f), lambda t: (t, 0),
+                            memory_space=pltpu.VMEM)
+
+    def prep(pts, zs):
+        N = pts.shape[0]
+        T = tile
+        Np = -(-N // T) * T
+        return N, T, Np, Np // T, _pad_rows(pts, Np, axis=0), [
+            _pad_rows(z, Np, axis=0) for z in zs]
+
+    def fwd_call(weights, biases, pts, zs0, zc, zs1, zt0):
+        N, T, Np, nt, pts_p, zs = prep(pts, (zs0, zc, zs1, zt0))
+        C3 = pts.shape[1]
+        C = C3 // 3
+        sg, col = pl.pallas_call(
+            functools.partial(_cn2_fwd_kernel, inv_scale),
+            grid=(nt,),
+            in_specs=([row_spec(C3, T)] + [row_spec(32 * C, T)] * 4 +
+                      [full_spec(w) for w in weights] +
+                      [full_spec(b) for b in biases]),
+            out_specs=(row_spec(C, T), row_spec(3 * C, T)),
+            out_shape=(jax.ShapeDtypeStruct((Np, C), jnp.float32),
+                       jax.ShapeDtypeStruct((Np, 3 * C), jnp.float32)),
+            interpret=interpret,
+        )(pts_p, *zs, *weights, *biases)
+        return sg[:N], col[:N]
+
+    @jax.custom_vjp
+    def f(weights, biases, pts, zs0, zc, zs1, zt0):
+        return fwd_call(weights, biases, pts, zs0, zc, zs1, zt0)
+
+    def f_fwd(weights, biases, pts, zs0, zc, zs1, zt0):
+        return (fwd_call(weights, biases, pts, zs0, zc, zs1, zt0),
+                (weights, biases, pts, zs0, zc, zs1, zt0))
+
+    def f_bwd(res, cot):
+        weights, biases, pts, zs0, zc, zs1, zt0 = res
+        dsg, dcol = cot
+        N, T, Np, nt, pts_p, zs = prep(pts, (zs0, zc, zs1, zt0))
+        C3 = pts.shape[1]
+        C = C3 // 3
+        dsg_p = _pad_rows(dsg, Np, axis=0)
+        dcol_p = _pad_rows(dcol, Np, axis=0)
+        outs = pl.pallas_call(
+            functools.partial(_cn2_bwd_kernel, inv_scale),
+            grid=(nt,),
+            in_specs=([row_spec(C3, T)] + [row_spec(32 * C, T)] * 4 +
+                      [full_spec(w) for w in weights] +
+                      [full_spec(b) for b in biases] +
+                      [row_spec(C, T), row_spec(3 * C, T)]),
+            out_specs=([row_spec(C3, T)] + [row_spec(32 * C, T)] * 4 +
+                       [full_spec(w) for w in weights] +
+                       [full_spec(b) for b in biases]),
+            out_shape=(
+                [jax.ShapeDtypeStruct((Np, C3), jnp.float32)] +
+                [jax.ShapeDtypeStruct((Np, 32 * C), jnp.float32)] * 4 +
+                [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                 for w in weights] +
+                [jax.ShapeDtypeStruct(b.shape, jnp.float32)
+                 for b in biases]),
+            interpret=interpret,
+        )(pts_p, *zs, *weights, *biases, dsg_p, dcol_p)
+        dpts = outs[0][:N]
+        dzs = [o[:N] for o in outs[1:5]]
+        dweights = tuple(outs[5:5 + len(weights)])
+        dbiases = tuple(outs[5 + len(weights):])
+        return (dweights, dbiases, dpts, *dzs)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def codenerf_packed_apply(fc: dict, pe: dict, pts_packed: jnp.ndarray,
+                          zs0: jnp.ndarray, zc: jnp.ndarray,
+                          zs1: jnp.ndarray, zt0: jnp.ndarray, *,
+                          scale: float, tile: int = 256,
+                          interpret: bool | None = None):
+    """Packed-ensemble fused forward.
+
+    pts_packed: [N, C*3] (point-major, categories in lanes); z*: [N, C*32].
+    Returns (sigma [N, C], rgb [N, C, 3]). Differentiable w.r.t. fc, pe and
+    all point inputs.
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    weights, biases = pack_codenerf_ensemble(fc, pe["B"])
+    sg, col = _make_codenerf_packed(float(scale), bool(interpret),
+                                    int(tile))(
+        weights, biases, pts_packed, zs0, zc, zs1, zt0)
+    N = pts_packed.shape[0]
+    C = pts_packed.shape[1] // 3
+    return sg, col.reshape(N, C, 3)

@@ -22,6 +22,31 @@ THIS_OBJ = 1
 UNKNOWN_OBJ = 2
 
 
+def _stratified_from_u(u: jnp.ndarray, min_depth: jnp.ndarray,
+                       max_depth: jnp.ndarray) -> jnp.ndarray:
+    """Stratified samples from pre-drawn uniforms u [n_rays, n_bins]."""
+    n_bins = u.shape[-1]
+    depth_range = max_depth - min_depth
+    edges = jnp.linspace(0.0, 1.0, n_bins + 1)[:-1]
+    lower = depth_range[:, None] * edges[None, :] + min_depth[:, None]
+    return lower + u * (depth_range / n_bins)[:, None]
+
+
+def _sorted_normal_from_u(u: jnp.ndarray, depth: jnp.ndarray, sigma: float,
+                          delta: float) -> jnp.ndarray:
+    """Sorted clipped N(0, sigma^2) order statistics from uniforms
+    u [n_rays, n_bins + 1], via the exponential-gap construction (exactly the
+    distribution of sort(normal(...)) but with no sort): sorted uniform order
+    statistics are cumsum(E_i)/sum(E), E ~ Exp(1); mapping through the normal
+    inverse CDF (monotone) yields sorted normal order statistics."""
+    e = -jnp.log(jnp.maximum(u, 1e-12))
+    cs = jnp.cumsum(e[..., :-1], axis=-1)
+    u_sorted = cs / (cs[..., -1:] + e[..., -1:])
+    normals = jnp.sqrt(2.0) * jax.scipy.special.erfinv(2.0 * u_sorted - 1.0)
+    bins = jnp.clip(normals * sigma, -delta, delta)
+    return depth[:, None] + bins
+
+
 def stratified_bins(key: jax.Array, min_depth: jnp.ndarray, max_depth: jnp.ndarray,
                     n_bins: int) -> jnp.ndarray:
     """Stratified depth samples per ray (ref: src/scene_cateogries.py:51-81).
@@ -31,25 +56,19 @@ def stratified_bins(key: jax.Array, min_depth: jnp.ndarray, max_depth: jnp.ndarr
     sub-intervals of [min_depth, max_depth].
     """
     n_rays = min_depth.shape[0]
-    depth_range = max_depth - min_depth
-    edges = jnp.linspace(0.0, 1.0, n_bins + 1)[:-1]
-    lower = depth_range[:, None] * edges[None, :] + min_depth[:, None]
-    bin_length = depth_range / n_bins
     u = jax.random.uniform(key, (n_rays, n_bins))
-    return lower + u * bin_length[:, None]
+    return _stratified_from_u(u, min_depth, max_depth)
 
 
 def normal_bins_sampling(key: jax.Array, depth: jnp.ndarray, n_bins: int,
                          delta: float) -> jnp.ndarray:
     """Sorted, clipped normal samples around the surface depth
     (ref: src/scene_cateogries.py:84-96): N(0, (delta/3)^2), sorted along the
-    bin axis, clipped to +-delta, centered at `depth`.
-    """
+    bin axis, clipped to +-delta, centered at `depth`. Sort-free (order
+    statistics generated directly)."""
     n_rays = depth.shape[0]
-    bins = jax.random.normal(key, (n_rays, n_bins)) * (delta / 3.0)
-    bins = jnp.sort(bins, axis=-1)
-    bins = jnp.clip(bins, -delta, delta)
-    return depth[:, None] + bins
+    u = jax.random.uniform(key, (n_rays, n_bins + 1))
+    return _sorted_normal_from_u(u, depth, delta / 3.0, delta)
 
 
 class RaySamples(NamedTuple):
@@ -83,7 +102,17 @@ def sample_3d_points(key: jax.Array, rgbs: jnp.ndarray, states: jnp.ndarray,
     """
     n_rays = depth.shape[0]
     total_bins = n_bins_cam2surface + n_bins
-    k_inv, k_c2s, k_norm, k_other = jax.random.split(key, 4)
+
+    # One fused RNG draw for every candidate layout (columns sliced below);
+    # a single threefry op instead of four (the candidates are branchless and
+    # per-ray selected, so distinct streams per candidate are unnecessary).
+    n_u = total_bins + n_bins_cam2surface + (n_bins + 1) + n_bins
+    u = jax.random.uniform(key, (n_rays, n_u))
+    u_inv = u[:, :total_bins]
+    u_c2s = u[:, total_bins:total_bins + n_bins_cam2surface]
+    u_norm = u[:, total_bins + n_bins_cam2surface:
+               total_bins + n_bins_cam2surface + n_bins + 1]
+    u_other = u[:, total_bins + n_bins_cam2surface + n_bins + 1:]
 
     invalid = depth <= min_depth
     valid = ~invalid
@@ -92,21 +121,21 @@ def sample_3d_points(key: jax.Array, rgbs: jnp.ndarray, states: jnp.ndarray,
     max_bound = jnp.max(depth)
 
     # Candidate A: invalid-depth layout over the full range.
-    z_invalid = stratified_bins(
-        k_inv, jnp.full((n_rays,), min_depth), jnp.full((n_rays,), max_bound),
-        total_bins)
+    z_invalid = _stratified_from_u(
+        u_inv, jnp.full((n_rays,), min_depth),
+        jnp.full((n_rays,), max_bound))
 
     # Candidate B: camera->surface bins for valid rays.
-    z_c2s = stratified_bins(
-        k_c2s, jnp.full((n_rays,), min_depth), depth - surface_eps,
-        n_bins_cam2surface)
+    z_c2s = _stratified_from_u(
+        u_c2s, jnp.full((n_rays,), min_depth), depth - surface_eps)
 
-    # Candidate C: near-surface bins, this-object (sorted normal).
-    z_surf_obj = normal_bins_sampling(k_norm, depth, n_bins, surface_eps)
+    # Candidate C: near-surface bins, this-object (sorted normal, sort-free).
+    z_surf_obj = _sorted_normal_from_u(u_norm, depth, surface_eps / 3.0,
+                                       surface_eps)
 
     # Candidate D: near-surface bins, other-object (stratified past surface).
-    z_surf_other = stratified_bins(
-        k_other, depth - surface_eps, depth + stop_eps, n_bins)
+    z_surf_other = _stratified_from_u(u_other, depth - surface_eps,
+                                      depth + stop_eps)
 
     this_obj = (states == THIS_OBJ) & valid
     z_surf = jnp.where(this_obj[:, None], z_surf_obj, z_surf_other)

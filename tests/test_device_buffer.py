@@ -28,8 +28,8 @@ def test_device_store_shapes_and_sampling():
     sess = _session()
     store = build_device_store(sess.categories, sess.background)
     n_cls = len(sess.categories)
-    assert store.origins.shape[0] == n_cls
-    assert store.origins.shape[1] == max(c.buffer.n for c in sess.categories)
+    assert store.packed.shape[0] == n_cls
+    assert store.packed.shape[1] == max(c.buffer.n for c in sess.categories)
     np.testing.assert_array_equal(
         np.asarray(store.lengths), [c.buffer.n for c in sess.categories])
 
@@ -37,9 +37,9 @@ def test_device_store_shapes_and_sampling():
     assert cat.rgbs.shape == (n_cls, 32, 3)
     assert bg.depth.shape == (64,)
     assert float(cat.rgbs.max()) <= 1.0
-    # sampled depths exist in source buffers
+    # sampled depths exist in source buffers (col 9 = depth)
     d0 = np.asarray(cat.depth[0])
-    src = np.asarray(store.depth[0][: int(store.lengths[0])])
+    src = np.asarray(store.packed[0, : int(store.lengths[0]), 9])
     assert np.isin(np.round(d0, 5), np.round(src, 5)).all()
 
 

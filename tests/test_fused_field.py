@@ -175,3 +175,50 @@ def test_step_forward_fused_vs_xla_paths():
     ab_x, cb_x, _ = background_forward(sess.state.params, bg, key, cfg_x)
     np.testing.assert_allclose(ab_f, ab_x, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(cb_f, cb_x, rtol=1e-5, atol=1e-5)
+
+
+def _to_packed(x):
+    """[C, N, k] -> [N, C*k]."""
+    C, N, k = x.shape
+    return jnp.swapaxes(x, 0, 1).reshape(N, C * k)
+
+
+def test_codenerf_packed_forward_matches_xla(cn_setup):
+    fc, pe, pts, zs = cn_setup
+    C, N, _ = pts.shape
+    sig_p, rgb_p = fused_field.codenerf_packed_apply(
+        fc, pe, _to_packed(pts), *[_to_packed(z) for z in zs],
+        scale=2.0, tile=32, interpret=True)
+    sig_x, rgb_x = _xla_codenerf(fc, pe, pts, zs, 2.0)
+    np.testing.assert_allclose(jnp.swapaxes(sig_p, 0, 1), sig_x,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(jnp.swapaxes(rgb_p, 0, 1), rgb_x,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_codenerf_packed_grads_match_xla(cn_setup):
+    fc, pe, pts, zs = cn_setup
+
+    def loss_packed(fc, peB, pts, zs):
+        s, r = fused_field.codenerf_packed_apply(
+            fc, {"B": peB}, _to_packed(pts), *[_to_packed(z) for z in zs],
+            scale=2.0, tile=32, interpret=True)
+        return jnp.sum(jnp.sin(s)) + jnp.sum(r * r)
+
+    def loss_xla(fc, peB, pts, zs):
+        s, r = _xla_codenerf(fc, {"B": peB}, pts, zs, 2.0)
+        return jnp.sum(jnp.sin(s)) + jnp.sum(r * r)
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2, 3))(fc, pe["B"], pts, zs)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(fc, pe["B"], pts, zs)
+
+    def strip(g):
+        g = dict(g)
+        for k in ("shape_latent_layers", "texture_latent_layers",
+                  "cat_latent_layer"):
+            g.pop(k)
+        return g
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-4),
+        (strip(gp[0]), *gp[1:]), (strip(gx[0]), *gx[1:]))
