@@ -85,3 +85,24 @@ def apply(params: dict, x: jnp.ndarray, *, scale: float,
     xb = proj[..., None, :] * bands[:, None]  # [..., n_freqs, 21]
     xb = xb.reshape(*proj.shape[:-1], -1)
     return jnp.concatenate([t, jnp.sin(xb * jnp.pi)], axis=-1)
+
+
+def positional_encoding(x: jnp.ndarray, num_encoding_functions: int = 6,
+                        include_input: bool = True,
+                        log_sampling: bool = True) -> jnp.ndarray:
+    """Legacy NeRF sin/cos positional encoding (ref: src/embedding.py:4-41;
+    present in the reference but unused by training — kept for API parity).
+
+    x: [..., D] -> [..., D * (include_input + 2 * num_encoding_functions)].
+    """
+    parts = [x] if include_input else []
+    if log_sampling:
+        bands = 2.0 ** jnp.linspace(0.0, num_encoding_functions - 1,
+                                    num_encoding_functions)
+    else:
+        bands = jnp.linspace(2.0 ** 0.0, 2.0 ** (num_encoding_functions - 1),
+                             num_encoding_functions)
+    for f in bands:
+        parts.append(jnp.sin(x * f))
+        parts.append(jnp.cos(x * f))
+    return jnp.concatenate(parts, axis=-1)

@@ -91,6 +91,39 @@ class TrainingSession:
                 history.append(self.metrics_to_dict(metrics))
         return history
 
+    # ------------------------------------------------------------------
+    # Production fast path: device-resident ray store + multi-step
+    # superstep (one dispatch per `n_inner` optimizer steps). Statistically
+    # equivalent to the parity path (uniform on-device batch draws instead
+    # of the host epoch-shuffle cursor).
+    def enable_fast_path(self, n_inner: int) -> None:
+        from catnerf_tpu.data.device_buffer import (
+            build_device_store, make_superstep)
+
+        store = build_device_store(self.categories, self.background)
+        inner = make_train_step(
+            self.cfg, self.obj_mask,
+            with_background=self.background is not None, jit=False)
+        self._superstep = make_superstep(
+            inner, store, n_per_cls=self.n_per_cls,
+            n_bg=self.cfg.n_per_optim_bg, n_inner=n_inner)
+        self._n_inner = n_inner
+
+    def run_fast(self, n_steps: int) -> StepMetrics:
+        """Advance `n_steps` iterations via supersteps (must be enabled and
+        n_steps a multiple of n_inner). Returns the last step's metrics."""
+        assert self._superstep is not None, "call enable_fast_path() first"
+        assert n_steps % self._n_inner == 0
+        metrics = None
+        for _ in range(n_steps // self._n_inner):
+            self.base_key, k = jax.random.split(self.base_key)
+            self.state, metrics = self._superstep(self.state, k)
+            self.iteration += self._n_inner
+        return metrics
+
+    _superstep = None
+    _n_inner = 0
+
     def metrics_to_dict(self, m: StepMetrics) -> dict[str, Any]:
         d = {
             "iteration": self.iteration,

@@ -80,6 +80,29 @@ def test_train_cli_synthetic(tmp_path):
     assert os.path.isdir(mesh_dir) and len(os.listdir(mesh_dir)) >= 1
 
 
+def test_train_cli_synthetic_fast_path(tmp_path):
+    """Superstep fast path: log/save/mesh boundaries aligned to log_iter."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    logdir = str(tmp_path / "logs_fast")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');\n"
+        "import sys; sys.argv = ['train.py', '--synthetic',\n"
+        f" '--logdir', {logdir!r}, '--max-iter', '13', '--log-iter', '4',\n"
+        " '--save-iter', '8', '--mesh-it', '12', '--grid-dim', '48'];\n"
+        "import train; train.main()\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=900,
+                          cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    lines = [json.loads(l) for l in open(os.path.join(logdir, "metrics.jsonl"))]
+    assert len(lines) >= 2
+    assert ckpt_mod.latest_checkpoint(os.path.join(logdir, "ckpt")) is not None
+    mesh_dir = os.path.join(logdir, "scene_mesh")
+    assert os.path.isdir(mesh_dir) and len(os.listdir(mesh_dir)) >= 1
+
+
 def test_eval_cli_on_synthetic_fixture(tmp_path):
     """Exercise the eval protocol end-to-end with generated GT + rec meshes
     (Replica habitat layout, ref: metric/eval_3D_obj.py:130-160)."""

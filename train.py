@@ -30,6 +30,10 @@ def main():
     parser.add_argument("--grid-dim", type=int, default=None,
                         help="override cfg.grid_dim (max marching-cubes res)")
     parser.add_argument("--no-background", action="store_true")
+    parser.add_argument("--parity", action="store_true",
+                        help="per-step host-staged dispatch (the reference's "
+                             "execution shape) instead of the superstep fast "
+                             "path")
     args = parser.parse_args()
 
     from catnerf_tpu.config import Config
@@ -90,8 +94,17 @@ def main():
           f"{session.n_per_cls} rays/cat/step")
 
     mesh_dir = os.path.join(args.logdir, "scene_mesh")
-    for it in range(start + 1, cfg.max_iter):
-        metrics = session.step_once()
+    # Fast path: one XLA dispatch per log_iter steps (device-resident ray
+    # store + lax.scan superstep); --parity keeps the reference's per-step
+    # execution shape. All periodic actions land on log_iter multiples.
+    fast = (not args.parity and cfg.log_iter > 1
+            and cfg.save_iter % cfg.log_iter == 0
+            and cfg.mesh_it % cfg.log_iter == 0
+            and start % cfg.log_iter == 0)
+    if fast:
+        session.enable_fast_path(n_inner=cfg.log_iter)
+
+    def post_step(it, metrics):
         if it % cfg.log_iter == 0:
             writer.log_step(session, metrics, it)
             psnr = float(metrics.cat_psnr.mean())
@@ -103,6 +116,19 @@ def main():
         if it % cfg.mesh_it == 0:
             written = mesh_scene(session, mesh_dir, it)
             print(f"exported {len(written)} meshes to {mesh_dir}")
+
+    if fast:
+        n_chunks, rem = divmod(cfg.max_iter - 1 - start, cfg.log_iter)
+        it = start
+        for _ in range(n_chunks):
+            metrics = session.run_fast(cfg.log_iter)
+            it += cfg.log_iter
+            post_step(it, metrics)
+        for j in range(it + 1, cfg.max_iter):
+            post_step(j, session.step_once())
+    else:
+        for it in range(start + 1, cfg.max_iter):
+            post_step(it, session.step_once())
 
     writer.close()
 
