@@ -79,6 +79,11 @@ class Config:
     live_voxel_size: float = 0.005
     grid_dim: int = 256
     mesh_it: int = 10000
+    # Fill fully enclosed interior cavities of the occupancy grid before
+    # marching cubes, suppressing the spurious inner shells that
+    # crust-supervised fields produce (quality improvement over the
+    # reference, which extracts them).
+    mesh_fill_interior: bool = True
 
     # --- registration ---
     load_registration_result: bool = True

@@ -1,0 +1,182 @@
+"""Self-contained per-object occupancy-field pretraining.
+
+The reference *requires* externally pretrained vMAP checkpoints for the
+uncertainty-field template scoring and raises NotImplementedError without
+them (ref: src/category_registration.py:93-94, README.md:50-51). This module
+closes that gap: it trains a small vMAP-style OccupancyMap per object
+directly from the object's own rays — all objects simultaneously via
+`jax.vmap` over the object axis (the same ensembling used for category
+training), one `lax.scan` superstep per dispatch.
+
+Fields are trained in a cloud-centered world frame (origins shifted by the
+instance point-cloud center) so positional-encoding frequencies are
+well-conditioned; the returned field dict carries that `center` and
+`uncertainty_score` shifts its spherical ray origins accordingly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from catnerf_tpu.config import Config
+from catnerf_tpu.data.camera import CameraInfo
+from catnerf_tpu.models import embedding, occupancy
+from catnerf_tpu.ops import losses, sampling
+
+HIDDEN = 32          # vMAP per-object field width (SURVEY §2.1 OccupancyMap)
+N_BINS_C2S = 1
+N_BINS = 9
+LR = 1e-3
+
+
+def build_object_ray_arrays(frame_info: list, sample_dict: dict,
+                            cam: CameraInfo, this_id: int,
+                            center: np.ndarray) -> dict:
+    """World-frame (cloud-centered) ray arrays for one instance's bbox crops
+    (same crop/pixel-state contract as CategoryScene._build_buffer)."""
+    from catnerf_tpu.data.scene import _pixel_states
+
+    origins, dirs_l, rgb_l, state_l, depth_l = [], [], [], [], []
+    for fi in frame_info:
+        sample = sample_dict[fi["frame"]]
+        w0, w1, h0, h1 = (int(v) for v in fi["bbox"])
+        T_wc = np.asarray(sample["T"], dtype=np.float64)
+        R, t = T_wc[:3, :3], T_wc[:3, 3] - center
+
+        crop_dirs = cam.rays_dir_cache[w0:w1, h0:h1].reshape(-1, 3)
+        d = (crop_dirs @ R.T).astype(np.float32)
+        n_px = d.shape[0]
+        state = _pixel_states(sample["obj_mask"][w0:w1, h0:h1],
+                              this_id).reshape(-1)
+        origins.append(np.broadcast_to(t.astype(np.float32), (n_px, 3)))
+        dirs_l.append(d)
+        rgb_l.append(sample["image"][w0:w1, h0:h1].reshape(-1, 3)
+                     .astype(np.uint8))
+        state_l.append(state)
+        depth_l.append(sample["depth"][w0:w1, h0:h1].reshape(-1)
+                       .astype(np.float32))
+    return {
+        "origins": np.concatenate(origins),
+        "dirs": np.concatenate(dirs_l),
+        "rgb": np.concatenate(rgb_l),
+        "state": np.concatenate(state_l),
+        "depth": np.concatenate(depth_l),
+    }
+
+
+def _init_field_params(key: jax.Array) -> dict:
+    return {
+        "pe": embedding.init_params(),
+        "fc": occupancy.init_params(key, hidden_size=HIDDEN, do_color=True),
+    }
+
+
+def pretrain_object_fields(objects: list, sample_dict: dict, cam: CameraInfo,
+                           cfg: Config, *, steps: int = 1000,
+                           n_rays: int = 600, key: jax.Array | None = None,
+                           n_inner: int = 100) -> list[dict]:
+    """Train one occupancy field per object, all objects batched.
+
+    objects: list of (this_id, frame_info, pcs) — instance mask id, frame
+    list, accumulated world-frame point cloud. Returns one field dict per
+    object: {'pe', 'fc', 'obj_scale', 'center', 'bbox'} (the same contract
+    as `checkpoint.load_vmap_pth` plus 'center').
+    """
+    from catnerf_tpu.data.device_buffer import _pack_rows
+
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    n_obj = len(objects)
+    assert n_obj > 0
+
+    centers, scales, arrays_l, bboxes = [], [], [], []
+    for this_id, frame_info, pcs in objects:
+        pts = np.asarray(pcs)
+        center = (pts.max(0) + pts.min(0)) / 2.0
+        extent = np.maximum(pts.max(0) - pts.min(0), 0.10)
+        centers.append(center)
+        scales.append(float(np.max(extent) / 2.0 * 1.2))
+        bboxes.append(np.stack([pts.min(0), pts.max(0)]))
+        arrays_l.append(build_object_ray_arrays(
+            frame_info, sample_dict, cam, this_id, center))
+
+    max_len = max(a["depth"].shape[0] for a in arrays_l)
+    packed = np.zeros((n_obj, max_len, 11), np.float32)
+    lengths = np.zeros((n_obj,), np.int32)
+    for i, a in enumerate(arrays_l):
+        n = a["depth"].shape[0]
+        packed[i, :n] = _pack_rows(a, n, with_obj=False)
+        lengths[i] = n
+    packed_d = jnp.asarray(packed)
+    lengths_d = jnp.asarray(lengths)
+    scales_d = jnp.asarray(scales, jnp.float32)
+
+    init_keys = jax.random.split(key, n_obj + 1)
+    params = jax.vmap(_init_field_params)(init_keys[1:])
+    tx = optax.adamw(LR, weight_decay=cfg.weight_decay)
+    opt_state = tx.init(params)
+
+    sample_fn = partial(
+        sampling.sample_3d_points, n_bins_cam2surface=N_BINS_C2S,
+        n_bins=N_BINS, min_depth=cfg.min_depth,
+        surface_eps=cfg.surface_eps, stop_eps=cfg.stop_eps)
+
+    def loss_fn(params, rows, k):
+        keys = jax.random.split(k, n_obj)
+        rays = jax.vmap(sample_fn)(
+            keys, rows[..., 6:9], rows[..., 10].astype(jnp.int32),
+            rows[..., 9], rows[..., 0:3], rows[..., 3:6])
+
+        def fwd(p, pcs, scale):
+            emb = embedding.apply(p["pe"], pcs, scale=scale)
+            a, c = occupancy.apply(p["fc"], emb)
+            return a[..., 0], c
+
+        alpha, color = jax.vmap(fwd)(params, rays.input_pcs, scales_d)
+        lb = losses.step_batch_loss(
+            alpha, color, rays.gt_depth, rays.gt_rgb, rays.obj_labels,
+            rays.valid_depth_mask, rays.z_vals,
+            color_scaling=cfg.color_scaling,
+            opacity_scaling=cfg.opacity_scaling)
+        return lb.total
+
+    def one_step(carry, k):
+        params, opt_state = carry
+        k_draw, k_sample = jax.random.split(k)
+        idx = jax.random.randint(k_draw, (n_obj, n_rays), 0,
+                                 lengths_d[:, None])
+        flat = (idx + (jnp.arange(n_obj) * max_len)[:, None]).reshape(-1)
+        rows = jnp.take(packed_d.reshape(n_obj * max_len, 11), flat,
+                        axis=0).reshape(n_obj, n_rays, 11)
+        loss, grads = jax.value_and_grad(loss_fn)(params, rows, k_sample)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    @jax.jit
+    def superstep(carry, k):
+        keys = jax.random.split(k, n_inner)
+        return jax.lax.scan(one_step, carry, keys)
+
+    carry = (params, opt_state)
+    n_chunks = max(1, steps // n_inner)
+    for _ in range(n_chunks):
+        key, k = jax.random.split(key)
+        carry, losses_hist = superstep(carry, k)
+    params = carry[0]
+    final_loss = float(losses_hist[-1])
+    print(f"pretrained {n_obj} object fields: {n_chunks * n_inner} steps, "
+          f"final loss {final_loss:.3f}")
+
+    fields = []
+    for i in range(n_obj):
+        p_i = jax.tree_util.tree_map(lambda x: np.asarray(x[i]), params)
+        fields.append({
+            "pe": p_i["pe"], "fc": p_i["fc"], "obj_scale": scales[i],
+            "center": centers[i], "bbox": bboxes[i],
+        })
+    return fields

@@ -93,12 +93,22 @@ def coverage_score(points: np.ndarray, name: str = "replica") -> int:
 def get_uncertainty_fields(inst_dict: dict, bbox3d_dict: dict,
                            count_dict: dict, field_dict: dict, cfg: Config,
                            name: str = "replica",
-                           load_pretrained: bool = True) -> None:
+                           load_pretrained: bool = True,
+                           sample_dict: dict | None = None,
+                           cam=None) -> None:
     """Stage 2 (ref: src/category_registration.py:58-177). Fills
     count_dict[cls][obj] with the completeness score, bbox3d_dict with a
-    per-object bound, field_dict with converted field params (if any)."""
+    per-object bound, field_dict with converted field params (if any).
+
+    load_pretrained=False (where the reference raises NotImplementedError,
+    ref: src/category_registration.py:93-94): if sample_dict+cam are given,
+    per-object fields are pretrained on-the-fly (geometry/field_pretrain.py)
+    and scored with the real uncertainty heuristic; otherwise the geometric
+    coverage_score proxy is used."""
     import jax
 
+    # Collect scoreable objects (stable order).
+    todo = []
     for cls_id, inst_dict_cls in inst_dict.items():
         if cls_id == 0:
             continue
@@ -109,22 +119,37 @@ def get_uncertainty_fields(inst_dict: dict, bbox3d_dict: dict,
             if info.get("pcs") is None or len(info["pcs"]) == 0:
                 count_dict[cls_id][obj_id] = 0
                 bbox3d_dict[cls_id][obj_id] = None
-                continue
-            if load_pretrained:
-                from catnerf_tpu.train.checkpoint import load_vmap_pth
-
-                ckpt_dir = os.path.join(cfg.weight_root, "ckpt", str(obj_id))
-                ckpt_paths = sorted(os.listdir(ckpt_dir))
-                field = load_vmap_pth(os.path.join(ckpt_dir, ckpt_paths[-1]))
-                field_dict[cls_id][obj_id] = field
-                bbox3d_dict[cls_id][obj_id] = field.get("bbox")
-                count, _, _ = uncertainty_score(
-                    field, info["pcs"], name=name,
-                    key=jax.random.PRNGKey(obj_id))
-                count_dict[cls_id][obj_id] = count
             else:
-                bbox3d_dict[cls_id][obj_id] = None
-                count_dict[cls_id][obj_id] = coverage_score(info["pcs"], name)
+                todo.append((cls_id, obj_id, info))
+
+    pretrained_fields = None
+    if (not load_pretrained and sample_dict is not None and cam is not None
+            and todo):
+        from catnerf_tpu.geometry.field_pretrain import pretrain_object_fields
+
+        objects = [(obj_id, info["frame_info"], info["pcs"])
+                   for cls_id, obj_id, info in todo]
+        pretrained_fields = pretrain_object_fields(
+            objects, sample_dict, cam, cfg)
+
+    for i, (cls_id, obj_id, info) in enumerate(todo):
+        if load_pretrained:
+            from catnerf_tpu.train.checkpoint import load_vmap_pth
+
+            ckpt_dir = os.path.join(cfg.weight_root, "ckpt", str(obj_id))
+            ckpt_paths = sorted(os.listdir(ckpt_dir))
+            field = load_vmap_pth(os.path.join(ckpt_dir, ckpt_paths[-1]))
+        elif pretrained_fields is not None:
+            field = pretrained_fields[i]
+        else:
+            bbox3d_dict[cls_id][obj_id] = None
+            count_dict[cls_id][obj_id] = coverage_score(info["pcs"], name)
+            continue
+        field_dict[cls_id][obj_id] = field
+        bbox3d_dict[cls_id][obj_id] = field.get("bbox")
+        count, _, _ = uncertainty_score(
+            field, info["pcs"], name=name, key=jax.random.PRNGKey(obj_id))
+        count_dict[cls_id][obj_id] = count
 
 
 def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
@@ -235,7 +260,8 @@ def run_registration(inst_dict: dict, sample_dict: dict, cam: CameraInfo,
                   max_depth=cfg.max_depth)
     get_uncertainty_fields(inst_dict, bbox3d_dict, count_dict, field_dict,
                            cfg, name=name,
-                           load_pretrained=cfg.load_pretrained)
+                           load_pretrained=cfg.load_pretrained,
+                           sample_dict=sample_dict, cam=cam)
     align_poses(inst_dict, bbox3d_dict, count_dict, field_dict, name=name,
                 multi_init_pose=cfg.multi_init_pose, eta1=cfg.eta1,
                 eta2=cfg.eta2, eta3=cfg.eta3)

@@ -87,6 +87,11 @@ def uncertainty_score(field_params: dict, points: np.ndarray,
     else:  # noisy real-world clouds: mean
         center = pts.mean(0)
     rays_o = rays_o_o + center.astype(np.float32)
+    # Self-pretrained fields (geometry/field_pretrain.py) live in a
+    # cloud-centered frame; shift queries into it. vMAP-converted fields
+    # have no 'center' (identity shift).
+    if "center" in field_params:
+        rays_o = rays_o - np.asarray(field_params["center"], np.float32)
 
     n_rays = rays_o.shape[0]
     z_vals = stratified_bins(

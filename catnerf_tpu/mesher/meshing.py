@@ -81,8 +81,12 @@ def eval_points(points: np.ndarray, params: dict, cfg: Config,
 
 
 def adaptive_grid_dim(extent, live_voxel_size: float, grid_dim_max: int) -> int:
-    """min(max_extent // live_voxel + 1, grid_dim) (ref: train.py:220,229)."""
-    return int(np.minimum(np.max(extent) // live_voxel_size + 1, grid_dim_max))
+    """min(max_extent // live_voxel + 1, grid_dim) (ref: train.py:220,229),
+    rounded UP to a multiple of 32 so objects of similar size share one
+    compiled grid-eval program (per-object exact dims would trigger an XLA
+    recompile per object; the extra resolution only refines the mesh)."""
+    dim = int(np.minimum(np.max(extent) // live_voxel_size + 1, grid_dim_max))
+    return int(min(-(-dim // 32) * 32, grid_dim_max))
 
 
 def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
@@ -125,8 +129,23 @@ def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
     if occ.max() <= 0.5 or occ.min() >= 0.5:
         return None
 
-    out = geomlib.marching_cubes(
-        occ.reshape(grid_dim, grid_dim, grid_dim), 0.5)
+    occ3 = occ.reshape(grid_dim, grid_dim, grid_dim)
+    if cfg.mesh_fill_interior and not is_background:
+        # vMAP-style fields are supervised only in a crust around observed
+        # surfaces; deep inside an object the occupancy decays below the 0.5
+        # level again and marching cubes extracts a spurious INNER shell
+        # (the reference has the same artifact). Raise fully enclosed empty
+        # regions above the level: the outer crossing band keeps its exact
+        # values (its voxels touch true outside), so subvoxel interpolation
+        # is unaffected; only interior crossings disappear.
+        from scipy import ndimage
+
+        solid = occ3 > 0.5
+        cavity = ndimage.binary_fill_holes(solid) & ~solid
+        if cavity.any():
+            occ3 = np.where(cavity, np.float32(0.51), occ3)
+
+    out = geomlib.marching_cubes(occ3, 0.5)
     if out is None:
         return None
     verts, tris = out

@@ -1,0 +1,120 @@
+"""End-to-end quality gate: train on a synthetic scene, mesh every object,
+and score reconstructions against the analytic ground truth.
+
+The synthetic scene is made of spheres with known centers/radii, so GT
+surface points are exact. Prints one JSON line with per-object and mean
+accuracy / completion (cm) and completion ratio (<5 cm, %), mirroring the
+reference's eval protocol (ref: metric/eval_3D_obj.py:28-34).
+
+Usage: python scripts/e2e_quality.py [--iters 2000] [--grid-dim 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def sphere_points(center, radius, n=10000, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return center + radius * v
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10000)
+    ap.add_argument("--grid-dim", type=int, default=128)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    from catnerf_tpu.config import Config
+    from catnerf_tpu.data.scene import OrientedBBox
+    from catnerf_tpu.data.synthetic import make_scene
+    from catnerf_tpu.mesher.mesh import TriMesh, load_mesh
+    from catnerf_tpu.mesher.meshing import mesh_scene
+    from catnerf_tpu.metrics.metrics3d import calc_3d_metric
+    from catnerf_tpu.native.lib import geomlib
+    from catnerf_tpu.train.loop import TrainingSession
+
+    def gt_sphere_mesh(center, radius, n=64):
+        t = np.linspace(-1.3 * radius, 1.3 * radius, n)
+        X, Y, Z = np.meshgrid(t, t, t, indexing="ij")
+        d = np.sqrt(X**2 + Y**2 + Z**2)
+        occ = 1.0 / (1.0 + np.exp((d - radius) * 40.0 / radius))
+        v, f = geomlib.marching_cubes(occ.astype(np.float32), 0.5)
+        v = v / (n - 1) * 2.6 * radius - 1.3 * radius + np.asarray(center)
+        return TriMesh(v, f)
+
+    cfg = Config()
+    cfg.net_hyperparams.latent_dim = 32
+    cfg.grid_dim = args.grid_dim  # live_voxel_size stays 5 mm; the cap rules
+
+    scene = make_scene(n_frames=24, width=160, height=120, n_categories=3,
+                       insts_per_cat=2, seed=0)
+    sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
+                           cam=scene.cam)
+    sess.enable_fast_path(n_inner=100)
+    psnr_hist = []
+    for chunk in range(args.iters // 100):
+        m = sess.run_fast(100)
+        psnr_hist.append(round(float(m.cat_psnr.mean()), 2))
+    print(f"psnr trajectory (per 100 iters): {psnr_hist}", file=sys.stderr)
+
+    out_dir = args.out or tempfile.mkdtemp(prefix="e2e_quality_")
+    written = mesh_scene(sess, out_dir, args.iters)
+
+    per_obj = {}
+    accs, comps, ratios = [], [], []
+    for s in scene.spheres:
+        path = written.get(s.inst_id)
+        if path is None:
+            per_obj[s.inst_id] = None
+            continue
+        rec = load_mesh(path)
+        gt_mesh = gt_sphere_mesh(s.center, s.radius)
+        # reference protocol: accuracy on the rec mesh cropped to the GT OBB
+        # (ref: metric/eval_3D_obj.py:15-27)
+        obb = OrientedBBox(center=np.asarray(s.center, np.float64),
+                           R=np.eye(3),
+                           extent=np.full(3, 2.2 * s.radius))
+        m = calc_3d_metric(rec, gt_mesh, ref_obb=obb)
+        per_obj[s.inst_id] = {"accuracy_cm": round(m["accuracy"], 3),
+                              "completion_cm": round(m["completion"], 3),
+                              "completion_ratio_pct":
+                                  round(m["completion_ratio"], 2)}
+        accs.append(m["accuracy"])
+        comps.append(m["completion"])
+        ratios.append(m["completion_ratio"])
+
+    result = {
+        "metric": "e2e_synthetic_quality",
+        "iters": args.iters,
+        "final_psnr": psnr_hist[-1] if psnr_hist else None,
+        "mean_accuracy_cm": round(float(np.mean(accs)), 3) if accs else None,
+        "mean_completion_cm": round(float(np.mean(comps)), 3) if comps else None,
+        "mean_completion_ratio_pct": (round(float(np.mean(ratios)), 2)
+                                      if ratios else None),
+        "n_meshed": len(accs),
+        "n_objects": len(scene.spheres),
+        "per_object": per_obj,
+        "mesh_dir": out_dir,
+    }
+    print(json.dumps(result))
+    ok = (len(accs) == len(scene.spheres)
+          and result["mean_accuracy_cm"] < 5.0
+          and result["mean_completion_cm"] < 5.0
+          and result["mean_completion_ratio_pct"] > 80.0)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

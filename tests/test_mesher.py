@@ -119,5 +119,34 @@ def test_mesh_field_and_eval(trained_session, tmp_path):
 def test_adaptive_grid_dim():
     # 1.0 // 0.005 = 199 in binary float (the reference's formula has the
     # same behavior, train.py:220)
-    assert meshing.adaptive_grid_dim([1.0, 0.5, 0.2], 0.005, 256) == 200
+    assert meshing.adaptive_grid_dim([1.0, 0.5, 0.2], 0.005, 256) == 224  # 200 rounded to /32
     assert meshing.adaptive_grid_dim([10, 10, 10], 0.005, 256) == 256
+
+
+def test_mesh_fill_interior_removes_inner_shell():
+    """A crust-profile occupancy (high at the surface band, decaying inside)
+    yields TWO marching-cubes shells; with mesh_fill_interior the enclosed
+    cavity is raised above the level and only the outer surface remains."""
+    import numpy as np
+    from scipy import ndimage
+    from catnerf_tpu.native.lib import geomlib
+
+    n = 64
+    t = np.linspace(-1.0, 1.0, n)
+    X, Y, Z = np.meshgrid(t, t, t, indexing="ij")
+    d = np.sqrt(X**2 + Y**2 + Z**2)
+    # crust around r=0.6 of width ~0.15: occ ~0.9 in crust, ~0.1 elsewhere
+    occ = 0.1 + 0.8 * np.exp(-((d - 0.6) / 0.1) ** 2)
+    occ = occ.astype(np.float32)
+
+    v_raw, f_raw = geomlib.marching_cubes(occ, 0.5)
+    r_raw = np.linalg.norm(v_raw / (n - 1) * 2 - 1, axis=1)
+    assert (r_raw < 0.55).sum() > 100  # inner shell present
+
+    solid = occ > 0.5
+    cavity = ndimage.binary_fill_holes(solid) & ~solid
+    occ_filled = np.where(cavity, np.float32(0.51), occ)
+    v_f, f_f = geomlib.marching_cubes(occ_filled, 0.5)
+    r_f = np.linalg.norm(v_f / (n - 1) * 2 - 1, axis=1)
+    assert (r_f < 0.55).sum() == 0  # inner shell gone
+    assert abs(np.median(r_f) - np.median(r_raw[r_raw > 0.55])) < 0.02

@@ -175,3 +175,57 @@ def test_subcategorization_on_mismatched_shapes():
     assert 107 in inst_dict
     assert 2 in inst_dict[107]
     assert 2 not in inst_dict[7]
+
+
+def test_field_pretrain_and_uncertainty_score():
+    """Self-contained pretraining mode (the reference raises
+    NotImplementedError for load_pretrained=False): fields learn the object
+    surface and the uncertainty score counts most directions reliable for a
+    fully observed synthetic sphere."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from catnerf_tpu.config import Config
+    from catnerf_tpu.data.synthetic import make_scene
+    from catnerf_tpu.geometry.field_pretrain import pretrain_object_fields
+    from catnerf_tpu.geometry.uncertainty import uncertainty_score
+    from catnerf_tpu.models import embedding, occupancy
+
+    from catnerf_tpu.geometry.registration import get_all_poses
+
+    cfg = Config()
+    scene = make_scene(n_frames=6, width=64, height=48, n_categories=1,
+                       insts_per_cat=1, seed=3)
+    s = scene.spheres[0]
+    get_all_poses(scene.inst_dict, scene.sample_dict, scene.cam)
+    info = scene.inst_dict[s.cls_id][s.inst_id]
+    assert info.get("pcs") is not None and len(info["pcs"]) > 100
+
+    fields = pretrain_object_fields(
+        [(s.inst_id, info["frame_info"], info["pcs"])],
+        scene.sample_dict, scene.cam, cfg, steps=800, n_rays=512,
+        n_inner=100, key=jax.random.PRNGKey(0))
+    field = fields[0]
+
+    # The field is supervised in a crust around the surface (vMAP sampling):
+    # occupancy just inside the surface >> occupancy outside.
+    def occ_at(pts):
+        x = (jnp.asarray(pts, jnp.float32)
+             - jnp.asarray(field["center"], jnp.float32))
+        emb = embedding.apply(field["pe"], x, scale=field["obj_scale"])
+        a, _ = occupancy.apply(field["fc"], emb, do_color=False)
+        return np.asarray(jax.nn.sigmoid(a[..., 0]))
+
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(200, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    inside = occ_at(s.center + 0.85 * s.radius * dirs)
+    outside = occ_at(s.center + 1.5 * s.radius * dirs)
+    assert inside.mean() > 0.55, (inside.mean(), outside.mean())
+    assert outside.mean() < 0.2, (inside.mean(), outside.mean())
+
+    count, entropies, metric = uncertainty_score(field, info["pcs"])
+    assert entropies.shape == (10000,)
+    # a well-observed sphere: the vast majority of directions reliable
+    assert count > 5000, count
