@@ -109,3 +109,76 @@ def init_sharded_session(key, cfg: Config, n_objs_per_cls, mesh: Mesh,
     state = init_train_state(key, cfg, n_objs_per_cls,
                              with_background=with_background)
     return shard_state(state, mesh, len(n_objs_per_cls))
+
+
+# ---------------------------------------------------------------------------
+# Sharded superstep: the production fast path over a multi-chip mesh.
+# The device ray store is sharded over 'model' along the category axis
+# (each expert shard holds its categories' rays locally); batch draws use a
+# per-category gather that stays shard-local, so the only cross-chip
+# traffic per step is the gradient all-reduce over 'data'. The background
+# store is replicated (it feeds a replicated background model).
+# ---------------------------------------------------------------------------
+
+
+def store_shardings(mesh: Mesh):
+    from catnerf_tpu.data.device_buffer import DeviceRayStore
+
+    ep = NamedSharding(mesh, P(MODEL_AXIS))
+    repl = NamedSharding(mesh, P())
+    return DeviceRayStore(packed=ep, lengths=repl, bg_packed=repl,
+                          bg_length=repl)
+
+
+def _sample_batch_sharded(store, key, n_per_cls: int, n_bg: int):
+    """Like device_buffer.sample_batch but with a per-category gather that
+    preserves the category-sharded store layout (the flat-index gather of
+    the single-chip path would reshape across the sharded axis)."""
+    import jax.numpy as jnp
+    from catnerf_tpu.data.device_buffer import (
+        _CAT_COLS, _unpack_bg, _unpack_cat)
+
+    n_cls = store.packed.shape[0]
+    k_cat, k_bg = jax.random.split(key)
+    idx = jax.random.randint(k_cat, (n_cls, n_per_cls), 0,
+                             store.lengths[:, None])
+    rows = jnp.take_along_axis(
+        store.packed, idx[:, :, None].astype(jnp.int32), axis=1)
+    cat = _unpack_cat(rows)
+
+    bg = None
+    if store.bg_packed is not None:
+        bidx = jax.random.randint(k_bg, (n_bg,), 0, store.bg_length)
+        bg = _unpack_bg(jnp.take(store.bg_packed, bidx, axis=0))
+    return cat, bg
+
+
+def make_sharded_superstep(cfg: Config, obj_mask, mesh: Mesh,
+                           state_template: TrainState, n_cls: int, store,
+                           n_per_cls: int, n_bg: int, n_inner: int,
+                           with_background: bool = True):
+    """jitted (state, key) -> (state, last-step metrics): n_inner optimizer
+    steps per dispatch, fully sharded. `store` is placed with
+    store_shardings before tracing."""
+    inner = make_train_step(cfg, obj_mask, with_background=with_background,
+                            jit=False)
+    st_sh = state_shardings(state_template, mesh, n_cls)
+    cat_sh, bg_sh = batch_shardings(mesh)
+    repl = NamedSharding(mesh, P())
+    store = jax.device_put(store, store_shardings(mesh))
+
+    def body(state, k):
+        cat, bg = _sample_batch_sharded(store, k, n_per_cls, n_bg)
+        cat = jax.lax.with_sharding_constraint(cat, cat_sh)
+        if bg is not None:
+            bg = jax.lax.with_sharding_constraint(bg, bg_sh)
+        return inner(state, cat, bg if with_background else None, k)
+
+    def superstep(state, key):
+        keys = jax.random.split(key, n_inner)
+        state, metrics = jax.lax.scan(body, state, keys)
+        return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+    metrics_sh = jax.tree_util.tree_map(lambda _: repl, _metrics_template())
+    return jax.jit(superstep, in_shardings=(st_sh, repl),
+                   out_shardings=(st_sh, metrics_sh), donate_argnums=(0,))

@@ -104,7 +104,23 @@ def main():
     if fast:
         session.enable_fast_path(n_inner=cfg.log_iter)
 
+    import math
+
+    def check_health(it, metrics):
+        """Loss-explosion / NaN detection (the reference calls exit(-1) from
+        inside the loss, ref: src/render_rays.py:87-89; here the driver
+        detects it, saves a post-mortem checkpoint, and aborts cleanly)."""
+        total = float(metrics.total)
+        if math.isfinite(total) and total < 1e8:
+            return
+        path = ckpt_mod.save_checkpoint(ckpt_dir, session.state, it)
+        writer.close()
+        raise SystemExit(
+            f"loss explosion at iteration {it} (total={total}); "
+            f"post-mortem checkpoint saved to {path}")
+
     def post_step(it, metrics):
+        check_health(it, metrics)
         if it % cfg.log_iter == 0:
             writer.log_step(session, metrics, it)
             psnr = float(metrics.cat_psnr.mean())
