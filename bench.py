@@ -30,6 +30,9 @@ N_INNER = 20
 
 def main():
     from catnerf_tpu.config import Config
+    from catnerf_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from catnerf_tpu.data.device_buffer import build_device_store, make_superstep
     from catnerf_tpu.data.synthetic import make_scene
     from catnerf_tpu.train.loop import TrainingSession

@@ -67,3 +67,18 @@ def importance_sampling_coords(key: jax.Array, weights: jnp.ndarray,
     inds = jnp.searchsorted(cdf, u, side="right")
     inds = jnp.clip(inds, 0, cdf.shape[-1] - 1)
     return inds, u, cdf
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache: repeat invocations of the CLIs and
+    benchmarks skip the 20-45s first-compile of each program. Safe to call
+    multiple times; silently no-ops on backends/versions without support."""
+    import os
+
+    path = path or os.path.expanduser("~/.cache/catnerf_tpu_xla")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

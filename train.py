@@ -37,6 +37,9 @@ def main():
     args = parser.parse_args()
 
     from catnerf_tpu.config import Config
+    from catnerf_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from catnerf_tpu.data.camera import CameraInfo
     from catnerf_tpu.mesher.meshing import mesh_scene
     from catnerf_tpu.train import checkpoint as ckpt_mod
