@@ -122,8 +122,9 @@ def make_superstep(step_fn_nojit, store: DeviceRayStore, n_per_cls: int,
 
     def superstep(state, key):
         def body(state, k):
-            cat, bg = sample_batch(store, k, n_per_cls, n_bg)
-            state, metrics = step_fn_nojit(state, cat, bg, k)
+            k_draw, k_step = jax.random.split(k)
+            cat, bg = sample_batch(store, k_draw, n_per_cls, n_bg)
+            state, metrics = step_fn_nojit(state, cat, bg, k_step)
             return state, metrics
 
         keys = jax.random.split(key, n_inner)

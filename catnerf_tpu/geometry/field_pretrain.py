@@ -79,7 +79,8 @@ def _init_field_params(key: jax.Array) -> dict:
 def pretrain_object_fields(objects: list, sample_dict: dict, cam: CameraInfo,
                            cfg: Config, *, steps: int = 1000,
                            n_rays: int = 600, key: jax.Array | None = None,
-                           n_inner: int = 100) -> list[dict]:
+                           n_inner: int = 100,
+                           max_rays_per_obj: int = 200_000) -> list[dict]:
     """Train one occupancy field per object, all objects batched.
 
     objects: list of (this_id, frame_info, pcs) — instance mask id, frame
@@ -104,6 +105,14 @@ def pretrain_object_fields(objects: list, sample_dict: dict, cam: CameraInfo,
         arrays_l.append(build_object_ray_arrays(
             frame_info, sample_dict, cam, this_id, center))
 
+    # Cap per-object buffers (uniform random subsample) so one huge object
+    # cannot blow up the padded [n_obj, max_len, 11] stack on HBM.
+    rng = np.random.default_rng(cfg.seed)
+    for i, a in enumerate(arrays_l):
+        n = a["depth"].shape[0]
+        if n > max_rays_per_obj:
+            sel = rng.choice(n, max_rays_per_obj, replace=False)
+            arrays_l[i] = {k2: v[sel] for k2, v in a.items()}
     max_len = max(a["depth"].shape[0] for a in arrays_l)
     packed = np.zeros((n_obj, max_len, 11), np.float32)
     lengths = np.zeros((n_obj,), np.int32)
@@ -115,8 +124,9 @@ def pretrain_object_fields(objects: list, sample_dict: dict, cam: CameraInfo,
     lengths_d = jnp.asarray(lengths)
     scales_d = jnp.asarray(scales, jnp.float32)
 
-    init_keys = jax.random.split(key, n_obj + 1)
-    params = jax.vmap(_init_field_params)(init_keys[1:])
+    keys = jax.random.split(key, n_obj + 1)
+    key, init_keys = keys[0], keys[1:]
+    params = jax.vmap(_init_field_params)(init_keys)
     tx = optax.adamw(LR, weight_decay=cfg.weight_decay)
     opt_state = tx.init(params)
 
@@ -163,7 +173,7 @@ def pretrain_object_fields(objects: list, sample_dict: dict, cam: CameraInfo,
         return jax.lax.scan(one_step, carry, keys)
 
     carry = (params, opt_state)
-    n_chunks = max(1, steps // n_inner)
+    n_chunks = max(1, -(-steps // n_inner))  # ceil: never trains fewer steps
     for _ in range(n_chunks):
         key, k = jax.random.split(key)
         carry, losses_hist = superstep(carry, k)

@@ -168,11 +168,12 @@ def make_sharded_superstep(cfg: Config, obj_mask, mesh: Mesh,
     store = jax.device_put(store, store_shardings(mesh))
 
     def body(state, k):
-        cat, bg = _sample_batch_sharded(store, k, n_per_cls, n_bg)
+        k_draw, k_step = jax.random.split(k)
+        cat, bg = _sample_batch_sharded(store, k_draw, n_per_cls, n_bg)
         cat = jax.lax.with_sharding_constraint(cat, cat_sh)
         if bg is not None:
             bg = jax.lax.with_sharding_constraint(bg, bg_sh)
-        return inner(state, cat, bg if with_background else None, k)
+        return inner(state, cat, bg if with_background else None, k_step)
 
     def superstep(state, key):
         keys = jax.random.split(key, n_inner)

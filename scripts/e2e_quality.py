@@ -63,14 +63,15 @@ def main():
     sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
                            cam=scene.cam)
     sess.enable_fast_path(n_inner=100)
+    iters = max(100, args.iters // 100 * 100)  # superstep granularity
     psnr_hist = []
-    for chunk in range(args.iters // 100):
+    for chunk in range(iters // 100):
         m = sess.run_fast(100)
         psnr_hist.append(round(float(m.cat_psnr.mean()), 2))
     print(f"psnr trajectory (per 100 iters): {psnr_hist}", file=sys.stderr)
 
     out_dir = args.out or tempfile.mkdtemp(prefix="e2e_quality_")
-    written = mesh_scene(sess, out_dir, args.iters)
+    written = mesh_scene(sess, out_dir, iters)
 
     per_obj = {}
     accs, comps, ratios = [], [], []
@@ -97,7 +98,7 @@ def main():
 
     result = {
         "metric": "e2e_synthetic_quality",
-        "iters": args.iters,
+        "iters": iters,
         "final_psnr": psnr_hist[-1] if psnr_hist else None,
         "mean_accuracy_cm": round(float(np.mean(accs)), 3) if accs else None,
         "mean_completion_cm": round(float(np.mean(comps)), 3) if comps else None,

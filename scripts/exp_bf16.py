@@ -1,4 +1,12 @@
-"""Experiment: does a bf16 matmul path speed up the fwd+bwd hot loop?"""
+"""Experiment: does a bf16 matmul path speed up the fwd+bwd hot loop?
+
+Caveat: the monkeypatch only reaches layers that resolve `linear` via the
+layers-module globals (i.e. linear_relu); the six direct `linear` heads stay
+f32 in the 'bf16' variant. linear_relu dominates the op count, and the
+conclusion (no speedup — TPU default matmul precision already truncates f32
+inputs to bf16) was separately confirmed by the HIGHEST-precision drift
+measurement in the fused-kernel work.
+"""
 
 from __future__ import annotations
 
