@@ -79,6 +79,11 @@ class Config:
     live_voxel_size: float = 0.005
     grid_dim: int = 256
     mesh_it: int = 10000
+    # Self-contained per-object field pretraining (used when
+    # load_pretrained is false; the reference raises NotImplementedError
+    # there). Steps/rays per object for geometry/field_pretrain.py.
+    pretrain_steps: int = 1000
+    pretrain_rays: int = 600
     # Fill fully enclosed interior cavities of the occupancy grid before
     # marching cubes, suppressing the spurious inner shells that
     # crust-supervised fields produce (quality improvement over the

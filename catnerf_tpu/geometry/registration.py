@@ -130,7 +130,8 @@ def get_uncertainty_fields(inst_dict: dict, bbox3d_dict: dict,
         objects = [(obj_id, info["frame_info"], info["pcs"])
                    for cls_id, obj_id, info in todo]
         pretrained_fields = pretrain_object_fields(
-            objects, sample_dict, cam, cfg)
+            objects, sample_dict, cam, cfg, steps=cfg.pretrain_steps,
+            n_rays=cfg.pretrain_rays)
 
     for i, (cls_id, obj_id, info) in enumerate(todo):
         if load_pretrained:
