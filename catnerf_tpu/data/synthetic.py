@@ -115,7 +115,12 @@ def make_scene(n_frames: int = 6, width: int = 80, height: int = 60,
 
     for f in range(n_frames):
         ang = 2 * np.pi * f / n_frames
-        eye = np.array([2.4 * np.cos(ang), 0.6, 2.4 * np.sin(ang)])
+        # orbit with varying elevation/radius so object surfaces are seen
+        # from above AND below (a single fixed-height ring leaves bottoms
+        # unobserved and bounds reconstruction accuracy)
+        h = 1.1 * np.sin(2.0 * ang + 0.7)
+        r = 2.4 - 0.3 * np.cos(3.0 * ang)
+        eye = np.array([r * np.cos(ang), h, r * np.sin(ang)])
         T_wc = look_at(eye, np.zeros(3))
         R, t = T_wc[:3, :3], T_wc[:3, 3]
         dirs_w = dirs_cache @ R.T
