@@ -201,9 +201,12 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
 
                 # register source onto each rotated template, pick best by
                 # normalized unidirectional chamfer
-                # (ref: category_registration.py:241-267)
-                best = None
-                for T_init, target in zip(transform_list, targets):
+                # (ref: category_registration.py:241-267). The 24 init-pose
+                # solves are independent and the native solver releases the
+                # GIL, so they run on a thread pool (the reference runs them
+                # sequentially).
+                def solve_one(args):
+                    T_init, target = args
                     R_rel, t_rel = teaser_fpfh_icp(
                         source_np_w, target, voxel_size=0.1, spc=True)
                     T_cand = np.eye(4)
@@ -211,10 +214,21 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                     T_cand[:3, 3:] = t_rel
                     T_rel = np.linalg.inv(T_init) @ T_cand
                     src_tf = transform_pointcloud_np(source_np_w, T_rel)
-                    cd = chamfer_unidirectional(src_tf, template_np_w) / scale_source
-                    if best is None or cd < best[0]:
-                        best = (cd, T_rel, src_tf)
-                chamfer_unidir, T_rel, src_tf = best
+                    cd = chamfer_unidirectional(
+                        src_tf, template_np_w) / scale_source
+                    return cd, T_rel, src_tf
+
+                from concurrent.futures import ThreadPoolExecutor
+
+                pairs = list(zip(transform_list, targets))
+                workers = min(8, len(pairs), os.cpu_count() or 1)
+                if workers > 1:
+                    with ThreadPoolExecutor(max_workers=workers) as pool:
+                        results = list(pool.map(solve_one, pairs))
+                else:
+                    results = [solve_one(p_) for p_ in pairs]
+                chamfer_unidir, T_rel, src_tf = min(results,
+                                                    key=lambda r: r[0])
                 print(f"registered obj {obj_id} in cls {cls_id}: "
                       f"chamfer={chamfer_unidir:.4f}")
 

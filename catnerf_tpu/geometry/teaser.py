@@ -90,6 +90,11 @@ def teaser_fpfh_icp(source_points: np.ndarray, target_points: np.ndarray,
     # ICP refinement at the noise bound (ref: teaser_fpfh_icp.py:85-89)
     T_icp, _, _ = geomlib.icp(src_down, tar_down, max_corr_dist=noise_bound,
                               init=T, max_iter=100)
+    # degenerate-solve guard: a failed solve must still return a valid rigid
+    # transform (the reference can crash downstream on a singular matrix)
+    if not np.isfinite(T_icp).all() or abs(np.linalg.det(T_icp[:3, :3]) - 1.0) > 0.1:
+        T_icp = T if (np.isfinite(T).all()
+                      and abs(np.linalg.det(T[:3, :3]) - 1.0) <= 0.1) else np.eye(4)
     return T_icp[:3, :3], T_icp[:3, 3:4]
 
 
