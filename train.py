@@ -34,6 +34,9 @@ def main():
                         help="per-step host-staged dispatch (the reference's "
                              "execution shape) instead of the superstep fast "
                              "path")
+    parser.add_argument("--trace", action="store_true",
+                        help="capture a jax.profiler device trace of the "
+                             "first training chunk into <logdir>/trace")
     args = parser.parse_args()
 
     from catnerf_tpu.config import Config
@@ -136,18 +139,35 @@ def main():
             written = mesh_scene(session, mesh_dir, it)
             print(f"exported {len(written)} meshes to {mesh_dir}")
 
+    def maybe_trace(first_chunk_fn):
+        if not args.trace:
+            return first_chunk_fn()
+        from catnerf_tpu.utils import device_trace
+
+        with device_trace(os.path.join(args.logdir, "trace")):
+            out = first_chunk_fn()
+        print(f"device trace written to {args.logdir}/trace")
+        return out
+
     if fast:
         n_chunks, rem = divmod(cfg.max_iter - 1 - start, cfg.log_iter)
         it = start
-        for _ in range(n_chunks):
-            metrics = session.run_fast(cfg.log_iter)
+        for c in range(n_chunks):
+            if c == 0:
+                metrics = maybe_trace(lambda: session.run_fast(cfg.log_iter))
+            else:
+                metrics = session.run_fast(cfg.log_iter)
             it += cfg.log_iter
             post_step(it, metrics)
         for j in range(it + 1, cfg.max_iter):
             post_step(j, session.step_once())
     else:
         for it in range(start + 1, cfg.max_iter):
-            post_step(it, session.step_once())
+            if it == start + 1:
+                metrics = maybe_trace(lambda: session.step_once())
+            else:
+                metrics = session.step_once()
+            post_step(it, metrics)
 
     writer.close()
 
