@@ -17,6 +17,7 @@ The basis matrix B is a *trainable* parameter, exactly as in the reference
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,9 +79,16 @@ def apply(params: dict, x: jnp.ndarray, *, scale: float,
 
     Flattening order matches the reference: frequency-major
     ([f0 d0..d20, f1 d0..d20, ...]), so the 87/42 split picks low/high bands.
+
+    Precision note: the projection runs at HIGHEST matmul precision. With
+    TPU's default (inputs truncated to bf16) the ~0.4% projection error is
+    amplified by the band scale to ~1 radian of phase noise on the
+    highest-frequency sins — silently corrupting the fine-detail features.
+    K=3, so exact f32 costs nothing.
     """
     t = x / scale
-    proj = t @ params["B"].T  # [..., 21]
+    proj = jnp.dot(t, params["B"].T,
+                   precision=jax.lax.Precision.HIGHEST)  # [..., 21]
     bands = frequency_bands(0, max_deg).astype(proj.dtype)
     xb = proj[..., None, :] * bands[:, None]  # [..., n_freqs, 21]
     xb = xb.reshape(*proj.shape[:-1], -1)

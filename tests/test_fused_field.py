@@ -166,15 +166,18 @@ def test_step_forward_fused_vs_xla_paths():
     bg = BackgroundBatch(**{k: jnp.asarray(v) for k, v in bg_np.items()})
     key = jax.random.PRNGKey(7)
 
+    # 1e-4: the kernel computes sin(pi*2^f*(t@B^T)) while the XLA path
+    # folds the bands into the basis (t@(B^T*w)) — same math, different f32
+    # association.
     a_f, c_f, _ = category_forward(sess.state.params, cat, key, cfg_f)
     a_x, c_x, _ = category_forward(sess.state.params, cat, key, cfg_x)
-    np.testing.assert_allclose(a_f, a_x, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(c_f, c_x, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(a_f, a_x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(c_f, c_x, rtol=1e-4, atol=1e-4)
 
     ab_f, cb_f, _ = background_forward(sess.state.params, bg, key, cfg_f)
     ab_x, cb_x, _ = background_forward(sess.state.params, bg, key, cfg_x)
-    np.testing.assert_allclose(ab_f, ab_x, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(cb_f, cb_x, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ab_f, ab_x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(cb_f, cb_x, rtol=1e-4, atol=1e-4)
 
 
 def _to_packed(x):
