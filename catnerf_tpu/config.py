@@ -244,6 +244,8 @@ class Config:
         cfg.load_registration_result = reg.get(
             "load_registration_result", cfg.load_registration_result
         )
+        cfg.pretrain_steps = reg.get("pretrain_steps", cfg.pretrain_steps)
+        cfg.pretrain_rays = reg.get("pretrain_rays", cfg.pretrain_rays)
         cfg.load_pretrained = reg.get("load_pretrained", cfg.load_pretrained)
         cfg.weight_root = reg.get("weight_root", cfg.weight_root)
         cfg.multi_init_pose = reg.get("multi_init_pose", cfg.multi_init_pose)

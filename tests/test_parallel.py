@@ -72,10 +72,15 @@ def test_sharded_step_matches_single_device():
     l1 = jax.tree_util.tree_leaves(s1.params)
     lN = jax.tree_util.tree_leaves(jax.device_get(sN.params))
     for a, b in zip(l1, lN):
-        # cross-device all-reduce changes summation order; tolerate the
-        # resulting f32 drift after one optimizer step
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-3, atol=2e-4)
+        # Different device counts compile to different fusion/rounding
+        # choices (TPU-default bf16 matmul truncation among them), so a few
+        # elements drift ~1e-4 after one optimizer step. Tolerate that tail
+        # but bound the MEAN drift tightly — a systematic gradient
+        # mis-scaling or wrong reduction would move every element.
+        a = np.asarray(a)
+        b = np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=2e-4)
+        assert np.mean(np.abs(a - b)) < 2e-5, np.mean(np.abs(a - b))
 
 
 def test_sharded_state_placement():
