@@ -16,7 +16,6 @@ training; parity mode keeps the exact semantics).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

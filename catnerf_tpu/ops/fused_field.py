@@ -35,8 +35,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from catnerf_tpu.models.embedding import EMB_SIZE1
-
 _N_FREQS = 6  # 2^0..2^5 (DEFAULT_MAX_DEG = 5)
 _PI = 3.14159265358979323846
 

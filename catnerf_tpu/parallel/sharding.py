@@ -19,7 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from catnerf_tpu.config import Config
-from catnerf_tpu.train.state import TrainState, make_optimizer, init_train_state
+from catnerf_tpu.train.state import TrainState, init_train_state
 from catnerf_tpu.train.step import BackgroundBatch, CategoryBatch, make_train_step
 from catnerf_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
@@ -135,8 +135,7 @@ def _sample_batch_sharded(store, key, n_per_cls: int, n_bg: int):
     preserves the category-sharded store layout (the flat-index gather of
     the single-chip path would reshape across the sharded axis)."""
     import jax.numpy as jnp
-    from catnerf_tpu.data.device_buffer import (
-        _CAT_COLS, _unpack_bg, _unpack_cat)
+    from catnerf_tpu.data.device_buffer import _unpack_bg, _unpack_cat
 
     n_cls = store.packed.shape[0]
     k_cat, k_bg = jax.random.split(key)

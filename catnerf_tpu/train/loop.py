@@ -11,7 +11,6 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from catnerf_tpu.config import Config
 from catnerf_tpu.data.camera import CameraInfo
@@ -60,6 +59,8 @@ class TrainingSession:
         )
         self.n_per_cls = self.batcher.rays_per_category(cfg.n_per_optim)
         self.iteration = 0
+        self._superstep = None
+        self._n_inner = 0
 
     # ------------------------------------------------------------------
     def _device_batches(self):
@@ -120,9 +121,6 @@ class TrainingSession:
             self.state, metrics = self._superstep(self.state, k)
             self.iteration += self._n_inner
         return metrics
-
-    _superstep = None
-    _n_inner = 0
 
     def metrics_to_dict(self, m: StepMetrics) -> dict[str, Any]:
         d = {

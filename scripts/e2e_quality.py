@@ -22,12 +22,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def sphere_points(center, radius, n=10000, seed=0):
-    rng = np.random.default_rng(seed)
-    v = rng.normal(size=(n, 3))
-    v /= np.linalg.norm(v, axis=1, keepdims=True)
-    return center + radius * v
-
 
 def main():
     ap = argparse.ArgumentParser()

@@ -150,7 +150,7 @@ def main():
         return out
 
     if fast:
-        n_chunks, rem = divmod(cfg.max_iter - 1 - start, cfg.log_iter)
+        n_chunks = (cfg.max_iter - 1 - start) // cfg.log_iter
         it = start
         for c in range(n_chunks):
             if c == 0:
