@@ -64,18 +64,35 @@ def apply(params: dict, emb: jnp.ndarray, shape_latent: jnp.ndarray,
     x2 = emb[..., emb_size1:]
     shape_blocks = len(params["shape_layers"])
     texture_blocks = len(params["texture_layers"])
+    W = params["shape_layers"][0]["w"].shape[-1]
+
+    # All shape-side latent injections share the same input (the per-ray
+    # shape code), so their projections run as ONE matmul and are sliced
+    # back out — identical math to per-layer linears, ~5x fewer ops on the
+    # latent path (these are [*, latent_dim] x [latent_dim, W] matmuls per
+    # ray, a measurable slice of the op-count-bound step).
+    zcat_params = [params["cat_latent_layer"]] if do_cat else []
+    z_all = linear_relu(
+        {
+            "w": jnp.concatenate(
+                [p["w"] for p in params["shape_latent_layers"]]
+                + [p["w"] for p in zcat_params], axis=-1),
+            "b": jnp.concatenate(
+                [p["b"] for p in params["shape_latent_layers"]]
+                + [p["b"] for p in zcat_params], axis=-1),
+        },
+        shape_latent,
+    )
 
     y = linear_relu(params["encoding_xyz"], x1)
     for j in range(shape_blocks):
         if do_cat and j == 1:
-            z = linear_relu(params["cat_latent_layer"], shape_latent)
-            y = y + z
+            y = y + z_all[..., shape_blocks * W:]
             y = jnp.concatenate(
                 [y, jnp.broadcast_to(x1, y.shape[:-1] + (x1.shape[-1],))], axis=-1
             )
             y = linear_relu(params["cat_layer"], y)
-        z = linear_relu(params["shape_latent_layers"][j], shape_latent)
-        y = y + z
+        y = y + z_all[..., j * W:(j + 1) * W]
         y = linear_relu(params["shape_layers"][j], y)
 
     y = linear(params["encoding_shape"], y)
