@@ -105,3 +105,127 @@ def load_vmap_pth(path: str) -> dict[str, Any]:
     if "bbox" in raw:
         out["bbox"] = np.asarray(raw["bbox"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Reference-format export: per-category .pth checkpoints with the exact key
+# schema the reference writes (ref: src/scene_cateogries.py:548-571), so
+# reference-side tooling can consume models trained here. Linear weights are
+# transposed back to torch's (out, in).
+# ---------------------------------------------------------------------------
+
+
+def _torch_lin(t, p: dict) -> dict:
+    return {"weight": t.tensor(np.asarray(p["w"]).T.copy()),
+            "bias": t.tensor(np.asarray(p["b"]).copy())}
+
+
+def _codenerf_state_dict(t, fc: dict) -> dict:
+    """Our CodeNeRF pytree -> reference state_dict names
+    (ref: src/model.py:36-54; Sequential wraps put Linear at index 0;
+    encoding_shape is a bare Linear; rgb is Sequential(Linear,ReLU,Linear))."""
+    sd = {}
+
+    def put(prefix, p):
+        for k, v in _torch_lin(t, p).items():
+            sd[f"{prefix}.{k}"] = v
+
+    put("encoding_xyz.0", fc["encoding_xyz"])
+    for j, p in enumerate(fc["shape_latent_layers"]):
+        put(f"shape_latent_layers.{j}.0", p)
+    for j, p in enumerate(fc["shape_layers"]):
+        put(f"shape_layers.{j}.0", p)
+    put("cat_layer.0", fc["cat_layer"])
+    put("cat_latent_layer.0", fc["cat_latent_layer"])
+    put("encoding_shape", fc["encoding_shape"])
+    put("sigma.0", fc["sigma"])
+    put("encoding_viewdir.0", fc["encoding_viewdir"])
+    for j, p in enumerate(fc["texture_latent_layers"]):
+        put(f"texture_latent_layers.{j}.0", p)
+    for j, p in enumerate(fc["texture_layers"]):
+        put(f"texture_layers.{j}.0", p)
+    put("rgb.0", fc["rgb_0"])
+    put("rgb.2", fc["rgb_1"])
+    return sd
+
+
+def _occupancy_state_dict(t, fc: dict) -> dict:
+    """(ref: src/model.py:96-122; inverse of load_vmap_pth's mapping)."""
+    sd = {}
+
+    def put(prefix, p):
+        for k, v in _torch_lin(t, p).items():
+            sd[f"{prefix}.{k}"] = v
+
+    put("in_layer.0", fc["in_layer"])
+    for j, p in enumerate(fc["mid1"]):
+        put(f"mid1.{j}.0", p)
+    put("cat_layer.0", fc["cat_layer"])
+    for j, p in enumerate(fc["mid2"]):
+        put(f"mid2.{j}.0", p)
+    put("out_alpha", fc["out_alpha"])
+    if "color_linear" in fc:
+        put("color_linear.0", fc["color_linear"])
+        put("out_color", fc["out_color"])
+    return sd
+
+
+def export_reference_checkpoints(session, path: str, iteration: int) -> list[str]:
+    """Write per-category reference-schema checkpoints
+    `<path>/cls_<id>_iteration_<it>.pth` (+ cls_0 for the background).
+
+    Bounds are stored as plain dicts {center, R, extent} instead of the
+    reference's pickled custom objects (loadable without its class defs).
+    """
+    import torch as t
+
+    os.makedirs(path, exist_ok=True)
+    written = []
+
+    def bound_dict(b):
+        return (None if b is None else
+                {"center": np.asarray(b.center), "R": np.asarray(b.R),
+                 "extent": np.asarray(b.extent)})
+
+    for cls_id in session.cls_ids:
+        cat = session.categories[session.cls_ids.index(cls_id)]
+        p = session.category_params(cls_id)
+        save = {
+            "global_step": iteration,
+            "PE_state_dict": {"B_layer.weight": t.tensor(
+                np.asarray(p["pe"]["B"]).copy())},
+            "FC_state_dict": _codenerf_state_dict(t, p["fc"]),
+            "cls_id": cls_id,
+            "instance_id_to_index": dict(cat.inst_id_to_index),
+            "obj_scale": float(session.cfg.obj_scale),
+            "obj_tensor_dict": {k: t.tensor(np.asarray(v))
+                                for k, v in cat.object_tensor_dict.items()},
+            "shape_code_state_dict": {"weight": t.tensor(
+                np.asarray(p["shape_codes"]).copy())},
+            "texture_code_state_dict": {"weight": t.tensor(
+                np.asarray(p["texture_codes"]).copy())},
+            "bound": {k: bound_dict(v) for k, v in cat.bound_dict.items()},
+        }
+        if cat.n_obj > 1:
+            save["extent_dict"] = {k: np.asarray(v)
+                                   for k, v in cat.extent_dict.items()}
+        f = os.path.join(path, f"cls_{cls_id}_iteration_{iteration:05d}.pth")
+        t.save(save, f)
+        written.append(f)
+
+    if session.background is not None:
+        bp = session.background_params()
+        save = {
+            "global_step": iteration,
+            "PE_state_dict": {"B_layer.weight": t.tensor(
+                np.asarray(bp["pe"]["B"]).copy())},
+            "FC_state_dict": _occupancy_state_dict(t, bp["fc"]),
+            "cls_id": 0,
+            "instance_id_to_index": {0: 0},
+            "obj_scale": float(session.cfg.bg_scale),
+            "bound": bound_dict(session.background.bound),
+        }
+        f = os.path.join(path, f"cls_0_iteration_{iteration:05d}.pth")
+        t.save(save, f)
+        written.append(f)
+    return written

@@ -133,3 +133,51 @@ def test_pretrained_weightroot_uncertainty_path(tmp_path):
     assert obj_id in fields[20]
     assert 0 <= counts[20][obj_id] <= 10000
     assert bbox3d[20][obj_id] is not None
+
+
+def test_export_reference_checkpoints_roundtrip(tmp_path):
+    """export_reference_checkpoints writes the reference's per-category .pth
+    schema; weights round-trip (torch (out,in) <-> ours (in,out)) and the
+    background file re-imports through load_vmap_pth with matching forward."""
+    from catnerf_tpu.config import Config
+    from catnerf_tpu.data.synthetic import make_scene
+    from catnerf_tpu.train.checkpoint import (
+        export_reference_checkpoints, load_vmap_pth)
+    from catnerf_tpu.train.loop import TrainingSession
+
+    cfg = Config()
+    cfg.net_hyperparams.latent_dim = 16
+    cfg.hidden_feature_size_bg = 32
+    scene = make_scene(n_frames=2, width=48, height=36, n_categories=2,
+                       insts_per_cat=2, seed=6)
+    sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
+                           cam=scene.cam)
+    files = export_reference_checkpoints(sess, str(tmp_path), 100)
+    assert len(files) == len(sess.cls_ids) + 1
+
+    cls_id = sess.cls_ids[0]
+    raw = torch.load(
+        os.path.join(str(tmp_path), f"cls_{cls_id}_iteration_00100.pth"),
+        weights_only=False)
+    assert raw["global_step"] == 100 and raw["cls_id"] == cls_id
+    p = sess.category_params(cls_id)
+    np.testing.assert_array_equal(
+        raw["FC_state_dict"]["encoding_xyz.0.weight"].numpy(),
+        np.asarray(p["fc"]["encoding_xyz"]["w"]).T)
+    np.testing.assert_array_equal(
+        raw["FC_state_dict"]["rgb.2.bias"].numpy(),
+        np.asarray(p["fc"]["rgb_1"]["b"]))
+    np.testing.assert_array_equal(
+        raw["shape_code_state_dict"]["weight"].numpy(),
+        np.asarray(p["shape_codes"]))
+    assert "obj_tensor_dict" in raw and "instance_id_to_index" in raw
+
+    # background file is load_vmap_pth-compatible (same OccupancyMap schema)
+    field = load_vmap_pth(
+        os.path.join(str(tmp_path), "cls_0_iteration_00100.pth"))
+    bp = sess.background_params()
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        field["fc"], bp["fc"])
+    np.testing.assert_array_equal(field["pe"]["B"], np.asarray(bp["pe"]["B"]))
