@@ -94,11 +94,19 @@ def make_scene(n_frames: int = 6, width: int = 80, height: int = 60,
 
     spheres: list[Sphere] = []
     inst_id = 1
+    # keep crowded rings non-overlapping: ring spacing is 2*pi*1.5/total, so
+    # shrink radii once the default sizes would swallow neighbours
+    total = n_categories * insts_per_cat
+    size_factor = min(1.0, 6.0 / total)
     for c in range(n_categories):
         cls_id = 80 + c
-        base_radius = 0.3 + 0.1 * c
+        base_radius = (0.3 + 0.1 * c) * size_factor
         for k in range(insts_per_cat):
-            ang = 2 * np.pi * (inst_id - 1) / (n_categories * insts_per_cat)
+            # interleave categories around the ring (k-major) so instances
+            # of the same category sit apart and large spheres don't occlude
+            # each other from the orbiting cameras
+            ang = (2 * np.pi * (k * n_categories + c)
+                   / (n_categories * insts_per_cat))
             center = np.array([1.5 * np.cos(ang), 0.0, 1.5 * np.sin(ang)])
             color = rng.uniform(0.2, 1.0, 3)
             spheres.append(Sphere(center, base_radius * (1 + 0.2 * k), color,
