@@ -149,3 +149,29 @@ def test_eval_cli_on_synthetic_fixture(tmp_path):
     assert comp < 5.0, comp
     assert ratio > 90.0, ratio    # %
     assert os.path.exists(log_dir / "room_0" / "eval_mesh" / "metrics_3D_obj.npy")
+
+
+def test_benchmark_driver_scene_mapping():
+    """run_benchmark derives eval-compatible scene names from configs."""
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "scripts"))
+    from run_benchmark import scene_name
+
+    assert scene_name("configs/Replica/config_replica_room0.json") == "room_0"
+    assert scene_name("configs/Replica/config_replica_office3.json") == "office_3"
+    sn = scene_name("configs/ScanNet/config_scannet_0066.json")
+    assert sn.startswith("scene0066"), sn
+
+
+def test_utils_timers_and_trace(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from catnerf_tpu.utils import device_trace, performance_measure
+
+    with performance_measure("unit"):
+        pass
+    with device_trace(str(tmp_path / "trace")):
+        jax.block_until_ready(jnp.ones((8,)) * 2)
+    assert os.path.isdir(tmp_path / "trace")
