@@ -25,7 +25,7 @@ import time
 import jax
 
 BASELINE_RAY_SAMPLES_PER_SEC = 10e6
-N_INNER = 20
+N_INNER = 100  # matches train.py's production dispatch shape (log_iter)
 
 
 def main():
@@ -72,7 +72,7 @@ def main():
         state, metrics = superstep(state, k)
     jax.block_until_ready(metrics.total)
 
-    n_dispatch = 30
+    n_dispatch = 8
     t0 = time.perf_counter()
     for _ in range(n_dispatch):
         key, k = jax.random.split(key)
