@@ -6,7 +6,14 @@ surface points are exact. Prints one JSON line with per-object and mean
 accuracy / completion (cm) and completion ratio (<5 cm, %), mirroring the
 reference's eval protocol (ref: metric/eval_3D_obj.py:28-34).
 
-Usage: python scripts/e2e_quality.py [--iters 2000] [--grid-dim 128]
+With --registered, the scene is first serialized to an on-disk Replica
+layout and loaded through the REAL pipeline — dataset loader, point-cloud
+accumulation, self-pretrained uncertainty fields, TEASER-style multi-init
+alignment, subcategorization — so training uses ESTIMATED object poses
+instead of ground truth. This validates registration quality end-to-end:
+mesh errors then include any pose misalignment.
+
+Usage: python scripts/e2e_quality.py [--iters 10000] [--grid-dim 128] [--registered]
 """
 
 from __future__ import annotations
@@ -28,6 +35,9 @@ def main():
     ap.add_argument("--iters", type=int, default=10000)
     ap.add_argument("--grid-dim", type=int, default=128)
     ap.add_argument("--out", default="")
+    ap.add_argument("--registered", action="store_true",
+                    help="run the full registration pipeline (estimated "
+                         "poses) instead of using ground-truth object poses")
     args = ap.parse_args()
 
     from catnerf_tpu.config import Config
@@ -54,8 +64,28 @@ def main():
 
     scene = make_scene(n_frames=24, width=160, height=120, n_categories=3,
                        insts_per_cat=2, seed=0)
-    sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
-                           cam=scene.cam)
+
+    if args.registered:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
+        from test_replica_fixture import write_replica_layout
+
+        from catnerf_tpu.data.replica import Replica
+
+        data_dir = tempfile.mkdtemp(prefix="e2e_registered_")
+        cfg.dataset_dir = data_dir
+        cfg.width, cfg.height = 160, 120
+        cfg.fx = cfg.fy = scene.cam.fx
+        cfg.cx, cfg.cy = scene.cam.cx, scene.cam.cy
+        cfg.load_pretrained = False   # self-pretrained uncertainty fields
+        write_replica_layout(scene, data_dir, cfg.depth_scale)
+        print("running full registration pipeline...", file=sys.stderr)
+        data = Replica(cfg)
+        inst_dict, sample_dict = data.inst_dict, data.sample_dict
+        sess = TrainingSession(cfg, inst_dict, sample_dict)
+    else:
+        sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
+                               cam=scene.cam)
     sess.enable_fast_path(n_inner=100)
     iters = max(100, args.iters // 100 * 100)  # superstep granularity
     psnr_hist = []
@@ -91,7 +121,8 @@ def main():
         ratios.append(m["completion_ratio"])
 
     result = {
-        "metric": "e2e_synthetic_quality",
+        "metric": ("e2e_synthetic_quality_registered" if args.registered
+                   else "e2e_synthetic_quality"),
         "iters": iters,
         "final_psnr": psnr_hist[-1] if psnr_hist else None,
         "mean_accuracy_cm": round(float(np.mean(accs)), 3) if accs else None,
