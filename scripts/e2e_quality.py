@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--iters", type=int, default=10000)
     ap.add_argument("--grid-dim", type=int, default=128)
     ap.add_argument("--out", default="")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--registered", action="store_true",
                     help="run the full registration pipeline (estimated "
                          "poses) instead of using ground-truth object poses")
@@ -63,7 +64,7 @@ def main():
     cfg.grid_dim = args.grid_dim  # live_voxel_size stays 5 mm; the cap rules
 
     scene = make_scene(n_frames=24, width=160, height=120, n_categories=3,
-                       insts_per_cat=2, seed=0)
+                       insts_per_cat=2, seed=args.seed)
 
     if args.registered:
         sys.path.insert(0, os.path.join(
@@ -132,6 +133,7 @@ def main():
         "n_meshed": len(accs),
         "n_objects": len(scene.spheres),
         "per_object": per_obj,
+        "seed": args.seed,
         "mesh_dir": out_dir,
     }
     print(json.dumps(result))
