@@ -174,8 +174,12 @@ def export_reference_checkpoints(session, path: str, iteration: int) -> list[str
     """Write per-category reference-schema checkpoints
     `<path>/cls_<id>_iteration_<it>.pth` (+ cls_0 for the background).
 
-    Bounds are stored as plain dicts {center, R, extent} instead of the
-    reference's pickled custom objects (loadable without its class defs).
+    Schema parity (ref: src/scene_cateogries.py:548-571): for object
+    categories `bound` holds the trainer's extent_dict ({obj_id: extent}),
+    exactly as the reference writes it; the background's `bound` (an Open3D
+    OBB object in the reference) is stored as a plain {center, R, extent}
+    dict loadable without Open3D. The full OBBs are additionally exported
+    under our extension key `obb_dict`.
     """
     import torch as t
 
@@ -204,7 +208,9 @@ def export_reference_checkpoints(session, path: str, iteration: int) -> list[str
                 np.asarray(p["shape_codes"]).copy())},
             "texture_code_state_dict": {"weight": t.tensor(
                 np.asarray(p["texture_codes"]).copy())},
-            "bound": {k: bound_dict(v) for k, v in cat.bound_dict.items()},
+            # ref stores bound = trainer.extent_dict for object categories
+            "bound": {k: np.asarray(v) for k, v in cat.extent_dict.items()},
+            "obb_dict": {k: bound_dict(v) for k, v in cat.bound_dict.items()},
         }
         if cat.n_obj > 1:
             save["extent_dict"] = {k: np.asarray(v)
@@ -229,3 +235,208 @@ def export_reference_checkpoints(session, path: str, iteration: int) -> list[str
         t.save(save, f)
         written.append(f)
     return written
+
+
+# ---------------------------------------------------------------------------
+# Reference-format import: the inverse of export_reference_checkpoints.
+# Loads reference-trained per-category `.pth` checkpoints (schema:
+# src/scene_cateogries.py:548-597) into a TrainingSession's stacked params,
+# so reference-trained weights can be meshed + evaluated through this stack
+# (the strongest dataset-free end-to-end parity check; VERDICT r1 item #3).
+# ---------------------------------------------------------------------------
+
+
+def _np(v) -> np.ndarray:
+    """Tolerant tensor/array/list -> numpy (torch tensors included)."""
+    if hasattr(v, "detach"):
+        return np.asarray(v.detach().cpu().numpy())
+    return np.asarray(v)
+
+
+def codenerf_params_from_state_dict(fc_sd: dict) -> dict:
+    """Reference CodeNeRF state_dict -> our parameter pytree (inverse of
+    _codenerf_state_dict; layer names per src/model.py:30-54). Block counts
+    are inferred from the keys, torch (out, in) weights transposed."""
+
+    def lin(prefix: str) -> dict:
+        return {"w": _np(fc_sd[f"{prefix}.weight"]).T.copy(),
+                "b": _np(fc_sd[f"{prefix}.bias"]).copy()}
+
+    def blocks(name: str) -> list:
+        out = []
+        j = 0
+        while f"{name}.{j}.0.weight" in fc_sd:
+            out.append(lin(f"{name}.{j}.0"))
+            j += 1
+        return out
+
+    return {
+        "encoding_xyz": lin("encoding_xyz.0"),
+        "cat_layer": lin("cat_layer.0"),
+        "cat_latent_layer": lin("cat_latent_layer.0"),
+        "encoding_shape": lin("encoding_shape"),
+        "sigma": lin("sigma.0"),
+        "encoding_viewdir": lin("encoding_viewdir.0"),
+        "rgb_0": lin("rgb.0"),
+        "rgb_1": lin("rgb.2"),
+        "shape_latent_layers": blocks("shape_latent_layers"),
+        "shape_layers": blocks("shape_layers"),
+        "texture_latent_layers": blocks("texture_latent_layers"),
+        "texture_layers": blocks("texture_layers"),
+    }
+
+
+def occupancy_params_from_state_dict(fc_sd: dict) -> dict:
+    """Reference OccupancyMap state_dict -> our pytree (inverse of
+    _occupancy_state_dict; src/model.py:86-122)."""
+
+    def lin(prefix: str) -> dict:
+        return {"w": _np(fc_sd[f"{prefix}.weight"]).T.copy(),
+                "b": _np(fc_sd[f"{prefix}.bias"]).copy()}
+
+    def blocks(name: str) -> list:
+        out = []
+        j = 0
+        while f"{name}.{j}.0.weight" in fc_sd:
+            out.append(lin(f"{name}.{j}.0"))
+            j += 1
+        return out
+
+    params = {
+        "in_layer": lin("in_layer.0"),
+        "mid1": blocks("mid1"),
+        "cat_layer": lin("cat_layer.0"),
+        "mid2": blocks("mid2"),
+        "out_alpha": lin("out_alpha"),
+    }
+    if "out_color.weight" in fc_sd:
+        params["color_linear"] = lin("color_linear.0")
+        params["out_color"] = lin("out_color")
+    return params
+
+
+def find_reference_checkpoints(path: str, iteration: int | None = None
+                               ) -> dict[int, str]:
+    """Map cls_id -> checkpoint file under `path`, picking the latest
+    iteration (or the given one) per category. Filename convention:
+    cls_<id>_iteration_<it>.pth (ref: src/scene_cateogries.py:549)."""
+    import re
+
+    found: dict[int, tuple[int, str]] = {}
+    for fn in os.listdir(path):
+        m = re.match(r"cls_(\d+)_iteration_(\d+)\.pth$", fn)
+        if not m:
+            continue
+        cls_id, it = int(m.group(1)), int(m.group(2))
+        if iteration is not None and it != iteration:
+            continue
+        if cls_id not in found or it > found[cls_id][0]:
+            found[cls_id] = (it, os.path.join(path, fn))
+    return {cls_id: fp for cls_id, (_, fp) in found.items()}
+
+
+def import_reference_checkpoints(session, path: str,
+                                 iteration: int | None = None) -> int:
+    """Load reference-schema per-category checkpoints into `session`'s
+    stacked params (PE basis, CodeNeRF/OccupancyMap weights, latent codes)
+    and per-category metadata (object tensors, extents, bounds). Mutates
+    session.state in place; optimizer moments are left untouched. Returns
+    the checkpoints' global_step."""
+    import torch
+
+    from catnerf_tpu.data.scene import OrientedBBox
+    from catnerf_tpu.train.state import TrainState
+
+    files = find_reference_checkpoints(path, iteration)
+    if not files:
+        raise FileNotFoundError(f"no cls_*_iteration_*.pth under {path}")
+
+    params = jax.tree_util.tree_map(
+        lambda x: np.array(jax.device_get(x)), session.state.params)
+    global_step = 0
+
+    def set_idx(stacked_tree, i, new_tree):
+        return jax.tree_util.tree_map(
+            lambda s, n: _assign_row(s, i, n), stacked_tree, new_tree)
+
+    def _assign_row(stacked, i, new):
+        new = np.asarray(new, stacked.dtype)
+        assert stacked.shape[1:] == new.shape, (
+            f"shape mismatch: stacked {stacked.shape} vs ckpt {new.shape}")
+        stacked[i] = new
+        return stacked
+
+    for i, cls_id in enumerate(session.cls_ids):
+        if cls_id not in files:
+            print(f"no reference checkpoint for cls {cls_id}; keeping "
+                  f"current params")
+            continue
+        raw = torch.load(files[cls_id], map_location="cpu",
+                         weights_only=False)
+        global_step = max(global_step, int(raw.get("global_step", 0)))
+        cat = session.categories[i]
+
+        params["cat_pe"] = set_idx(
+            params["cat_pe"], i, {"B": _np(raw["PE_state_dict"]["B_layer.weight"])})
+        params["cat_fc"] = set_idx(
+            params["cat_fc"], i,
+            codenerf_params_from_state_dict(raw["FC_state_dict"]))
+
+        # Latent codes: remap checkpoint rows -> session slots by obj_id.
+        ck_map = {int(k): int(v)
+                  for k, v in raw["instance_id_to_index"].items()}
+        sc = _np(raw["shape_code_state_dict"]["weight"])
+        tc = _np(raw["texture_code_state_dict"]["weight"])
+        for obj_id, slot in cat.inst_id_to_index.items():
+            if obj_id not in ck_map:
+                print(f"cls {cls_id}: obj {obj_id} missing from checkpoint")
+                continue
+            params["codes"]["shape"][i, slot] = sc[ck_map[obj_id]]
+            params["codes"]["texture"][i, slot] = tc[ck_map[obj_id]]
+
+        # Per-category metadata used by meshing/eval.
+        if "obj_tensor_dict" in raw:
+            cat.object_tensor_dict = {
+                int(k): _np(v) for k, v in raw["obj_tensor_dict"].items()}
+        if "extent_dict" in raw:
+            cat.extent_dict = {int(k): _np(v)
+                               for k, v in raw["extent_dict"].items()}
+        elif isinstance(raw.get("bound"), dict) and raw["bound"] and \
+                not any(isinstance(v, dict) for v in raw["bound"].values()):
+            # single-instance categories: ref stores bound = extent_dict
+            cat.extent_dict = {int(k): _np(v)
+                               for k, v in raw["bound"].items()}
+        if "obb_dict" in raw:  # our extension: full OBBs
+            cat.bound_dict = {
+                int(k): (None if v is None else OrientedBBox(
+                    center=_np(v["center"]), R=_np(v["R"]),
+                    extent=_np(v["extent"])))
+                for k, v in raw["obb_dict"].items()}
+
+    if session.background is not None and 0 in files:
+        raw = torch.load(files[0], map_location="cpu", weights_only=False)
+        global_step = max(global_step, int(raw.get("global_step", 0)))
+        params["bg_pe"] = jax.tree_util.tree_map(
+            lambda s, n: np.asarray(n, s.dtype), params["bg_pe"],
+            {"B": _np(raw["PE_state_dict"]["B_layer.weight"])})
+        params["bg_fc"] = jax.tree_util.tree_map(
+            lambda s, n: np.asarray(n, s.dtype), params["bg_fc"],
+            occupancy_params_from_state_dict(raw["FC_state_dict"]))
+        b = raw.get("bound")
+        if isinstance(b, dict) and "center" in b:
+            session.background.bound = OrientedBBox(
+                center=_np(b["center"]), R=_np(b["R"]),
+                extent=_np(b["extent"]))
+
+    session.state = TrainState(
+        params=jax.tree_util.tree_map(jnp_asarray, params),
+        opt_state=session.state.opt_state,
+        step=session.state.step,
+    )
+    return global_step
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)

@@ -1,0 +1,114 @@
+"""Per-stage registration error report on a synthetic known-transform scene.
+
+VERDICT r1 item #2 lever 3: attribute the registered-gate quality gap
+(GT-pose 100% ratio vs ~91% registered) to its source instead of guessing.
+Runs the REAL pipeline (Replica loader -> self-pretrained uncertainty
+fields -> multi-init TEASER-style alignment -> subcategorization) on the
+same synthetic scene as scripts/e2e_quality.py, then for every object
+reports, WITHOUT training anything:
+
+  * world-frame pose error: |t_est - center_gt| (cm), sim(3) scale error (%)
+  * canonical-frame placement: offset of the GT sphere center from the
+    canonical origin, in units of the mesh grid half-extent
+  * predicted surface clip: fraction of the GT sphere surface that falls
+    OUTSIDE the canonical mesh-eval grid (extent / (2*0.9) box). Any
+    clipped surface is a hard ceiling on completion ratio - the trained
+    field is never even evaluated there.
+
+Usage: python scripts/diag_registration.py [--seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from catnerf_tpu.config import Config
+    from catnerf_tpu.data.replica import Replica
+    from catnerf_tpu.data.synthetic import make_scene
+    from catnerf_tpu.mesher.meshing import BOUND_EXTENT_OBJ
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
+    from test_replica_fixture import write_replica_layout
+
+    cfg = Config()
+    scene = make_scene(n_frames=24, width=160, height=120, n_categories=3,
+                       insts_per_cat=2, seed=args.seed)
+    data_dir = tempfile.mkdtemp(prefix="diag_reg_")
+    cfg.dataset_dir = data_dir
+    cfg.width, cfg.height = 160, 120
+    cfg.fx = cfg.fy = scene.cam.fx
+    cfg.cx, cfg.cy = scene.cam.cx, scene.cam.cy
+    cfg.load_pretrained = False
+    write_replica_layout(scene, data_dir, cfg.depth_scale)
+    data = Replica(cfg)
+
+    sphere_by_id = {s.inst_id: s for s in scene.spheres}
+    report = []
+    for cls_id, inst_cls in data.inst_dict.items():
+        if cls_id == 0:
+            continue
+        n_inst = len(inst_cls)
+        for obj_id, info in inst_cls.items():
+            s = sphere_by_id[obj_id]
+            T = np.asarray(info["T_obj"], np.float64)
+            scale_est = np.linalg.det(T[:3, :3]) ** (1.0 / 3.0)
+            R = T[:3, :3] / scale_est
+            t = T[:3, 3]
+            bbox = info.get("bbox3D")
+            extent = (np.asarray(bbox.extent) if bbox is not None
+                      else np.array([2.0, 2.0, 2.0]))
+
+            # GT sphere surface in world frame
+            rng = np.random.default_rng(obj_id)
+            u = rng.normal(size=(4096, 3))
+            u /= np.linalg.norm(u, axis=-1, keepdims=True)
+            surf_w = s.center + s.radius * u
+
+            # canonical (normalized) frame: p_o = R^T (p - t) / s
+            surf_o = (surf_w - t) @ R / scale_est
+            center_o = (s.center - t) @ R / scale_est
+
+            # mesh grid box in normalized canonical frame (meshing.py):
+            # extent_n = extent / max(extent/2); half-box = extent_n/(2*0.9)
+            extent_n = extent / np.max(extent / 2.0)
+            half_box = extent_n / (2.0 * BOUND_EXTENT_OBJ)
+            clipped = np.any(np.abs(surf_o) > half_box, axis=-1)
+
+            report.append({
+                "cls_id": int(cls_id),
+                "obj_id": int(obj_id),
+                "subcategorized": bool(cls_id >= 100),
+                "n_inst_in_cls": n_inst,
+                "radius_m": round(float(s.radius), 4),
+                "center_err_cm": round(
+                    float(np.linalg.norm(t - s.center)) * 100, 3),
+                "scale_est": round(float(scale_est), 4),
+                "scale_err_pct": round(
+                    float(scale_est / s.radius - 1.0) * 100, 2),
+                "extent_m": [round(float(e), 4) for e in extent],
+                "extent_needed_m": round(float(2 * s.radius), 4),
+                "canon_center_offset": [round(float(c), 4) for c in center_o],
+                "surface_clip_pct": round(float(clipped.mean()) * 100, 2),
+            })
+
+    report.sort(key=lambda r: -r["surface_clip_pct"])
+    print(json.dumps({"seed": args.seed, "objects": report}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,57 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     assert np.isfinite(float(m.total))
 
 
+def test_reference_ckpt_export_import_roundtrip(tmp_path):
+    """export_reference_checkpoints -> import_reference_checkpoints restores
+    params bitwise into a fresh session (VERDICT r1 item #3). Exercises the
+    reference .pth schema (src/scene_cateogries.py:548-597) both ways."""
+    torch = pytest.importorskip("torch")  # noqa: F841
+
+    sess = _session()
+    sess.run(3, callback_every=100)
+    path = str(tmp_path / "ref_ckpt")
+    written = ckpt_mod.export_reference_checkpoints(sess, path, 3)
+    assert len(written) == len(sess.cls_ids) + 1  # + background
+
+    sess2 = _session()
+    # different init -> params differ before import
+    a0 = np.asarray(sess.state.params["cat_fc"]["sigma"]["w"])
+    b0 = np.asarray(sess2.state.params["cat_fc"]["sigma"]["w"])
+    # (same seed in _session, so force a difference via one extra step)
+    sess2.run(1, callback_every=100)
+    b0 = np.asarray(sess2.state.params["cat_fc"]["sigma"]["w"])
+    assert not np.allclose(a0, b0)
+
+    step = ckpt_mod.import_reference_checkpoints(sess2, path)
+    assert step == 3
+    for k in ("cat_pe", "cat_fc", "bg_pe", "bg_fc"):
+        for a, b in zip(jax.tree_util.tree_leaves(sess.state.params[k]),
+                        jax.tree_util.tree_leaves(sess2.state.params[k])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for kind in ("shape", "texture"):
+        # padded rows beyond real instances are not exported; compare the
+        # real slots only
+        for i, cat in enumerate(sess.categories):
+            for slot in cat.inst_id_to_index.values():
+                np.testing.assert_array_equal(
+                    np.asarray(sess.state.params["codes"][kind][i, slot]),
+                    np.asarray(sess2.state.params["codes"][kind][i, slot]))
+    # per-category metadata carried over
+    for c1, c2 in zip(sess.categories, sess2.categories):
+        assert set(c1.extent_dict) == set(c2.extent_dict)
+        for k in c1.extent_dict:
+            np.testing.assert_allclose(np.asarray(c1.extent_dict[k]),
+                                       np.asarray(c2.extent_dict[k]))
+        for k in c1.object_tensor_dict:
+            np.testing.assert_allclose(
+                np.asarray(c1.object_tensor_dict[k]),
+                np.asarray(c2.object_tensor_dict[k]))
+
+    # imported session meshes + continues training
+    m = sess2.step_once()
+    assert np.isfinite(float(m.total))
+
+
 def test_train_cli_synthetic(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

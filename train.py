@@ -37,6 +37,14 @@ def main():
     parser.add_argument("--trace", action="store_true",
                         help="capture a jax.profiler device trace of the "
                              "first training chunk into <logdir>/trace")
+    parser.add_argument("--import-reference-ckpt", type=str, default=None,
+                        metavar="DIR",
+                        help="load reference-schema per-category .pth "
+                             "checkpoints (src/scene_cateogries.py:548-597 "
+                             "format) from DIR before training")
+    parser.add_argument("--mesh-only", action="store_true",
+                        help="skip training: mesh the current (e.g. just "
+                             "imported) weights and exit")
     args = parser.parse_args()
 
     from catnerf_tpu.config import Config
@@ -85,6 +93,18 @@ def main():
     writer = MetricsWriter(args.logdir)
     ckpt_dir = os.path.join(args.logdir, "ckpt")
 
+    if args.import_reference_ckpt:
+        step = ckpt_mod.import_reference_checkpoints(
+            session, args.import_reference_ckpt)
+        print(f"imported reference checkpoints "
+              f"(global_step={step}) from {args.import_reference_ckpt}")
+
+    mesh_dir = os.path.join(args.logdir, "scene_mesh")
+    if args.mesh_only:
+        written = mesh_scene(session, mesh_dir, session.iteration)
+        print(f"exported {len(written)} meshes to {mesh_dir}")
+        return
+
     start = 0
     if args.resume:
         latest = ckpt_mod.latest_checkpoint(ckpt_dir)
@@ -99,7 +119,6 @@ def main():
           f"+ background={session.background is not None}; "
           f"{session.n_per_cls} rays/cat/step")
 
-    mesh_dir = os.path.join(args.logdir, "scene_mesh")
     # Fast path: one XLA dispatch per log_iter steps (device-resident ray
     # store + lax.scan superstep); --parity keeps the reference's per-step
     # execution shape. All periodic actions land on log_iter multiples.
