@@ -93,6 +93,10 @@ def _load() -> ctypes.CDLL:
                                            ctypes.c_float, c_ip]
         lib.max_clique_inliers.restype = ctypes.c_int
 
+        lib.max_clique_graph.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                         ctypes.c_int, c_ip]
+        lib.max_clique_graph.restype = ctypes.c_int
+
         lib.gnc_tls_solve.argtypes = [
             c_fp, c_fp, ctypes.c_int, ctypes.c_float,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8)]
@@ -267,6 +271,21 @@ class geomlib:
             _fp(a), _fp(b), len(a), noise_bound,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
         return out[:n].copy()
+
+    @staticmethod
+    def max_clique_graph(adj: np.ndarray) -> np.ndarray:
+        """EXACT max clique over a dense (n, n) bool/uint8 adjacency matrix
+        (branch & bound with coloring bounds; parity target: the PMC exact
+        solver TEASER uses, ref: helpers.py:62-64)."""
+        lib = _load()
+        a = np.ascontiguousarray(adj, dtype=np.uint8)
+        assert a.ndim == 2 and a.shape[0] == a.shape[1]
+        n = a.shape[0]
+        out = np.empty(max(n, 1), np.int32)
+        k = lib.max_clique_graph(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        return out[:k].copy()
 
     @staticmethod
     def gnc_tls(src_corr: np.ndarray, dst_corr: np.ndarray,

@@ -139,6 +139,88 @@ def test_gnc_tls_robust_to_outliers():
     np.testing.assert_allclose(T[:3, 3], t, atol=0.02)
 
 
+def _brute_force_max_clique(adj: np.ndarray) -> int:
+    """Exact max-clique size by subset enumeration (test oracle, n <= ~20)."""
+    n = adj.shape[0]
+    best = 0
+    for mask in range(1, 1 << n):
+        size = bin(mask).count("1")
+        if size <= best:
+            continue
+        members = [i for i in range(n) if mask >> i & 1]
+        ok = all(adj[i, j] for k, i in enumerate(members)
+                 for j in members[k + 1:])
+        if ok:
+            best = size
+    return best
+
+
+def test_max_clique_exact_vs_brute_force():
+    """The B&B solver is exact: matches subset-enumeration on random
+    graphs across densities (parity target: PMC exact, helpers.py:62-64)."""
+    rng = np.random.default_rng(11)
+    for density in (0.2, 0.5, 0.8):
+        for trial in range(6):
+            n = int(rng.integers(8, 17))
+            adj = rng.uniform(size=(n, n)) < density
+            adj = np.triu(adj, 1)
+            adj = (adj | adj.T).astype(np.uint8)
+            clique = geomlib.max_clique_graph(adj)
+            # returned set is a clique
+            for a in range(len(clique)):
+                for b in range(a + 1, len(clique)):
+                    assert adj[clique[a], clique[b]]
+            assert len(clique) == _brute_force_max_clique(adj), (
+                f"density={density} trial={trial}")
+
+
+def test_max_clique_beats_greedy_trap():
+    """A graph engineered so greedy expansion from high-degree seeds finds
+    a smaller clique than the true maximum: a hidden K6 among low-degree
+    vertices, plus a high-degree star-of-triangles decoy. The exact solver
+    must find the K6 (the r1 greedy solver returned the decoy triangle)."""
+    K, n_decoy = 6, 30
+    n = K + 1 + n_decoy
+    adj = np.zeros((n, n), np.uint8)
+    # hidden clique on vertices 0..K-1 (each has degree K-1 = 5)
+    for i in range(K):
+        for j in range(i + 1, K):
+            adj[i, j] = adj[j, i] = 1
+    # decoy hub (vertex K) connected to all decoy leaves, leaves paired into
+    # triangles with the hub -> hub degree 30, clique through hub is only 3
+    hub = K
+    for leaf in range(K + 1, n):
+        adj[hub, leaf] = adj[leaf, hub] = 1
+    for leaf in range(K + 1, n - 1, 2):
+        adj[leaf, leaf + 1] = adj[leaf + 1, leaf] = 1
+    clique = geomlib.max_clique_graph(adj)
+    assert len(clique) == K
+    assert set(clique.tolist()) == set(range(K))
+
+
+def test_max_clique_large_registration_graph():
+    """6000-node consistency graph (the production clique budget): a 300-
+    strong inlier clique among 5700 noise vertices solves exactly and fast."""
+    import time
+
+    rng = np.random.default_rng(7)
+    n_in, n_out = 300, 5700
+    src = rng.uniform(-1, 1, (n_in + n_out, 3)).astype(np.float32)
+    R = Rotation.from_euler("xyz", [33, -50, 12], degrees=True).as_matrix()
+    dst = (src @ R.T + np.array([0.3, 0.1, -0.2])).astype(np.float32)
+    dst[:n_in] += rng.normal(0, 0.003, (n_in, 3))
+    dst[n_in:] = rng.uniform(-2, 2, (n_out, 3))
+    perm = rng.permutation(n_in + n_out)
+    src, dst = src[perm], dst[perm]
+    t0 = time.time()
+    clique = geomlib.max_clique(src, dst, noise_bound=0.01)
+    elapsed = time.time() - t0
+    inlier_ids = set(np.nonzero(perm < n_in)[0].tolist())
+    assert len(clique) >= n_in * 0.95
+    assert len(inlier_ids & set(clique.tolist())) >= n_in * 0.95
+    assert elapsed < 60, f"clique solve too slow: {elapsed:.1f}s"
+
+
 def test_gnc_tls_degenerate():
     T, m = geomlib.gnc_tls(np.zeros((2, 3), np.float32),
                            np.zeros((2, 3), np.float32), 0.01)
