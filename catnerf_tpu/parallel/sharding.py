@@ -159,6 +159,10 @@ def make_sharded_superstep(cfg: Config, obj_mask, mesh: Mesh,
     """jitted (state, key) -> (state, last-step metrics): n_inner optimizer
     steps per dispatch, fully sharded. `store` is placed with
     store_shardings before tracing."""
+    # A background-less store cannot feed a background-expecting step
+    # (tracing inner(state, cat, None) with with_background=True fails at
+    # jit time): derive the effective flag from the store.
+    with_background = with_background and store.bg_packed is not None
     inner = make_train_step(cfg, obj_mask, with_background=with_background,
                             jit=False)
     st_sh = state_shardings(state_template, mesh, n_cls)

@@ -1,0 +1,54 @@
+"""Seeded loss-curve regression pin (VERDICT r1 item #10).
+
+A 200-iteration synthetic training run is pinned against a golden trace
+(tests/golden/loss_curve_seed0.json, generated on the CPU backend this
+suite runs on). Any silent numerics drift in the hot path — sampling, PE,
+CodeNeRF, rendering, losses, optimizer — moves the curve and fails this
+test. Tolerances leave room for XLA fusion-order noise but not for
+semantic changes (a wrong mask, scale, or RNG stream shifts PSNR by >1).
+
+Regenerate the golden (only after an INTENDED semantic change, with the
+same config below): see the generation snippet in git history / this file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from catnerf_tpu.config import Config
+from catnerf_tpu.data.synthetic import make_scene
+from catnerf_tpu.train.loop import TrainingSession
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                      "loss_curve_seed0.json")
+
+
+def test_loss_curve_matches_golden():
+    cfg = Config()
+    cfg.net_hyperparams.latent_dim = 16
+    cfg.hidden_feature_size_bg = 32
+    cfg.n_per_optim = 48
+    cfg.n_per_optim_bg = 128
+    scene = make_scene(n_frames=4, width=64, height=48, n_categories=2,
+                       insts_per_cat=2, seed=0)
+    sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
+                           cam=scene.cam)
+    total, cat_psnr, bg_psnr = [], [], []
+    for i in range(200):
+        m = sess.step_once()
+        if (i + 1) % 10 == 0:
+            total.append(float(m.total))
+            cat_psnr.append(float(m.cat_psnr.mean()))
+            bg_psnr.append(float(m.bg_psnr))
+
+    golden = json.load(open(GOLDEN))
+    d_psnr = np.abs(np.asarray(cat_psnr) - np.asarray(golden["cat_psnr"]))
+    d_bg = np.abs(np.asarray(bg_psnr) - np.asarray(golden["bg_psnr"]))
+    rel_total = np.abs(np.asarray(total) / np.asarray(golden["total"]) - 1.0)
+    assert d_psnr.max() < 0.35, (cat_psnr, golden["cat_psnr"])
+    assert d_psnr.mean() < 0.1
+    assert d_bg.max() < 0.35
+    assert rel_total.max() < 0.08 and rel_total.mean() < 0.02

@@ -177,6 +177,47 @@ def test_subcategorization_on_mismatched_shapes():
     assert 2 not in inst_dict[7]
 
 
+def test_scale_aware_registration_absorbs_size_variation():
+    """Same shape at 1.45x the size: rigid-only registration cannot absorb
+    the size difference (normalized Chamfer ~0.2 > eta2 -> wrong split into
+    a singleton subcategory, losing category-level field sharing);
+    scale-aware registration accepts it and recovers the relative scale in
+    the sim(3) T_obj."""
+    rng = np.random.default_rng(8)
+    box = _box_cloud(rng, n=4000, extents=(0.8, 0.5, 0.3))
+    small = box + np.array([0.0, 0.0, 0.0])
+    from scipy.spatial.transform import Rotation
+
+    R = Rotation.from_euler("xyz", [0, 35, 0], degrees=True).as_matrix()
+    big = (box * 1.45) @ R.T + np.array([2.0, 0.1, -0.5])
+
+    def run(scale_aware):
+        inst_dict = {9: {1: {"frame_info": [], "pcs": small.copy()},
+                         2: {"frame_info": [], "pcs": big.copy()}}}
+        count_dict = {9: {1: 100, 2: 50}}
+        bbox3d_dict = {9: {1: None, 2: None}}
+        align_poses(inst_dict, bbox3d_dict, count_dict, {}, name="replica",
+                    scale_aware=scale_aware)
+        return inst_dict
+
+    # rigid-only: wrongly subcategorized
+    rigid = run(scale_aware=False)
+    assert 109 in rigid and 2 in rigid[109]
+
+    # scale-aware: accepted into the category; canonical clouds overlap
+    sa = run(scale_aware=True)
+    assert 109 not in sa and 2 in sa[9]
+    T1, T2 = sa[9][1]["T_obj"], sa[9][2]["T_obj"]
+    s1 = np.linalg.det(T1[:3, :3]) ** (1 / 3)
+    s2 = np.linalg.det(T2[:3, :3]) ** (1 / 3)
+    assert abs(s2 / s1 - 1.45) < 0.1, (s1, s2)
+    c1 = transform_pointcloud_np(small, np.linalg.inv(T1))
+    c2 = transform_pointcloud_np(big, np.linalg.inv(T2))
+    from catnerf_tpu.geometry.pointcloud import chamfer_unidirectional
+
+    assert chamfer_unidirectional(c1, c2) < 0.05  # shared canonical frame
+
+
 def test_field_pretrain_and_uncertainty_score():
     """Self-contained pretraining mode (the reference raises
     NotImplementedError for load_pretrained=False): fields learn the object
@@ -229,3 +270,38 @@ def test_field_pretrain_and_uncertainty_score():
     assert entropies.shape == (10000,)
     # a well-observed sphere: the vast majority of directions reliable
     assert count > 5000, count
+
+
+def test_uncertainty_fields_empty_frame_info_falls_back():
+    """An object with a point cloud but no frame_info (e.g. a ScanNet
+    instance surviving only through TSDF accumulation) must take the
+    coverage_score fallback instead of crashing field pretraining
+    (ADVICE r1 finding)."""
+    import numpy as np
+
+    from catnerf_tpu.config import Config
+    from catnerf_tpu.data.synthetic import make_scene
+    from catnerf_tpu.geometry.registration import (
+        get_all_poses, get_uncertainty_fields)
+
+    cfg = Config()
+    cfg.load_pretrained = False
+    cfg.pretrain_steps = 100
+    cfg.pretrain_rays = 128
+    scene = make_scene(n_frames=4, width=64, height=48, n_categories=1,
+                       insts_per_cat=2, seed=1)
+    get_all_poses(scene.inst_dict, scene.sample_dict, scene.cam)
+    cls_id = scene.spheres[0].cls_id
+    objs = sorted(scene.inst_dict[cls_id])
+    # strip one object's frame_info, keep its cloud
+    scene.inst_dict[cls_id][objs[1]]["frame_info"] = []
+
+    count_dict, bbox3d_dict, field_dict = {}, {}, {}
+    get_uncertainty_fields(scene.inst_dict, bbox3d_dict, count_dict,
+                           field_dict, cfg, load_pretrained=False,
+                           sample_dict=scene.sample_dict, cam=scene.cam)
+    # both objects scored; the stripped one via the geometric fallback
+    assert count_dict[cls_id][objs[0]] > 0
+    assert count_dict[cls_id][objs[1]] > 0
+    assert objs[0] in field_dict[cls_id]
+    assert objs[1] not in field_dict[cls_id]
