@@ -48,8 +48,17 @@ class Replica:
 
         result_file = os.path.join(self.root_dir, "inst_dict.pkl")
         if cfg.load_registration_result and os.path.exists(result_file):
-            with open(result_file, "rb") as f:
-                self.inst_dict = pickle.load(f)
+            # tolerant reader: a REFERENCE-preprocessed cache (with pickled
+            # open3d OBB objects, ref: src/dataset.py:87-88) loads without
+            # open3d; unrecoverable bounds are recomputed from the frames
+            from catnerf_tpu.data.interop import (
+                load_reference_inst_dict, repair_inst_dict)
+
+            self.inst_dict = load_reference_inst_dict(result_file)
+            n = repair_inst_dict(self.inst_dict, self.sample_dict, self.cam,
+                                 name=self.name)
+            if n:
+                print(f"recomputed {n} bounds from reference cache")
         elif run_registration:
             from catnerf_tpu.geometry.registration import run_registration
 

@@ -65,8 +65,17 @@ class ScanNet:
 
         result_file = os.path.join(self.root_dir, "inst_dict.pkl")
         if cfg.load_registration_result and os.path.exists(result_file):
-            with open(result_file, "rb") as f:
-                self.inst_dict = pickle.load(f)
+            # tolerant reader for reference-preprocessed caches (see
+            # data/interop.py); ScanNet clouds come from TSDF so missing
+            # bounds are recomputed from unprojected frames as a fallback
+            from catnerf_tpu.data.interop import (
+                load_reference_inst_dict, repair_inst_dict)
+
+            self.inst_dict = load_reference_inst_dict(result_file)
+            n = repair_inst_dict(self.inst_dict, self.sample_dict, self.cam,
+                                 name=self.name)
+            if n:
+                print(f"recomputed {n} bounds from reference cache")
         elif run_registration:
             from catnerf_tpu.geometry.registration import run_registration
 
