@@ -89,12 +89,23 @@ class Config:
     # crust-supervised fields produce (quality improvement over the
     # reference, which extracts them).
     mesh_fill_interior: bool = True
+    # Grow the mesh-eval grid when the iso-surface touches a boundary face
+    # (ours; the reference clips objects whose observed-cloud OBB
+    # underestimates the true extent — measured 9-24% surface loss on the
+    # registered gate, scripts/diag_registration.py). Disable together with
+    # mesh_fill_interior for strict-parity mesh comparisons.
+    mesh_adaptive_bounds: bool = True
 
     # --- registration ---
     load_registration_result: bool = True
     load_pretrained: bool = True
     weight_root: str = ""
     multi_init_pose: bool = True
+    # Normalize clouds to unit half-extent before the rigid solve and carry
+    # the relative scale in sim(3) T_rel (ours; rigid-only registration
+    # wrongly subcategorizes same-shape different-size instances — see
+    # geometry/registration.py::align_poses). Disable for strict parity.
+    scale_aware_registration: bool = True
     eta1: float = 0.06
     eta2: float = 0.15
     eta3: float = 0.12
@@ -249,6 +260,8 @@ class Config:
         cfg.load_pretrained = reg.get("load_pretrained", cfg.load_pretrained)
         cfg.weight_root = reg.get("weight_root", cfg.weight_root)
         cfg.multi_init_pose = reg.get("multi_init_pose", cfg.multi_init_pose)
+        cfg.scale_aware_registration = reg.get(
+            "scale_aware_registration", cfg.scale_aware_registration)
         cfg.eta1 = reg.get("eta1", cfg.eta1)
         cfg.eta2 = reg.get("eta2", cfg.eta2)
         cfg.eta3 = reg.get("eta3", cfg.eta3)

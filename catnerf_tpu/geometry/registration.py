@@ -123,15 +123,23 @@ def get_uncertainty_fields(inst_dict: dict, bbox3d_dict: dict,
                 todo.append((cls_id, obj_id, info))
 
     pretrained_fields = None
+    # Objects with a point cloud but no frame_info (e.g. ScanNet instances
+    # surviving only through TSDF accumulation) cannot be ray-pretrained;
+    # they take the geometric coverage_score fallback below.
+    trainable = {(c, o) for c, o, info in todo if info.get("frame_info")}
     if (not load_pretrained and sample_dict is not None and cam is not None
-            and todo):
+            and trainable):
         from catnerf_tpu.geometry.field_pretrain import pretrain_object_fields
 
         objects = [(obj_id, info["frame_info"], info["pcs"])
-                   for cls_id, obj_id, info in todo]
-        pretrained_fields = pretrain_object_fields(
+                   for cls_id, obj_id, info in todo
+                   if (cls_id, obj_id) in trainable]
+        fields = pretrain_object_fields(
             objects, sample_dict, cam, cfg, steps=cfg.pretrain_steps,
             n_rays=cfg.pretrain_rays)
+        it = iter(fields)
+        pretrained_fields = [next(it) if (c, o) in trainable else None
+                             for c, o, _ in todo]
 
     for i, (cls_id, obj_id, info) in enumerate(todo):
         if load_pretrained:
@@ -140,7 +148,7 @@ def get_uncertainty_fields(inst_dict: dict, bbox3d_dict: dict,
             ckpt_dir = os.path.join(cfg.weight_root, "ckpt", str(obj_id))
             ckpt_paths = sorted(os.listdir(ckpt_dir))
             field = load_vmap_pth(os.path.join(ckpt_dir, ckpt_paths[-1]))
-        elif pretrained_fields is not None:
+        elif pretrained_fields is not None and pretrained_fields[i] is not None:
             field = pretrained_fields[i]
         else:
             bbox3d_dict[cls_id][obj_id] = None
@@ -153,11 +161,66 @@ def get_uncertainty_fields(inst_dict: dict, bbox3d_dict: dict,
         count_dict[cls_id][obj_id] = count
 
 
+def _polish_candidate(source_w: np.ndarray, template_w: np.ndarray,
+                      T_rel: np.ndarray, s_tmpl: float) -> np.ndarray:
+    """Final re-refinement of the winning registration candidate
+    (VERDICT r1 item #2): multi-scale point-to-point ICP on the FULL
+    resolution clouds (the in-solver ICP runs on voxel-downsampled clouds at
+    the 0.01 noise bound, ref: teaser_fpfh_icp.py:85-89, whose ~voxel/2
+    quantization error it cannot see past), then one Umeyama similarity
+    step to absorb residual scale error. Returns the corrected T_rel."""
+    from catnerf_tpu.native.lib import geomlib
+
+    src = np.asarray(source_w, np.float32)
+    tmpl = np.asarray(template_w, np.float32)
+    T_acc = np.eye(4)
+    src_tf = transform_pointcloud_np(src, T_rel).astype(np.float32)
+    for frac in (0.15, 0.05, 0.02):
+        T_acc, _, _ = geomlib.icp(src_tf, tmpl,
+                                  max_corr_dist=float(frac * s_tmpl),
+                                  init=T_acc, max_iter=50)
+
+    cur = transform_pointcloud_np(src_tf, T_acc)
+    kd = geomlib.KDTree(tmpl)
+    dist, idx = kd.query(cur.astype(np.float32))
+    mask = dist < 0.05 * s_tmpl
+    if mask.sum() >= 16:
+        a = cur[mask]
+        b = tmpl[idx[mask]].astype(np.float64)
+        ca, cb = a.mean(0), b.mean(0)
+        a0, b0 = a - ca, b - cb
+        H = b0.T @ a0
+        U, S, Vt = np.linalg.svd(H)
+        d = np.sign(np.linalg.det(U @ Vt))
+        D = np.diag([1.0, 1.0, d])
+        R = U @ D @ Vt
+        var_a = (a0**2).sum()
+        s = float((S * np.diag(D)).sum() / var_a) if var_a > 0 else 1.0
+        s = float(np.clip(s, 0.8, 1.25))  # polish only; big scale was solved
+        T_sim = np.eye(4)
+        T_sim[:3, :3] = s * R
+        T_sim[:3, 3] = cb - s * (R @ ca)
+        T_acc = T_sim @ T_acc
+    return T_acc @ T_rel
+
+
 def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                 field_dict: dict, name: str = "replica",
                 multi_init_pose: bool = True, eta1: float = 0.06,
-                eta2: float = 0.15, eta3: float = 0.12) -> None:
-    """Stage 3 (ref: src/category_registration.py:179-324)."""
+                eta2: float = 0.15, eta3: float = 0.12,
+                scale_aware: bool = True) -> None:
+    """Stage 3 (ref: src/category_registration.py:179-324).
+
+    scale_aware (ours; the reference registers raw metric clouds): normalize
+    source and rotated-template clouds to unit half-extent before the rigid
+    solve and fold the relative scale back into a sim(3) T_rel. Rigid
+    registration cannot absorb intra-category size variation (a 20% radius
+    difference alone costs ~0.17 normalized Chamfer — past eta2), so the
+    reference wrongly subcategorizes same-shape different-size instances,
+    losing exactly the category-level field sharing the method is built on.
+    The per-instance sim(3) scale is re-estimated downstream from the
+    aligned cloud (get_obb), so a scaled T_rel is fully consistent.
+    Disable (cfg.scale_aware_registration=false) for strict parity."""
     t1 = time.time()
     cls_id_add = 100 if name == "replica" else 10000
 
@@ -198,6 +261,7 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                 source_np_w = np.asarray(inst_dict_cls[obj_id]["pcs"])
                 scale_source = np.max(
                     source_np_w.max(0) - source_np_w.min(0)) / 2.0
+                c_src = (source_np_w.max(0) + source_np_w.min(0)) / 2.0
 
                 # register source onto each rotated template, pick best by
                 # normalized unidirectional chamfer
@@ -207,15 +271,31 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                 # sequentially).
                 def solve_one(args):
                     T_init, target = args
-                    R_rel, t_rel = teaser_fpfh_icp(
-                        source_np_w, target, voxel_size=0.1, spc=True)
-                    T_cand = np.eye(4)
-                    T_cand[:3, :3] = R_rel
-                    T_cand[:3, 3:] = t_rel
+                    if scale_aware:
+                        c_tgt = (target.max(0) + target.min(0)) / 2.0
+                        s_tgt = np.max(target.max(0) - target.min(0)) / 2.0
+                        src_n = (source_np_w - c_src) / scale_source
+                        tgt_n = (target - c_tgt) / s_tgt
+                        R_rel, t_rel = teaser_fpfh_icp(
+                            src_n, tgt_n, voxel_size=0.1, spc=True)
+                        # T_cand = denorm_tgt @ T_rigid @ norm_src: a sim(3)
+                        # with scale s_tgt / scale_source
+                        T_cand = np.eye(4)
+                        T_cand[:3, :3] = (s_tgt / scale_source) * R_rel
+                        T_cand[:3, 3] = (s_tgt * (t_rel[:, 0]
+                                         - (R_rel @ c_src) / scale_source)
+                                         + c_tgt)
+                        norm = s_tgt
+                    else:
+                        R_rel, t_rel = teaser_fpfh_icp(
+                            source_np_w, target, voxel_size=0.1, spc=True)
+                        T_cand = np.eye(4)
+                        T_cand[:3, :3] = R_rel
+                        T_cand[:3, 3:] = t_rel
+                        norm = scale_source
                     T_rel = np.linalg.inv(T_init) @ T_cand
                     src_tf = transform_pointcloud_np(source_np_w, T_rel)
-                    cd = chamfer_unidirectional(
-                        src_tf, template_np_w) / scale_source
+                    cd = chamfer_unidirectional(src_tf, template_np_w) / norm
                     return cd, T_rel, src_tf
 
                 from concurrent.futures import ThreadPoolExecutor
@@ -229,6 +309,12 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                     results = [solve_one(p_) for p_ in pairs]
                 chamfer_unidir, T_rel, src_tf = min(results,
                                                     key=lambda r: r[0])
+                if scale_aware:
+                    T_rel = _polish_candidate(source_np_w, template_np_w,
+                                              T_rel, scale_template)
+                    src_tf = transform_pointcloud_np(source_np_w, T_rel)
+                    chamfer_unidir = chamfer_unidirectional(
+                        src_tf, template_np_w) / scale_template
                 print(f"registered obj {obj_id} in cls {cls_id}: "
                       f"chamfer={chamfer_unidir:.4f}")
 
@@ -279,4 +365,5 @@ def run_registration(inst_dict: dict, sample_dict: dict, cam: CameraInfo,
                            sample_dict=sample_dict, cam=cam)
     align_poses(inst_dict, bbox3d_dict, count_dict, field_dict, name=name,
                 multi_init_pose=cfg.multi_init_pose, eta1=cfg.eta1,
-                eta2=cfg.eta2, eta3=cfg.eta3)
+                eta2=cfg.eta2, eta3=cfg.eta3,
+                scale_aware=cfg.scale_aware_registration)

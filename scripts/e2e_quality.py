@@ -39,6 +39,17 @@ def main():
     ap.add_argument("--registered", action="store_true",
                     help="run the full registration pipeline (estimated "
                          "poses) instead of using ground-truth object poses")
+    ap.add_argument("--parity", action="store_true",
+                    help="train with the reference's sampling semantics "
+                         "(per-epoch shuffle cursor, one dispatch per step) "
+                         "instead of the superstep fast path, to measure "
+                         "fast-vs-parity convergence equivalence")
+    ap.add_argument("--dataset", choices=("replica", "scannet"),
+                    default="replica",
+                    help="on-disk layout + loader for --registered: replica "
+                         "(unprojection accumulation) or scannet (TSDF "
+                         "fusion, geometric-segmentation mask refinement, "
+                         "inf-pose skipping; ref: src/dataset.py:188-439)")
     args = ap.parse_args()
 
     from catnerf_tpu.config import Config
@@ -69,30 +80,59 @@ def main():
     if args.registered:
         sys.path.insert(0, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
-        from test_replica_fixture import write_replica_layout
-
-        from catnerf_tpu.data.replica import Replica
-
-        data_dir = tempfile.mkdtemp(prefix="e2e_registered_")
+        data_dir = tempfile.mkdtemp(prefix=f"e2e_registered_{args.dataset}_")
         cfg.dataset_dir = data_dir
         cfg.width, cfg.height = 160, 120
         cfg.fx = cfg.fy = scene.cam.fx
         cfg.cx, cfg.cy = scene.cam.cx, scene.cam.cy
         cfg.load_pretrained = False   # self-pretrained uncertainty fields
-        write_replica_layout(scene, data_dir, cfg.depth_scale)
-        print("running full registration pipeline...", file=sys.stderr)
-        data = Replica(cfg)
+        if args.dataset == "scannet":
+            from test_scannet_fixture import CLS_OFFSET, write_scannet_layout
+
+            from catnerf_tpu.data.scannet import ScanNet
+
+            cfg.dataset_format = "ScanNet"
+            cfg.mw = cfg.mh = 4            # edge crop (ref: cfg mw=10)
+            cfg.use_refined_mask = True    # geometric segmentation path
+            write_scannet_layout(scene, data_dir, cfg.depth_scale)
+            # corrupt one pose to exercise inf-pose frame skipping
+            # (ref: src/dataset.py:295-301)
+            inf_frame = max(scene.sample_dict.keys())
+            np.savetxt(os.path.join(data_dir, "pose", f"{inf_frame}.txt"),
+                       np.full((4, 4), np.inf))
+            print("running full ScanNet registration pipeline...",
+                  file=sys.stderr)
+            data = ScanNet(cfg)
+            # loader remaps: inst +1, cls + CLS_OFFSET; remap eval targets
+            for s in scene.spheres:
+                s.inst_id += 1
+                s.cls_id += CLS_OFFSET
+        else:
+            from test_replica_fixture import write_replica_layout
+
+            from catnerf_tpu.data.replica import Replica
+
+            write_replica_layout(scene, data_dir, cfg.depth_scale)
+            print("running full registration pipeline...", file=sys.stderr)
+            data = Replica(cfg)
         inst_dict, sample_dict = data.inst_dict, data.sample_dict
         sess = TrainingSession(cfg, inst_dict, sample_dict)
     else:
         sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
                                cam=scene.cam)
-    sess.enable_fast_path(n_inner=100)
     iters = max(100, args.iters // 100 * 100)  # superstep granularity
     psnr_hist = []
-    for chunk in range(iters // 100):
-        m = sess.run_fast(100)
-        psnr_hist.append(round(float(m.cat_psnr.mean()), 2))
+    if args.parity:
+        for chunk in range(iters // 100):
+            m = None
+            for _ in range(100):
+                m = sess.step_once()
+            psnr_hist.append(round(float(m.cat_psnr.mean()), 2))
+    else:
+        sess.enable_fast_path(n_inner=100)
+        for chunk in range(iters // 100):
+            m = sess.run_fast(100)
+            psnr_hist.append(round(float(m.cat_psnr.mean()), 2))
     print(f"psnr trajectory (per 100 iters): {psnr_hist}", file=sys.stderr)
 
     out_dir = args.out or tempfile.mkdtemp(prefix="e2e_quality_")
@@ -122,8 +162,9 @@ def main():
         ratios.append(m["completion_ratio"])
 
     result = {
-        "metric": ("e2e_synthetic_quality_registered" if args.registered
-                   else "e2e_synthetic_quality"),
+        "metric": (("e2e_synthetic_quality_registered"
+                    + ("_scannet" if args.dataset == "scannet" else ""))
+                   if args.registered else "e2e_synthetic_quality"),
         "iters": iters,
         "final_psnr": psnr_hist[-1] if psnr_hist else None,
         "mean_accuracy_cm": round(float(np.mean(accs)), 3) if accs else None,
@@ -134,6 +175,7 @@ def main():
         "n_objects": len(scene.spheres),
         "per_object": per_obj,
         "seed": args.seed,
+        "sampling": "parity" if args.parity else "fast",
         "mesh_dir": out_dir,
     }
     print(json.dumps(result))
