@@ -95,6 +95,11 @@ class Config:
     # registered gate, scripts/diag_registration.py). Disable together with
     # mesh_fill_interior for strict-parity mesh comparisons.
     mesh_adaptive_bounds: bool = True
+    # Zero out grid voxels any training view observed as free space before
+    # mesh extraction (ours; removes spurious never-supervised occupancy —
+    # measured up to 36% junk mesh vertices on partially observed objects).
+    # Disable with the other mesh_* flags for strict-parity comparisons.
+    mesh_space_carving: bool = True
 
     # --- registration ---
     load_registration_result: bool = True

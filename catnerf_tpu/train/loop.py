@@ -31,6 +31,8 @@ class TrainingSession:
         self.cfg = cfg
         cam = cam if cam is not None else CameraInfo.from_config(cfg)
         self.cam = cam
+        # kept for mesh-time space carving (cfg.mesh_space_carving)
+        self.sample_dict = sample_dict
 
         cls_ids = sorted(k for k in inst_dict.keys() if k != 0)
         assert len(cls_ids) <= cfg.max_n_models, (
