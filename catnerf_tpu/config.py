@@ -256,6 +256,12 @@ class Config:
         cfg.live_voxel_size = vis.get("live_voxel_size", cfg.live_voxel_size)
         cfg.grid_dim = vis.get("grid_dim", cfg.grid_dim)
         cfg.mesh_it = vis.get("mesh_it", cfg.mesh_it)
+        cfg.mesh_fill_interior = vis.get(
+            "mesh_fill_interior", cfg.mesh_fill_interior)
+        cfg.mesh_adaptive_bounds = vis.get(
+            "mesh_adaptive_bounds", cfg.mesh_adaptive_bounds)
+        cfg.mesh_space_carving = vis.get(
+            "mesh_space_carving", cfg.mesh_space_carving)
 
         cfg.load_registration_result = reg.get(
             "load_registration_result", cfg.load_registration_result

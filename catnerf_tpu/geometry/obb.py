@@ -107,9 +107,19 @@ def get_pose_from_pointcloud(points: np.ndarray):
     return T_obj, bbox3d
 
 
-def get_obb(inst_info: dict) -> None:
+def get_obb(inst_info: dict, scale: float | None = None) -> None:
     """Recompute an instance's OBB in its canonical frame and re-scale
-    T_obj by max(extent)/2 (ref: src/utils.py:270-284). Mutates inst_info."""
+    T_obj by max(extent)/2 (ref: src/utils.py:270-284). Mutates inst_info.
+
+    scale (ours): override for the re-derived sim(3) scale. The reference
+    derives it from the observed canonical extent, which measures
+    2*max(max, -min) about the INHERITED canonical origin — on partially
+    observed instances the template-OBB-center offset inflates that by up
+    to ~25% (measured +22.7%, scripts/diag_registration.py), breaking the
+    cross-instance canonical-scale consistency the shared category field
+    depends on. scale_aware registration passes the registration's own
+    scale estimate (s_template / s(T_rel)) instead; the extent stays
+    reference-semantics (world units) either way."""
     Two = np.copy(inst_info["T_obj"])
     scale_before = np.linalg.det(Two[:3, :3]) ** (1.0 / 3.0)
     Two[:3, :3] = Two[:3, :3] / scale_before
@@ -121,7 +131,8 @@ def get_obb(inst_info: dict) -> None:
         np.stack([points_o.max(axis=0), -points_o.min(axis=0)], -1), axis=-1)
     extent = np.maximum(extent, 0.10)
     bbox3d.extent = extent
-    inst_info["T_obj"][:3, :3] = Two[:3, :3] * np.max(extent / 2.0)
+    s = float(scale) if scale is not None else float(np.max(extent / 2.0))
+    inst_info["T_obj"][:3, :3] = Two[:3, :3] * s
     inst_info["bbox3D"] = bbox3d
 
 

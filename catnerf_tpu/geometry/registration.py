@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -161,6 +162,57 @@ def get_uncertainty_fields(inst_dict: dict, bbox3d_dict: dict,
         count_dict[cls_id][obj_id] = count
 
 
+N_THETA, N_PHI = 24, 12
+
+
+def _bin_index(pts_c: np.ndarray) -> np.ndarray:
+    """Spherical-direction bin index of each canonical-frame point as seen
+    from the pivot (passed as origin)."""
+    d = pts_c / (np.linalg.norm(pts_c, axis=-1, keepdims=True) + 1e-12)
+    theta = np.arctan2(d[:, 1], d[:, 0])  # [-pi, pi]
+    phi = np.arccos(np.clip(d[:, 2], -1.0, 1.0))  # [0, pi]
+    it = np.clip(((theta + np.pi) / (2 * np.pi) * N_THETA).astype(int),
+                 0, N_THETA - 1)
+    ip = np.clip((phi / np.pi * N_PHI).astype(int), 0, N_PHI - 1)
+    return it * N_PHI + ip
+
+
+def _coverage_bins(pts_c: np.ndarray) -> np.ndarray:
+    """Direction-coverage fingerprint of a canonical-frame cloud."""
+    bins = np.zeros(N_THETA * N_PHI, bool)
+    bins[_bin_index(pts_c)] = True
+    return bins
+
+
+def _erode_bins(bins: np.ndarray) -> np.ndarray:
+    """Erode a direction-coverage mask by one bin (theta wraps around), so
+    masking excludes the rim band where a covered bin borders a hole."""
+    g = bins.reshape(N_THETA, N_PHI)
+    out = g.copy()
+    out &= np.roll(g, 1, axis=0) & np.roll(g, -1, axis=0)
+    out[:, 1:] &= g[:, :-1]
+    out[:, :-1] &= g[:, 1:]
+    return out.reshape(-1)
+
+
+def _masked_chamfer(src_w: np.ndarray, src_c: np.ndarray, dst_w: np.ndarray,
+                    dst_bins: np.ndarray, scale: float,
+                    min_overlap: float = 0.3) -> float:
+    """Unidirectional Chamfer restricted to source points lying in
+    directions the destination has confidently OBSERVED — the coverage
+    mask eroded by one bin, so points just past the hole rim don't bleed in
+    (ours). For complete clouds this reduces to the reference's criterion;
+    for partial observations it measures shape compatibility on the overlap
+    instead of punishing complementary alignments (a ground-truth alignment
+    of two half-observed instances scores ~2x eta1 on the unmasked metric
+    purely because each covers the other's hole). Returns inf when fewer
+    than `min_overlap` of the source points are comparable."""
+    mask = _erode_bins(dst_bins)[_bin_index(src_c)]
+    if mask.mean() < min_overlap:
+        return float("inf")
+    return float(chamfer_unidirectional(src_w[mask], dst_w)) / scale
+
+
 def _polish_candidate(source_w: np.ndarray, template_w: np.ndarray,
                       T_rel: np.ndarray, s_tmpl: float) -> np.ndarray:
     """Final re-refinement of the winning registration candidate
@@ -298,8 +350,6 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                     cd = chamfer_unidirectional(src_tf, template_np_w) / norm
                     return cd, T_rel, src_tf
 
-                from concurrent.futures import ThreadPoolExecutor
-
                 pairs = list(zip(transform_list, targets))
                 workers = min(8, len(pairs), os.cpu_count() or 1)
                 if workers > 1:
@@ -307,14 +357,143 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                         results = list(pool.map(solve_one, pairs))
                 else:
                     results = [solve_one(p_) for p_ in pairs]
-                chamfer_unidir, T_rel, src_tf = min(results,
-                                                    key=lambda r: r[0])
-                if scale_aware:
-                    T_rel = _polish_candidate(source_np_w, template_np_w,
+                best_cd = min(r[0] for r in results)
+                # accept-grade band: any candidate below eta1 is a valid
+                # registration by the algorithm's own acceptance criterion
+                band = [r for r in results
+                        if r[0] <= max(best_cd + 0.02, eta1)]
+                opposite_cd = None
+                if scale_aware and len(band) > 1:
+                    # Complementarity tie-break (ours): registration of
+                    # (near-)rotation-symmetric shapes is ambiguous, and the
+                    # pure-Chamfer winner aligns the instances' OBSERVED
+                    # regions — stacking their observation blind spots at
+                    # the same place in the shared canonical frame, where
+                    # the category field then has a mutual unsupervised
+                    # hole (measured: 84% vs 100% completion ratio on the
+                    # registered gate's sphere categories). Among
+                    # accept-grade candidates — scored by the
+                    # overlap-restricted masked Chamfer, since the unmasked
+                    # one punishes exactly the alignments that cover the
+                    # template's hole — prefer the one whose canonical
+                    # coverage union with the template is largest.
+                    Rt = T_obj_template[:3, :3]  # rotation (scale divided)
+                    tt = T_obj_template[:3, 3]
+
+                    def canon(pts_w):
+                        return (pts_w - tt) @ Rt / scale_template
+
+                    cd0, T0, src0 = min(band, key=lambda r: r[0])
+                    tmpl_c = canon(template_np_w)
+                    union_c = np.concatenate([tmpl_c, canon(src0)])
+                    # pivot = estimated object center (the canonical origin
+                    # is the template-OBB center, biased toward the
+                    # observed side)
+                    pivot_c = (union_c.min(0) + union_c.max(0)) / 2.0
+                    pivot_w = tt + scale_template * (Rt @ pivot_c)
+                    tmpl_bins = _coverage_bins(tmpl_c - pivot_c)
+
+                    def masked_cd(src_w):
+                        return _masked_chamfer(
+                            src_w, canon(src_w) - pivot_c, template_np_w,
+                            tmpl_bins, scale_template)
+
+                    def masked_cd_sym(src_w):
+                        """Symmetric masked score. The forward direction
+                        alone is blind to offsets along the template's hole
+                        direction — displaced source points land in the
+                        masked-out region, so an inflated sphere slid into
+                        the hole scores well (measured: +18.6% scale,
+                        9.3 cm center error accepted at masked cd 0.010,
+                        scripts/diag_registration.py). Template→source,
+                        masked by the SOURCE's coverage, sees exactly those
+                        offsets; score = max of both."""
+                        fwd = _masked_chamfer(
+                            src_w, canon(src_w) - pivot_c, template_np_w,
+                            tmpl_bins, scale_template)
+                        bwd = _masked_chamfer(
+                            template_np_w, tmpl_c - pivot_c, src_w,
+                            _coverage_bins(canon(src_w) - pivot_c),
+                            scale_template)
+                        return max(fwd, bwd)
+
+                    def union_of(src_w):
+                        return int((_coverage_bins(canon(src_w) - pivot_c)
+                                    | tmpl_bins).sum())
+
+                    # the per-init ICP pulls every candidate toward maximum
+                    # overlap, collapsing rotation diversity; re-expand it
+                    # by composing symmetry rotations about the pivot. The
+                    # pivot is only an estimate, so a composed candidate
+                    # starts with a translation offset of roughly
+                    # 2·sin(θ/2)·|pivot error|, and its sim(3) scale is
+                    # inherited from the overlap-fit winner — the
+                    # multi-scale ICP + Umeyama similarity polish removes
+                    # both handicaps before scoring (without it, every
+                    # complementary candidate loses the accept band purely
+                    # on pivot/scale error; measured 0.07 vs 0.024).
+                    from catnerf_tpu.native.lib import geomlib
+
+                    src_ds = geomlib.voxel_downsample(
+                        np.asarray(source_np_w, np.float32),
+                        0.02 * scale_template)
+                    tmpl_ds = np.asarray(template_np_w, np.float32)
+
+                    def compose_one(Q):
+                        Rq_w = Rt @ Q[:3, :3] @ Rt.T
+                        T_q = np.eye(4)
+                        T_q[:3, :3] = Rq_w
+                        T_q[:3, 3] = pivot_w - Rq_w @ pivot_w
+                        T_q = _polish_candidate(src_ds, tmpl_ds, T_q @ T0,
+                                                scale_template)
+                        return T_q, transform_pointcloud_np(source_np_w, T_q)
+
+                    cands = [(r[1], r[2]) for r in band]
+                    # the native ICP releases the GIL; refine concurrently
+                    with ThreadPoolExecutor(max_workers=workers) as pool:
+                        cands += list(pool.map(
+                            compose_one, get_possible_transform_from_bbox()))
+
+                    scored = [(masked_cd_sym(s), T, s) for T, s in cands]
+                    mbest = min(m for m, _, _ in scored)
+                    ok = [c for c in scored
+                          if c[0] <= max(mbest + 0.02, eta1)]
+                    if os.environ.get("CATNERF_REG_DEBUG"):
+                        for m_, T_, s_ in scored:
+                            print(f"  cand masked_sym={m_:.4f} "
+                                  f"union={union_of(s_)} "
+                                  f"ok={m_ <= max(mbest + 0.02, eta1)}")
+                    _, T_rel, src_tf = max(ok, key=lambda c: union_of(c[2]))
+                    union_selected = union_of(src_tf)
+
+                    # polish (full-res ICP maximizes overlap, which can
+                    # rotate the winner back onto the template's observed
+                    # region — keep only if the coverage union and the
+                    # symmetric score survive)
+                    score_selected = masked_cd_sym(src_tf)
+                    T_pol = _polish_candidate(source_np_w, template_np_w,
                                               T_rel, scale_template)
-                    src_tf = transform_pointcloud_np(source_np_w, T_rel)
-                    chamfer_unidir = chamfer_unidirectional(
-                        src_tf, template_np_w) / scale_template
+                    src_pol = transform_pointcloud_np(source_np_w, T_pol)
+                    if (union_of(src_pol) >= union_selected - 2
+                            and masked_cd_sym(src_pol)
+                            <= score_selected + 0.01):
+                        T_rel, src_tf = T_pol, src_pol
+                    chamfer_unidir = masked_cd(src_tf)
+                    src_bins = _coverage_bins(canon(src_tf) - pivot_c)
+
+                    def opposite_cd():
+                        return _masked_chamfer(
+                            template_np_w, tmpl_c - pivot_c, src_tf,
+                            src_bins, scale_template)
+                else:
+                    chamfer_unidir, T_rel, src_tf = min(results,
+                                                        key=lambda r: r[0])
+                    if scale_aware:
+                        T_rel = _polish_candidate(
+                            source_np_w, template_np_w, T_rel, scale_template)
+                        src_tf = transform_pointcloud_np(source_np_w, T_rel)
+                        chamfer_unidir = chamfer_unidirectional(
+                            src_tf, template_np_w) / scale_template
                 print(f"registered obj {obj_id} in cls {cls_id}: "
                       f"chamfer={chamfer_unidir:.4f}")
 
@@ -323,8 +502,11 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                 elif chamfer_unidir < eta1:
                     subcategorize = False
                 else:
-                    chamfer_opp = chamfer_unidirectional(
-                        template_np_w, src_tf) / scale_template
+                    if opposite_cd is not None:
+                        chamfer_opp = opposite_cd()
+                    else:
+                        chamfer_opp = chamfer_unidirectional(
+                            template_np_w, src_tf) / scale_template
                     subcategorize = chamfer_opp > eta3
 
                 if subcategorize:
@@ -344,7 +526,21 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                 else:
                     T_obj_new = np.linalg.inv(T_rel) @ T_obj_template
                     inst_dict_cls[obj_id]["T_obj"] = T_obj_new
-                    get_obb(inst_dict_cls[obj_id])
+                    if scale_aware:
+                        # per-instance sim(3) scale from the registration
+                        # itself: s_i = s_template / s(T_rel). The
+                        # reference re-derives it from the observed
+                        # canonical extent (get_obb), whose inherited-
+                        # origin bias inflates it on partial observations
+                        # — breaking cross-instance canonical-scale
+                        # consistency (measured +22.7% on a partial
+                        # sphere, scripts/diag_registration.py).
+                        s_rel = np.linalg.det(
+                            T_rel[:3, :3]) ** (1.0 / 3.0)
+                        get_obb(inst_dict_cls[obj_id],
+                                scale=scale_template / s_rel)
+                    else:
+                        get_obb(inst_dict_cls[obj_id])
 
             bbox3d_dict.pop(cls_id)
     print(f"align_poses took {time.time() - t1:.1f}s")

@@ -63,6 +63,8 @@ class TrainingSession:
         self.iteration = 0
         self._superstep = None
         self._n_inner = 0
+        self._prefetch_pool = None
+        self._prefetch_fut = None
 
     # ------------------------------------------------------------------
     def _device_batches(self):
@@ -77,7 +79,19 @@ class TrainingSession:
         return cat, bg
 
     def step_once(self) -> StepMetrics:
-        cat, bg = self._device_batches()
+        """One host-staged optimizer step (the reference's per-iteration
+        shape, ref: train.py:98-201). Host batch assembly for step i+1 is
+        pipelined on a worker thread while the device runs step i — batch
+        ORDER (and therefore the epoch-cursor sampling semantics) is
+        unchanged, only the staging overlaps."""
+        if self._prefetch_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._prefetch_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="batch-prefetch")
+        fut, self._prefetch_fut = self._prefetch_fut, None
+        cat, bg = fut.result() if fut is not None else self._device_batches()
+        self._prefetch_fut = self._prefetch_pool.submit(self._device_batches)
         self.state, metrics = self.step_fn(self.state, cat, bg, self.base_key)
         self.iteration += 1
         return metrics

@@ -150,3 +150,72 @@ def test_mesh_fill_interior_removes_inner_shell():
     r_f = np.linalg.norm(v_f / (n - 1) * 2 - 1, axis=1)
     assert (r_f < 0.55).sum() == 0  # inner shell gone
     assert abs(np.median(r_f) - np.median(r_raw[r_raw > 0.55])) < 0.02
+
+
+def test_mesh_adaptive_bounds_recovers_clipped_surface(monkeypatch):
+    """An analytic sphere field whose true surface exceeds the given OBB
+    (the observed-cloud-underestimates-extent failure measured by
+    scripts/diag_registration.py) is clipped without adaptive bounds and
+    fully enclosed with them."""
+    from catnerf_tpu.data.scene import OrientedBBox
+
+    sphere_c = np.array([0.1, 0.0, 0.25])  # offset along z like the diag
+    sphere_r = 0.5
+
+    def fake_eval(points, params, cfg, sc=None, tc=None, *, is_background,
+                  chunk=262144):
+        d = np.linalg.norm(np.asarray(points) - sphere_c, axis=-1)
+        occ = 1.0 / (1.0 + np.exp((d - sphere_r) * 60.0))
+        return occ.astype(np.float32), np.zeros((len(points), 3), np.float32)
+
+    monkeypatch.setattr(meshing, "eval_points", fake_eval)
+    cfg = Config()
+    # OBB from the "observed" cloud: z-extent 30% short, center biased low
+    bound = OrientedBBox(center=np.array([0.1, 0.0, 0.1]), R=np.eye(3),
+                         extent=np.array([1.0, 1.0, 0.7]))
+
+    def max_gt_dist(mesh):
+        rng = np.random.default_rng(0)
+        u = rng.normal(size=(4000, 3))
+        u /= np.linalg.norm(u, axis=-1, keepdims=True)
+        gt = sphere_c + sphere_r * u
+        from catnerf_tpu.native.lib import geomlib as g
+
+        kd = g.KDTree(mesh.vertices.astype(np.float32))
+        dist, _ = kd.query(gt.astype(np.float32))
+        return dist.max()
+
+    cfg.mesh_adaptive_bounds = False
+    clipped = meshing.mesh_field({}, cfg, grid_dim=64, is_background=False,
+                                 shape_code=0, texture_code=0, bound=bound)
+    assert clipped is not None and max_gt_dist(clipped) > 0.15  # top cap gone
+
+    cfg.mesh_adaptive_bounds = True
+    full = meshing.mesh_field({}, cfg, grid_dim=64, is_background=False,
+                              shape_code=0, texture_code=0, bound=bound)
+    assert full is not None and max_gt_dist(full) < 0.03  # surface enclosed
+
+
+def test_mesh_adaptive_bounds_canonical_frame(monkeypatch):
+    """Growth also works on the canonical-frame (extent) path used by
+    multi-instance categories, where the grid gains a translation."""
+    sphere_c = np.array([0.0, 0.0, 0.3])
+    sphere_r = 0.8
+
+    def fake_eval(points, params, cfg, sc=None, tc=None, *, is_background,
+                  chunk=262144):
+        d = np.linalg.norm(np.asarray(points) - sphere_c, axis=-1)
+        occ = 1.0 / (1.0 + np.exp((d - sphere_r) * 60.0))
+        return occ.astype(np.float32), np.zeros((len(points), 3), np.float32)
+
+    monkeypatch.setattr(meshing, "eval_points", fake_eval)
+    cfg = Config()
+    cfg.mesh_adaptive_bounds = True
+    mesh = meshing.mesh_field({}, cfg, grid_dim=64, is_background=False,
+                              shape_code=0, texture_code=0,
+                              extent=np.array([1.6, 1.6, 1.2]))
+    assert mesh is not None
+    r = np.linalg.norm(mesh.vertices - sphere_c, axis=-1)
+    assert abs(np.median(r) - sphere_r) < 0.03
+    # the +z cap (beyond the original grid top at z=1.2/0.9/2=0.67) exists
+    assert (mesh.vertices[:, 2] > sphere_c[2] + 0.9 * sphere_r).any()

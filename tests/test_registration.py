@@ -218,6 +218,96 @@ def test_scale_aware_registration_absorbs_size_variation():
     assert chamfer_unidirectional(c1, c2) < 0.05  # shared canonical frame
 
 
+def test_complementarity_tie_break_on_symmetric_shapes():
+    """Registration of rotation-symmetric shapes is ambiguous; the pure
+    Chamfer winner aligns the two instances' OBSERVED domes, stacking their
+    blind spots at the same canonical direction (measured 84% vs 100%
+    completion ratio downstream). The accept-band complementarity
+    tie-break must instead produce a canonical frame where the combined
+    coverage exceeds what either dome provides alone."""
+    from catnerf_tpu.geometry.registration import _coverage_bins
+
+    rng = np.random.default_rng(3)
+
+    def dome(radius, center, open_dir, cos_cap=0.55, n=6000):
+        u = rng.normal(size=(n, 3))
+        u /= np.linalg.norm(u, axis=-1, keepdims=True)
+        keep = u @ np.asarray(open_dir) < cos_cap  # cap around open_dir missing
+        pts = center + radius * u[keep]
+        return pts + rng.normal(0, 0.002, pts.shape)
+
+    # two spheres, caps missing in ~opposite world directions
+    a = dome(0.5, np.array([0.0, 0.0, 0.0]), [1.0, 0.0, 0.0])
+    b = dome(0.5, np.array([2.0, 0.0, 0.0]), [-0.8, 0.6, 0.0])
+
+    inst_dict = {9: {1: {"frame_info": [], "pcs": a},
+                     2: {"frame_info": [], "pcs": b}}}
+    count_dict = {9: {1: 100, 2: 50}}
+    bbox3d_dict = {9: {1: None, 2: None}}
+    align_poses(inst_dict, bbox3d_dict, count_dict, {}, name="replica",
+                scale_aware=True)
+    assert 109 not in inst_dict and 2 in inst_dict[9]
+
+    c1 = transform_pointcloud_np(a, np.linalg.inv(inst_dict[9][1]["T_obj"]))
+    c2 = transform_pointcloud_np(b, np.linalg.inv(inst_dict[9][2]["T_obj"]))
+    b1, b2 = _coverage_bins(c1), _coverage_bins(c2)
+    # each dome alone leaves a hole; together they must cover (nearly) all
+    # directions that either could — i.e., the blind spots do NOT coincide
+    union = (b1 | b2).sum()
+    assert union >= b1.sum() + 0.5 * (b1.size - b1.sum()), (
+        union, b1.sum(), b2.sum())
+
+
+def test_tie_break_rejects_hole_direction_slide():
+    """Regression for the obj-5 gate failure (diag_registration, seed 0):
+    with partial spheres of DIFFERENT radii, the forward masked Chamfer is
+    blind to a candidate that inflates the scale and slides the source
+    along the template's hole direction (the displaced points land in the
+    masked-out region) — it accepted +18.6% scale / 9.3 cm center error at
+    masked cd 0.010. The symmetric masked score must reject that family
+    and recover the true relative scale and concentric placement."""
+    rng = np.random.default_rng(5)
+
+    def dome(radius, center, open_dir, cos_cap=0.55, n=6000):
+        u = rng.normal(size=(n, 3))
+        u /= np.linalg.norm(u, axis=-1, keepdims=True)
+        keep = u @ np.asarray(open_dir) < cos_cap
+        pts = center + radius * u[keep]
+        return pts + rng.normal(0, 0.002, pts.shape)
+
+    def fit_sphere(pts):
+        """Algebraic least-squares sphere fit: ||p||^2 = 2 c.p + k."""
+        A = np.concatenate([2 * pts, np.ones((len(pts), 1))], axis=1)
+        b = (pts**2).sum(axis=1)
+        sol, *_ = np.linalg.lstsq(A, b, rcond=None)
+        c = sol[:3]
+        r = np.sqrt(sol[3] + (c**2).sum())
+        return c, r
+
+    # template r=0.6 (higher count -> template), source r=0.5, holes in
+    # different world directions (the obj-5 geometry)
+    tmpl = dome(0.6, np.array([0.0, 0.0, 0.0]), [0.0, 0.0, 1.0])
+    src = dome(0.5, np.array([2.0, 0.0, 0.0]), [0.3, -0.5, -0.8])
+
+    inst_dict = {7: {1: {"frame_info": [], "pcs": tmpl},
+                     2: {"frame_info": [], "pcs": src}}}
+    count_dict = {7: {1: 100, 2: 50}}
+    bbox3d_dict = {7: {1: None, 2: None}}
+    align_poses(inst_dict, bbox3d_dict, count_dict, {}, name="replica",
+                scale_aware=True)
+    assert 107 not in inst_dict and 2 in inst_dict[7]
+
+    c1 = transform_pointcloud_np(tmpl,
+                                 np.linalg.inv(inst_dict[7][1]["T_obj"]))
+    c2 = transform_pointcloud_np(src,
+                                 np.linalg.inv(inst_dict[7][2]["T_obj"]))
+    ctr1, r1 = fit_sphere(c1)
+    ctr2, r2 = fit_sphere(c2)
+    # concentric in the shared canonical frame, radii normalized to match
+    assert np.linalg.norm(ctr1 - ctr2) < 0.08 * r1, (ctr1, ctr2, r1)
+    assert abs(r1 - r2) / r1 < 0.06, (r1, r2)
+
+
 def test_field_pretrain_and_uncertainty_score():
     """Self-contained pretraining mode (the reference raises
     NotImplementedError for load_pretrained=False): fields learn the object

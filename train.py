@@ -131,18 +131,31 @@ def main():
 
     import math
 
-    def check_health(it, metrics):
+    from collections import deque
+
+    pending_health = deque()
+
+    def check_health(it, metrics, flush=False):
         """Loss-explosion / NaN detection (the reference calls exit(-1) from
         inside the loss, ref: src/render_rays.py:87-89; here the driver
-        detects it, saves a post-mortem checkpoint, and aborts cleanly)."""
-        total = float(metrics.total)
-        if math.isfinite(total) and total < 1e8:
-            return
-        path = ckpt_mod.save_checkpoint(ckpt_dir, session.state, it)
-        writer.close()
-        raise SystemExit(
-            f"loss explosion at iteration {it} (total={total}); "
-            f"post-mortem checkpoint saved to {path}")
+        detects it, saves a post-mortem checkpoint, and aborts cleanly).
+
+        float(metrics.total) blocks until the device finishes that step, so
+        the check runs with two steps of slack — keeping the parity path's
+        per-step dispatches asynchronous (a same-step check serializes
+        host staging, dispatch, and device execution)."""
+        if metrics is not None:
+            pending_health.append((it, metrics))
+        while len(pending_health) > (0 if flush else 2):
+            it0, m0 = pending_health.popleft()
+            total = float(m0.total)
+            if math.isfinite(total) and total < 1e8:
+                continue
+            path = ckpt_mod.save_checkpoint(ckpt_dir, session.state, it0)
+            writer.close()
+            raise SystemExit(
+                f"loss explosion at iteration {it0} (total={total}); "
+                f"post-mortem checkpoint saved to {path}")
 
     def post_step(it, metrics):
         check_health(it, metrics)
@@ -188,6 +201,7 @@ def main():
                 metrics = session.step_once()
             post_step(it, metrics)
 
+    check_health(session.iteration, None, flush=True)
     writer.close()
 
 
