@@ -83,30 +83,44 @@ def _fill_unobservable_interior(occ3: np.ndarray) -> np.ndarray:
     return occ3
 
 
-@partial(jax.jit, static_argnames=("obj_scale", "max_deg", "chunk"))
+@partial(jax.jit, static_argnames=("obj_scale", "max_deg", "chunk",
+                                   "want_color"))
 def _eval_codenerf_chunked(pe_params, fc_params, shape_code, texture_code,
-                           points, *, obj_scale, max_deg, chunk):
+                           points, *, obj_scale, max_deg, chunk,
+                           want_color=True):
     def eval_chunk(pts):
         emb = embedding.apply(pe_params, pts, scale=obj_scale, max_deg=max_deg)
         sigma, rgb = codenerf.apply(fc_params, emb, shape_code, texture_code)
-        return render_ops.occupancy_activation(sigma[..., 0]), rgb
+        occ = render_ops.occupancy_activation(sigma[..., 0])
+        # occupancy-only grid passes skip the color branch entirely — it
+        # would otherwise be computed AND device->host transferred (25 MB
+        # per 2M-point grid) just to be discarded by mesh_field
+        return (occ, rgb) if want_color else occ
 
     tiles = points.reshape(-1, chunk, 3)
-    occ, rgb = jax.lax.map(eval_chunk, tiles)
-    return occ.reshape(-1), rgb.reshape(-1, 3)
+    out = jax.lax.map(eval_chunk, tiles)
+    if want_color:
+        occ, rgb = out
+        return occ.reshape(-1), rgb.reshape(-1, 3)
+    return out.reshape(-1), None
 
 
-@partial(jax.jit, static_argnames=("bg_scale", "max_deg", "chunk"))
+@partial(jax.jit, static_argnames=("bg_scale", "max_deg", "chunk",
+                                   "want_color"))
 def _eval_occupancy_chunked(pe_params, fc_params, points, *, bg_scale,
-                            max_deg, chunk):
+                            max_deg, chunk, want_color=True):
     def eval_chunk(pts):
         emb = embedding.apply(pe_params, pts, scale=bg_scale, max_deg=max_deg)
         alpha, rgb = occupancy.apply(fc_params, emb)
-        return render_ops.occupancy_activation(alpha[..., 0]), rgb
+        occ = render_ops.occupancy_activation(alpha[..., 0])
+        return (occ, rgb) if want_color else occ
 
     tiles = points.reshape(-1, chunk, 3)
-    occ, rgb = jax.lax.map(eval_chunk, tiles)
-    return occ.reshape(-1), rgb.reshape(-1, 3)
+    out = jax.lax.map(eval_chunk, tiles)
+    if want_color:
+        occ, rgb = out
+        return occ.reshape(-1), rgb.reshape(-1, 3)
+    return out.reshape(-1), None
 
 
 def _pad_to_chunks(points: np.ndarray, chunk: int):
@@ -119,21 +133,23 @@ def _pad_to_chunks(points: np.ndarray, chunk: int):
 
 def eval_points(points: np.ndarray, params: dict, cfg: Config,
                 shape_code=None, texture_code=None, *, is_background: bool,
-                chunk: int = 262144):
+                chunk: int = 262144, want_color: bool = True):
     """(occ, color) at arbitrary 3D points, chunked on device
-    (ref: src/trainer.py:125-151)."""
+    (ref: src/trainer.py:125-151). want_color=False skips the color branch
+    and its device->host transfer (grid passes only need occupancy)."""
     pts_padded, n = _pad_to_chunks(np.asarray(points, np.float32), chunk)
     pts = jnp.asarray(pts_padded)
     if is_background:
         occ, rgb = _eval_occupancy_chunked(
             params["pe"], params["fc"], pts, bg_scale=cfg.bg_scale,
-            max_deg=cfg.n_unidir_funcs, chunk=chunk)
+            max_deg=cfg.n_unidir_funcs, chunk=chunk, want_color=want_color)
     else:
         occ, rgb = _eval_codenerf_chunked(
             params["pe"], params["fc"], jnp.asarray(shape_code),
             jnp.asarray(texture_code), pts, obj_scale=cfg.obj_scale,
-            max_deg=cfg.n_unidir_funcs, chunk=chunk)
-    return np.asarray(occ[:n]), np.asarray(rgb[:n])
+            max_deg=cfg.n_unidir_funcs, chunk=chunk, want_color=want_color)
+    return np.asarray(occ[:n]), (np.asarray(rgb[:n]) if rgb is not None
+                                 else None)
 
 
 def adaptive_grid_dim(extent, live_voxel_size: float, grid_dim_max: int) -> int:
@@ -206,7 +222,7 @@ def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
 
         grid_pts = np.asarray(grid).reshape(-1, 3)
         occ, _ = eval_points(grid_pts, params, cfg, shape_code, texture_code,
-                             is_background=is_background)
+                             is_background=is_background, want_color=False)
         if carve is not None and not is_background:
             if world_transform is not None:
                 ws = abs(np.linalg.det(world_transform[:3, :3])) ** (1 / 3)
