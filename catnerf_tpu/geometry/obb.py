@@ -31,10 +31,16 @@ def oriented_bounds(points: np.ndarray):
     hull_pts = pts[hull.vertices]
 
     best = None
-    # candidate z-axes: hull face normals
+    # candidate z-axes: hull face normals. On noisy dense clouds the hull
+    # has thousands of near-duplicate face normals and the per-normal
+    # caliper pass dominated registration wall time (11.9 s on a 30k-point
+    # noisy sphere); 0.01 rounding (~0.6 deg axis resolution) + a 256-cap
+    # keeps the min-volume search while bounding the loop. The in-plane
+    # angle search below stays exhaustive per candidate axis.
     normals = hull.equations[:, :3]
-    # dedupe
-    normals = np.unique(np.round(normals, 5), axis=0)
+    normals = np.unique(np.round(normals, 2), axis=0)
+    if len(normals) > 256:
+        normals = normals[np.linspace(0, len(normals) - 1, 256, dtype=int)]
     for nz in normals:
         nz = nz / np.linalg.norm(nz)
         # project to the plane and find min-area rectangle via rotating

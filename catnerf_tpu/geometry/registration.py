@@ -214,23 +214,37 @@ def _masked_chamfer(src_w: np.ndarray, src_c: np.ndarray, dst_w: np.ndarray,
 
 
 def _polish_candidate(source_w: np.ndarray, template_w: np.ndarray,
-                      T_rel: np.ndarray, s_tmpl: float) -> np.ndarray:
+                      T_rel: np.ndarray, s_tmpl: float,
+                      fracs: tuple = (0.15, 0.05, 0.02),
+                      max_iter: int = 50) -> np.ndarray:
     """Final re-refinement of the winning registration candidate
     (VERDICT r1 item #2): multi-scale point-to-point ICP on the FULL
     resolution clouds (the in-solver ICP runs on voxel-downsampled clouds at
     the 0.01 noise bound, ref: teaser_fpfh_icp.py:85-89, whose ~voxel/2
     quantization error it cannot see past), then one Umeyama similarity
-    step to absorb residual scale error. Returns the corrected T_rel."""
+    step to absorb residual scale error. Returns the corrected T_rel.
+
+    fracs/max_iter: ICP schedule — the tie-break uses a lighter schedule on
+    downsampled clouds for its 24 composed candidates (scoring only needs
+    ~cm alignment; this box is single-core, so work = wall time)."""
     from catnerf_tpu.native.lib import geomlib
 
     src = np.asarray(source_w, np.float32)
     tmpl = np.asarray(template_w, np.float32)
+    # bound the ICP cost on dense clouds: half-voxel quantization at
+    # 0.01*s averages out over thousands of correspondences (the Umeyama
+    # step is a correspondence MEAN), so this does not move the ~0.05 cm
+    # pose-error budget, but keeps the single-core polish O(8k) points
+    if len(src) > 8000:
+        src = geomlib.voxel_downsample(src, 0.01 * s_tmpl)
+    if len(tmpl) > 8000:
+        tmpl = geomlib.voxel_downsample(tmpl, 0.01 * s_tmpl)
     T_acc = np.eye(4)
     src_tf = transform_pointcloud_np(src, T_rel).astype(np.float32)
-    for frac in (0.15, 0.05, 0.02):
+    for frac in fracs:
         T_acc, _, _ = geomlib.icp(src_tf, tmpl,
                                   max_corr_dist=float(frac * s_tmpl),
-                                  init=T_acc, max_iter=50)
+                                  init=T_acc, max_iter=max_iter)
 
     cur = transform_pointcloud_np(src_tf, T_acc)
     kd = geomlib.KDTree(tmpl)
@@ -285,6 +299,7 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
 
             obj_id_repr = obj_ids[idx_repr]
             template_pts = inst_dict_cls[obj_id_repr]["pcs"]
+            t_prolog = time.time()
             T_obj, bbox3d = get_pose_from_pointcloud(template_pts)
             if T_obj is None:
                 T_obj = np.eye(4)
@@ -308,6 +323,22 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                 transform_list = [np.eye(4)]
             targets = [transform_pointcloud_np(template_np_w, T)
                        for T in transform_list]
+
+            # one KD-tree over the template serves all 24 candidate
+            # chamfers per source object (math-identical to per-call
+            # chamfer_unidirectional; the rebuild was ~40% of align time
+            # on dense clouds — this box is single-core)
+            from catnerf_tpu.native.lib import geomlib
+
+            kd_tmpl = geomlib.KDTree(np.asarray(template_np_w, np.float32))
+
+            def cd_to_template(pts_w):
+                d, _ = kd_tmpl.query(np.asarray(pts_w, np.float32))
+                return float(d.mean())
+
+            if os.environ.get("CATNERF_REG_DEBUG"):
+                print(f"  template prolog {time.time() - t_prolog:.1f}s "
+                      f"({len(template_np_w)} pts)")
 
             for obj_id in other_obj_ids:
                 source_np_w = np.asarray(inst_dict_cls[obj_id]["pcs"])
@@ -347,16 +378,18 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                         norm = scale_source
                     T_rel = np.linalg.inv(T_init) @ T_cand
                     src_tf = transform_pointcloud_np(source_np_w, T_rel)
-                    cd = chamfer_unidirectional(src_tf, template_np_w) / norm
+                    cd = cd_to_template(src_tf) / norm
                     return cd, T_rel, src_tf
 
                 pairs = list(zip(transform_list, targets))
                 workers = min(8, len(pairs), os.cpu_count() or 1)
+                t_solve = time.time()
                 if workers > 1:
                     with ThreadPoolExecutor(max_workers=workers) as pool:
                         results = list(pool.map(solve_one, pairs))
                 else:
                     results = [solve_one(p_) for p_ in pairs]
+                t_solve = time.time() - t_solve
                 best_cd = min(r[0] for r in results)
                 # accept-grade band: any candidate below eta1 is a valid
                 # registration by the algorithm's own acceptance criterion
@@ -383,22 +416,41 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                     def canon(pts_w):
                         return (pts_w - tt) @ Rt / scale_template
 
+                    # Candidate SCORING runs on voxel-downsampled clouds
+                    # (0.04 * scale): the quantization is uniform across
+                    # candidates so ranking is preserved, and the box is
+                    # single-core — full-res scoring of ~30 candidates was
+                    # the dominant align_poses cost. Final acceptance
+                    # values (eta thresholds) are recomputed at full
+                    # resolution on the winner only.
+                    from catnerf_tpu.native.lib import geomlib
+
+                    src_ds = geomlib.voxel_downsample(
+                        np.asarray(source_np_w, np.float32),
+                        0.04 * scale_template)
+                    tmpl_ds = geomlib.voxel_downsample(
+                        np.asarray(template_np_w, np.float32),
+                        0.04 * scale_template)
+
                     cd0, T0, src0 = min(band, key=lambda r: r[0])
-                    tmpl_c = canon(template_np_w)
-                    union_c = np.concatenate([tmpl_c, canon(src0)])
+                    tmpl_c = canon(tmpl_ds)
+                    union_c = np.concatenate(
+                        [tmpl_c, canon(transform_pointcloud_np(src_ds, T0))])
                     # pivot = estimated object center (the canonical origin
                     # is the template-OBB center, biased toward the
                     # observed side)
                     pivot_c = (union_c.min(0) + union_c.max(0)) / 2.0
                     pivot_w = tt + scale_template * (Rt @ pivot_c)
                     tmpl_bins = _coverage_bins(tmpl_c - pivot_c)
+                    tmpl_c_full = canon(template_np_w)
+                    tmpl_bins_full = _coverage_bins(tmpl_c_full - pivot_c)
 
-                    def masked_cd(src_w):
+                    def masked_cd(src_w, dst_w, dst_bins):
                         return _masked_chamfer(
-                            src_w, canon(src_w) - pivot_c, template_np_w,
-                            tmpl_bins, scale_template)
+                            src_w, canon(src_w) - pivot_c, dst_w,
+                            dst_bins, scale_template)
 
-                    def masked_cd_sym(src_w):
+                    def masked_cd_sym(src_w, dst_w=None, dst_bins=None):
                         """Symmetric masked score. The forward direction
                         alone is blind to offsets along the template's hole
                         direction — displaced source points land in the
@@ -408,11 +460,11 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                         scripts/diag_registration.py). Template→source,
                         masked by the SOURCE's coverage, sees exactly those
                         offsets; score = max of both."""
-                        fwd = _masked_chamfer(
-                            src_w, canon(src_w) - pivot_c, template_np_w,
-                            tmpl_bins, scale_template)
+                        dst_w = tmpl_ds if dst_w is None else dst_w
+                        dst_bins = tmpl_bins if dst_bins is None else dst_bins
+                        fwd = masked_cd(src_w, dst_w, dst_bins)
                         bwd = _masked_chamfer(
-                            template_np_w, tmpl_c - pivot_c, src_w,
+                            dst_w, canon(dst_w) - pivot_c, src_w,
                             _coverage_bins(canon(src_w) - pivot_c),
                             scale_template)
                         return max(fwd, bwd)
@@ -432,29 +484,31 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                     # both handicaps before scoring (without it, every
                     # complementary candidate loses the accept band purely
                     # on pivot/scale error; measured 0.07 vs 0.024).
-                    from catnerf_tpu.native.lib import geomlib
-
-                    src_ds = geomlib.voxel_downsample(
-                        np.asarray(source_np_w, np.float32),
-                        0.02 * scale_template)
-                    tmpl_ds = np.asarray(template_np_w, np.float32)
-
                     def compose_one(Q):
                         Rq_w = Rt @ Q[:3, :3] @ Rt.T
                         T_q = np.eye(4)
                         T_q[:3, :3] = Rq_w
                         T_q[:3, 3] = pivot_w - Rq_w @ pivot_w
-                        T_q = _polish_candidate(src_ds, tmpl_ds, T_q @ T0,
-                                                scale_template)
-                        return T_q, transform_pointcloud_np(source_np_w, T_q)
+                        return _polish_candidate(src_ds, tmpl_ds, T_q @ T0,
+                                                 scale_template,
+                                                 fracs=(0.12, 0.05),
+                                                 max_iter=25)
 
-                    cands = [(r[1], r[2]) for r in band]
                     # the native ICP releases the GIL; refine concurrently
+                    t_comp = time.time()
                     with ThreadPoolExecutor(max_workers=workers) as pool:
-                        cands += list(pool.map(
+                        cand_Ts = [r[1] for r in band] + list(pool.map(
                             compose_one, get_possible_transform_from_bbox()))
+                    cands = [(T, transform_pointcloud_np(src_ds, T))
+                             for T in cand_Ts]
+                    t_comp = time.time() - t_comp
 
+                    t_score = time.time()
                     scored = [(masked_cd_sym(s), T, s) for T, s in cands]
+                    t_score = time.time() - t_score
+                    if os.environ.get("CATNERF_REG_DEBUG"):
+                        print(f"  stage times: solve {t_solve:.1f}s "
+                              f"compose {t_comp:.1f}s score {t_score:.1f}s")
                     mbest = min(m for m, _, _ in scored)
                     ok = [c for c in scored
                           if c[0] <= max(mbest + 0.02, eta1)]
@@ -463,27 +517,34 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                             print(f"  cand masked_sym={m_:.4f} "
                                   f"union={union_of(s_)} "
                                   f"ok={m_ <= max(mbest + 0.02, eta1)}")
-                    _, T_rel, src_tf = max(ok, key=lambda c: union_of(c[2]))
-                    union_selected = union_of(src_tf)
+                    _, T_rel, src_tf_ds = max(ok, key=lambda c: union_of(c[2]))
+                    union_selected = union_of(src_tf_ds)
 
                     # polish (full-res ICP maximizes overlap, which can
                     # rotate the winner back onto the template's observed
                     # region — keep only if the coverage union and the
                     # symmetric score survive)
-                    score_selected = masked_cd_sym(src_tf)
+                    t_epilog = time.time()
+                    score_selected = masked_cd_sym(src_tf_ds)
                     T_pol = _polish_candidate(source_np_w, template_np_w,
                                               T_rel, scale_template)
-                    src_pol = transform_pointcloud_np(source_np_w, T_pol)
-                    if (union_of(src_pol) >= union_selected - 2
-                            and masked_cd_sym(src_pol)
+                    src_pol_ds = transform_pointcloud_np(src_ds, T_pol)
+                    if (union_of(src_pol_ds) >= union_selected - 2
+                            and masked_cd_sym(src_pol_ds)
                             <= score_selected + 0.01):
-                        T_rel, src_tf = T_pol, src_pol
-                    chamfer_unidir = masked_cd(src_tf)
+                        T_rel = T_pol
+
+                    # acceptance values at FULL resolution on the winner
+                    src_tf = transform_pointcloud_np(source_np_w, T_rel)
+                    chamfer_unidir = masked_cd(src_tf, template_np_w,
+                                               tmpl_bins_full)
                     src_bins = _coverage_bins(canon(src_tf) - pivot_c)
+                    if os.environ.get("CATNERF_REG_DEBUG"):
+                        print(f"  epilog {time.time() - t_epilog:.1f}s")
 
                     def opposite_cd():
                         return _masked_chamfer(
-                            template_np_w, tmpl_c - pivot_c, src_tf,
+                            template_np_w, tmpl_c_full - pivot_c, src_tf,
                             src_bins, scale_template)
                 else:
                     chamfer_unidir, T_rel, src_tf = min(results,
