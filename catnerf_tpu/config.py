@@ -118,6 +118,12 @@ class Config:
     # --- ScanNet extras ---
     use_refined_mask: bool = False
     load_refined_mask: bool = False
+    # Mark pixels whose raw foreground label the geometric refinement
+    # dropped as UNKNOWN (pixel state 2) instead of the reference's hard
+    # background relabel, which trains the object's field to be empty
+    # exactly where the mask eroded (ours; see data/scannet.py). Disable
+    # for strict parity.
+    refined_mask_unknown: bool = True
 
     # --- TPU-native extras (no reference equivalent) ---
     seed: int = 0
@@ -279,6 +285,8 @@ class Config:
 
         if cfg.dataset_format == "ScanNet":
             cfg.use_refined_mask = ds.get("use_refined_mask", False)
+            cfg.refined_mask_unknown = ds.get(
+                "refined_mask_unknown", cfg.refined_mask_unknown)
             cfg.load_refined_mask = (
                 ds.get("load_refined_mask", False) and cfg.use_refined_mask
             )

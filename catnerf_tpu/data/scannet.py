@@ -169,7 +169,22 @@ class ScanNet:
                     _, _, segment_masks = geometry_segmentation(
                         color, depth, self.cam.fx, self.cam.fy,
                         self.cam.cx, self.cam.cy)
+                    raw_inst = inst_data
                     inst_data = refine_inst_data(inst_data, segment_masks)
+                    if self.cfg.refined_mask_unknown:
+                        # Pixels whose raw foreground label the geometric
+                        # refinement DROPPED are ambiguous, not observed-
+                        # empty; the reference hard-labels them background
+                        # (ref: src/utils.py:696-721 zero-init), which
+                        # trains the object's field to be empty exactly
+                        # where the mask eroded (measured 20-25% pixel loss
+                        # on small objects -> 90% completion ratio on the
+                        # ScanNet gate). Mark them unknown (-1 -> pixel
+                        # state 2), excluding them from opacity
+                        # supervision for every model.
+                        disputed = (raw_inst > 0) & (inst_data == 0)
+                        inst_data = inst_data.copy()
+                        inst_data[disputed] = -1
                     np.save(os.path.join(
                         self.root_dir, "instance-refined",
                         os.path.basename(inst_path)[:-4] + ".npy"), inst_data)
@@ -180,8 +195,9 @@ class ScanNet:
 
             # bboxes over refined ids (ref: src/dataset.py:368-383)
             for obj_id in np.unique(inst_data):
-                if obj_id == 0 or obj_id not in inst_to_cls:
-                    if obj_id != 0 and obj_id not in inst_to_cls:
+                if obj_id <= 0 or obj_id not in inst_to_cls:
+                    # -1 = ambiguous (refinement-dropped) stays unknown
+                    if obj_id > 0 and obj_id not in inst_to_cls:
                         inst_data[inst_data == obj_id] = 0
                     continue
                 mask = inst_data == obj_id

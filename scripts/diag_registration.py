@@ -34,28 +34,47 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dataset", choices=("replica", "scannet"),
+                    default="replica",
+                    help="loader path to diagnose (mirrors e2e_quality)")
     args = ap.parse_args()
 
     from catnerf_tpu.config import Config
-    from catnerf_tpu.data.replica import Replica
     from catnerf_tpu.data.synthetic import make_scene
     from catnerf_tpu.mesher.meshing import BOUND_EXTENT_OBJ
 
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
-    from test_replica_fixture import write_replica_layout
 
     cfg = Config()
     scene = make_scene(n_frames=24, width=160, height=120, n_categories=3,
                        insts_per_cat=2, seed=args.seed)
-    data_dir = tempfile.mkdtemp(prefix="diag_reg_")
+    data_dir = tempfile.mkdtemp(prefix=f"diag_reg_{args.dataset}_")
     cfg.dataset_dir = data_dir
     cfg.width, cfg.height = 160, 120
     cfg.fx = cfg.fy = scene.cam.fx
     cfg.cx, cfg.cy = scene.cam.cx, scene.cam.cy
     cfg.load_pretrained = False
-    write_replica_layout(scene, data_dir, cfg.depth_scale)
-    data = Replica(cfg)
+    if args.dataset == "scannet":
+        from test_scannet_fixture import CLS_OFFSET, write_scannet_layout
+
+        from catnerf_tpu.data.scannet import ScanNet
+
+        cfg.dataset_format = "ScanNet"
+        cfg.mw = cfg.mh = 4
+        cfg.use_refined_mask = True
+        write_scannet_layout(scene, data_dir, cfg.depth_scale)
+        data = ScanNet(cfg)
+        for s in scene.spheres:
+            s.inst_id += 1
+            s.cls_id += CLS_OFFSET
+    else:
+        from test_replica_fixture import write_replica_layout
+
+        from catnerf_tpu.data.replica import Replica
+
+        write_replica_layout(scene, data_dir, cfg.depth_scale)
+        data = Replica(cfg)
 
     sphere_by_id = {s.inst_id: s for s in scene.spheres}
     report = []

@@ -308,6 +308,50 @@ def test_tie_break_rejects_hole_direction_slide():
     assert abs(r1 - r2) / r1 < 0.06, (r1, r2)
 
 
+def test_recenter_canonical_frame():
+    """The union-recentering pass must move the shared canonical origin to
+    the union-cloud bbox center WITHOUT changing any instance's world
+    geometry or sim(3) scale (it only re-expresses the same map)."""
+    from catnerf_tpu.geometry.registration import _recenter_canonical_frame
+
+    rng = np.random.default_rng(7)
+    R1 = Rotation.from_euler("xyz", [0.3, -0.2, 0.5]).as_matrix()
+    R2 = Rotation.from_euler("xyz", [-0.1, 0.4, 0.2]).as_matrix()
+
+    # two instances of a unit sphere, canonical origin deliberately offset
+    off = np.array([0.0, 0.0, 0.4])
+    u = rng.normal(size=(3000, 3))
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    canon = u + off  # canonical cloud centered at +0.4 z
+
+    def make(T_R, s, t):
+        T = np.eye(4)
+        T[:3, :3] = s * T_R
+        T[:3, 3] = t
+        return {"T_obj": T, "pcs": transform_pointcloud_np(canon, T)}
+
+    cls = {1: make(R1, 0.5, np.array([1.0, 0.0, 0.0])),
+           2: make(R2, 0.8, np.array([-2.0, 1.0, 0.5]))}
+    world_before = {o: cls[o]["pcs"].copy() for o in cls}
+    scales_before = {o: np.linalg.det(cls[o]["T_obj"][:3, :3]) ** (1 / 3)
+                     for o in cls}
+
+    _recenter_canonical_frame(cls)
+
+    for o in cls:
+        T = cls[o]["T_obj"]
+        s = np.linalg.det(T[:3, :3]) ** (1 / 3)
+        assert abs(s - scales_before[o]) < 1e-9  # scale untouched
+        np.testing.assert_allclose(cls[o]["pcs"], world_before[o])
+        c = transform_pointcloud_np(world_before[o], np.linalg.inv(T))
+        # canonical cloud now centered: the +0.4 offset is gone
+        mid = (c.min(0) + c.max(0)) / 2.0
+        assert np.linalg.norm(mid) < 1e-6, mid
+        # extent recomputed about the new origin
+        np.testing.assert_allclose(cls[o]["bbox3D"].extent,
+                                   2.0 * scales_before[o], rtol=0.01)
+
+
 def test_field_pretrain_and_uncertainty_score():
     """Self-contained pretraining mode (the reference raises
     NotImplementedError for load_pretrained=False): fields learn the object
