@@ -181,7 +181,11 @@ class ScanNet:
                         # on small objects -> 90% completion ratio on the
                         # ScanNet gate). Mark them unknown (-1 -> pixel
                         # state 2), excluding them from opacity
-                        # supervision for every model.
+                        # supervision for every model. (Also voiding
+                        # refined-claimed pixels the raw mask contradicts
+                        # was tried and is a net LOSS — it perturbs the
+                        # per-object clouds enough to flip registration
+                        # candidates on low-overlap categories.)
                         disputed = (raw_inst > 0) & (inst_data == 0)
                         inst_data = inst_data.copy()
                         inst_data[disputed] = -1

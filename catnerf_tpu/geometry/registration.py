@@ -473,6 +473,19 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                         return int((_coverage_bins(canon(src_w) - pivot_c)
                                     | tmpl_bins).sum())
 
+                    def coverage_key(src_w):
+                        """Primary: canonical coverage union (fill the
+                        template's blind spots). Secondary: intersection —
+                        among near-max-union candidates prefer the one
+                        with the most MUTUAL observation, since a
+                        complementary alignment with little overlap leaves
+                        a slide direction unconstrained by data (measured
+                        ~0.18-canonical-unit pair offset on the ScanNet
+                        gate's low-overlap category)."""
+                        bins = _coverage_bins(canon(src_w) - pivot_c)
+                        return (int((bins | tmpl_bins).sum()),
+                                int((bins & tmpl_bins).sum()))
+
                     # the per-init ICP pulls every candidate toward maximum
                     # overlap, collapsing rotation diversity; re-expand it
                     # by composing symmetry rotations about the pivot. The
@@ -517,7 +530,8 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                             print(f"  cand masked_sym={m_:.4f} "
                                   f"union={union_of(s_)} "
                                   f"ok={m_ <= max(mbest + 0.02, eta1)}")
-                    _, T_rel, src_tf_ds = max(ok, key=lambda c: union_of(c[2]))
+                    _, T_rel, src_tf_ds = max(
+                        ok, key=lambda c: coverage_key(c[2]))
                     union_selected = union_of(src_tf_ds)
 
                     # polish (full-res ICP maximizes overlap, which can

@@ -44,6 +44,9 @@ def main():
                          "(per-epoch shuffle cursor, one dispatch per step) "
                          "instead of the superstep fast path, to measure "
                          "fast-vs-parity convergence equivalence")
+    ap.add_argument("--no-refined-mask", action="store_true",
+                    help="scannet only: skip the geometric-segmentation "
+                         "mask refinement (raw instance masks)")
     ap.add_argument("--dataset", choices=("replica", "scannet"),
                     default="replica",
                     help="on-disk layout + loader for --registered: replica "
@@ -93,7 +96,7 @@ def main():
 
             cfg.dataset_format = "ScanNet"
             cfg.mw = cfg.mh = 4            # edge crop (ref: cfg mw=10)
-            cfg.use_refined_mask = True    # geometric segmentation path
+            cfg.use_refined_mask = not args.no_refined_mask
             write_scannet_layout(scene, data_dir, cfg.depth_scale)
             # corrupt one pose to exercise inf-pose frame skipping
             # (ref: src/dataset.py:295-301)
