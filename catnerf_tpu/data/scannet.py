@@ -47,6 +47,7 @@ class ScanNet:
         self.raw_sem_paths = _sorted_paths(self.root_dir, "label-filt", "png")
         if cfg.use_refined_mask:
             os.makedirs(os.path.join(self.root_dir, "instance-refined"), exist_ok=True)
+            os.makedirs(os.path.join(self.root_dir, "instance-disputed"), exist_ok=True)
             os.makedirs(os.path.join(self.root_dir, "inst_to_cls"), exist_ok=True)
         if cfg.load_refined_mask:
             self.inst_paths = _sorted_paths(self.root_dir, "instance-refined", "npy")
@@ -130,12 +131,18 @@ class ScanNet:
                          if len(self.inst_paths) > index else "")
             sem_path = (self.sem_paths[index]
                         if len(self.sem_paths) > index else "")
+            claimed_mask = None  # supervision-only unknown pixels
 
             if (self.cfg.load_refined_mask and os.path.exists(inst_path)
                     and os.path.exists(sem_path)):
                 inst_data = np.load(inst_path)
                 with open(sem_path, "rb") as f:
                     inst_to_cls = pickle.load(f)
+                claimed_path = os.path.join(
+                    self.root_dir, "instance-disputed",
+                    os.path.basename(inst_path))
+                if os.path.exists(claimed_path):
+                    claimed_mask = np.load(claimed_path)
             else:
                 inst_path = self.raw_inst_paths[index]
                 sem_path = self.raw_sem_paths[index]
@@ -181,17 +188,29 @@ class ScanNet:
                         # on small objects -> 90% completion ratio on the
                         # ScanNet gate). Mark them unknown (-1 -> pixel
                         # state 2), excluding them from opacity
-                        # supervision for every model. (Also voiding
-                        # refined-claimed pixels the raw mask contradicts
-                        # was tried and is a net LOSS — it perturbs the
-                        # per-object clouds enough to flip registration
-                        # candidates on low-overlap categories.)
+                        # supervision for every model.
                         disputed = (raw_inst > 0) & (inst_data == 0)
                         inst_data = inst_data.copy()
                         inst_data[disputed] = -1
+                        # The converse disagreement — refinement CLAIMS a
+                        # pixel the raw mask labels background — is voided
+                        # in SUPERVISION ONLY (claimed_mask below): those
+                        # pixels plant wrong-depth surfaces on the object
+                        # (~2.5% wall pixels -> 90% ratio on the small
+                        # ScanNet-gate spheres), but dropping them from
+                        # the per-object point clouds perturbs
+                        # registration into flipping candidates on
+                        # low-overlap categories, so clouds and bboxes
+                        # keep the refined claim.
+                        claimed_mask = (raw_inst == 0) & (inst_data > 0)
                     np.save(os.path.join(
                         self.root_dir, "instance-refined",
                         os.path.basename(inst_path)[:-4] + ".npy"), inst_data)
+                    if claimed_mask is not None:
+                        np.save(os.path.join(
+                            self.root_dir, "instance-disputed",
+                            os.path.basename(inst_path)[:-4] + ".npy"),
+                            claimed_mask)
                     with open(os.path.join(
                             self.root_dir, "inst_to_cls",
                             os.path.basename(sem_path)[:-4] + ".pkl"), "wb") as f:
@@ -249,10 +268,20 @@ class ScanNet:
                 "bbox": np.array([0, inst_wh.shape[0], 0, inst_wh.shape[1]]),
             })
 
+            # supervision mask: refined-claimed pixels the raw mask
+            # contradicts become unknown (-1 -> pixel state 2) for ray
+            # supervision only; clouds/bboxes above keep the claim so
+            # registration inputs are untouched
+            sup_wh = inst_wh
+            if claimed_mask is not None and claimed_mask.any():
+                sup = inst_data.copy()
+                sup[claimed_mask & (inst_data > 0)] = -1
+                sup_wh = sup.transpose(1, 0)
+
             self.sample_dict[index_reduced] = {
                 "image": color.transpose(1, 0, 2),
                 "depth": depth_wh,
-                "obj_mask": inst_wh,
+                "obj_mask": sup_wh,
                 "T": T,
                 "frame_id": index_reduced,
             }
