@@ -396,7 +396,16 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                 band = [r for r in results
                         if r[0] <= max(best_cd + 0.02, eta1)]
                 opposite_cd = None
-                if scale_aware and len(band) > 1:
+                if scale_aware:
+                    # run even when the solver band has a single candidate:
+                    # the composed symmetry candidates below are what
+                    # surfaces complementary alignments, and a thin band is
+                    # precisely the case where the solver's only answer
+                    # stacked the instances' blind spots (measured: 4.1 cm
+                    # center error / 9.3% clipped surface on the ScanNet
+                    # gate's cls 130 once an inf-pose frame thinned its
+                    # coverage; the tie-break path was skipped on
+                    # band==1)
                     # Complementarity tie-break (ours): registration of
                     # (near-)rotation-symmetric shapes is ambiguous, and the
                     # pure-Chamfer winner aligns the instances' OBSERVED

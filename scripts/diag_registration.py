@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--dataset", choices=("replica", "scannet"),
                     default="replica",
                     help="loader path to diagnose (mirrors e2e_quality)")
+    ap.add_argument("--corrupt-pose", action="store_true",
+                    help="scannet only: corrupt the last frame's pose to "
+                         "inf, matching e2e_quality --registered (inf-pose "
+                         "frame skipping changes observation coverage)")
     args = ap.parse_args()
 
     from catnerf_tpu.config import Config
@@ -64,6 +68,10 @@ def main():
         cfg.mw = cfg.mh = 4
         cfg.use_refined_mask = True
         write_scannet_layout(scene, data_dir, cfg.depth_scale)
+        if args.corrupt_pose:
+            inf_frame = max(scene.sample_dict.keys())
+            np.savetxt(os.path.join(data_dir, "pose", f"{inf_frame}.txt"),
+                       np.full((4, 4), np.inf))
         data = ScanNet(cfg)
         for s in scene.spheres:
             s.inst_id += 1
