@@ -46,6 +46,9 @@ def main():
     from catnerf_tpu.config import Config
     from catnerf_tpu.data.synthetic import make_scene
     from catnerf_tpu.mesher.meshing import BOUND_EXTENT_OBJ
+    from catnerf_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "tests"))

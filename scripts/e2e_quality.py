@@ -57,6 +57,9 @@ def main():
 
     from catnerf_tpu.config import Config
     from catnerf_tpu.data.scene import OrientedBBox
+    from catnerf_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from catnerf_tpu.data.synthetic import make_scene
     from catnerf_tpu.mesher.mesh import TriMesh, load_mesh
     from catnerf_tpu.mesher.meshing import mesh_scene
@@ -123,19 +126,30 @@ def main():
     else:
         sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
                                cam=scene.cam)
+    import time as _time
+
     iters = max(100, args.iters // 100 * 100)  # superstep granularity
     psnr_hist = []
+    t_train = _time.time()
     if args.parity:
         for chunk in range(iters // 100):
             m = None
             for _ in range(100):
                 m = sess.step_once()
             psnr_hist.append(round(float(m.cat_psnr.mean()), 2))
+            if chunk == 0:
+                print(f"first 100 iters (incl. compile): "
+                      f"{_time.time() - t_train:.1f}s", file=sys.stderr)
     else:
         sess.enable_fast_path(n_inner=100)
         for chunk in range(iters // 100):
             m = sess.run_fast(100)
             psnr_hist.append(round(float(m.cat_psnr.mean()), 2))
+            if chunk == 0:
+                print(f"first 100 iters (incl. compile): "
+                      f"{_time.time() - t_train:.1f}s", file=sys.stderr)
+    print(f"trained {iters} iters in {_time.time() - t_train:.1f}s",
+          file=sys.stderr)
     print(f"psnr trajectory (per 100 iters): {psnr_hist}", file=sys.stderr)
 
     out_dir = args.out or tempfile.mkdtemp(prefix="e2e_quality_")
