@@ -100,6 +100,24 @@ def test_scannet_loader_full_pipeline(tmp_path):
     data2 = ScanNet(cfg2)
     assert sorted(data2.inst_dict.keys()) == sorted(data.inst_dict.keys())
 
+    # The cached reload must reproduce the fresh run's supervision masks
+    # exactly — including claimed-disputed pixels (refined claims the raw
+    # mask contradicts), which are voided to -1 in supervision only and
+    # round-trip through the instance-disputed/ sibling cache.
+    assert sorted(data2.sample_dict.keys()) == sorted(data.sample_dict.keys())
+    n_claimed = 0
+    for fid in data.sample_dict:
+        a = data.sample_dict[fid]["obj_mask"]
+        b = data2.sample_dict[fid]["obj_mask"]
+        np.testing.assert_array_equal(a, b)
+        n_claimed += int((a == -1).sum())
+    disputed_dir = os.path.join(str(tmp_path), "instance-disputed")
+    if os.path.isdir(disputed_dir) and any(
+            np.load(os.path.join(disputed_dir, f)).any()
+            for f in os.listdir(disputed_dir)):
+        assert n_claimed > 0, ("disputed pixels cached but none voided "
+                               "in supervision masks")
+
     sess = TrainingSession(cfg, data.inst_dict, data.sample_dict)
     m = None
     for _ in range(3):
