@@ -72,6 +72,56 @@ def frequency_bands(min_deg: int = 0, max_deg: int = DEFAULT_MAX_DEG) -> jnp.nda
     return 2.0 ** jnp.linspace(float(min_deg), float(max_deg), n_freqs)
 
 
+# --- fast sin(pi*x) ---------------------------------------------------------
+# The embedding evaluates ~5.7M transcendentals per train step (sin in the
+# forward, cos in the backward); XLA's general-argument sin's range reduction
+# makes those fusions ~40% of step time (scripts/exp_trace_ops.py). sin(pi*x)
+# reduces exactly: r = x - round(x) in [-1/2, 1/2], sign flip by parity of
+# round(x), then a degree-9 odd minimax polynomial (max abs err 3.4e-9 —
+# below f32 ulp at these argument magnitudes; fit in scripts/exp_sinpi.py).
+
+# Switch for A/B measurement (scripts/exp_sinpi3.py); production default is
+# set from the measured winner.
+_FAST_SINPI = True
+
+_SINPI_C = (3.1415925801, -5.1677068823, 2.5500314321,
+            -5.9804549862e-01, 7.7220761261e-02)
+_COSPI_C = (9.9999995351e-01, -4.9347928654, 4.0584120689,
+            -1.3318812806, 2.1969928934e-01)
+
+
+def _reduce_half(x: jnp.ndarray):
+    n = jnp.round(x)
+    r = x - n
+    # (-1)^n without int conversion: parity of round(x) (mod is in [0, 2))
+    sign = jnp.where(jnp.mod(n, 2.0) >= 1.0, -1.0, 1.0)
+    return r, sign
+
+
+@jax.custom_jvp
+def sinpi(x: jnp.ndarray) -> jnp.ndarray:
+    """sin(pi * x) via exact range reduction + odd minimax polynomial."""
+    r, sign = _reduce_half(x)
+    u = r * r
+    c0, c1, c2, c3, c4 = _SINPI_C
+    p = c0 + u * (c1 + u * (c2 + u * (c3 + u * c4)))
+    return sign * r * p
+
+
+def cospi(x: jnp.ndarray) -> jnp.ndarray:
+    """cos(pi * x) via the same reduction + even minimax polynomial."""
+    r, sign = _reduce_half(x)
+    u = r * r
+    c0, c1, c2, c3, c4 = _COSPI_C
+    return sign * (c0 + u * (c1 + u * (c2 + u * (c3 + u * c4))))
+
+
+@sinpi.defjvp
+def _sinpi_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    return sinpi(x), jnp.pi * cospi(x) * dx
+
+
 def apply(params: dict, x: jnp.ndarray, *, scale: float,
           max_deg: int = DEFAULT_MAX_DEG) -> jnp.ndarray:
     """x: [..., 3] -> [..., 3 + (max_deg+1)*21] embedding
@@ -92,7 +142,8 @@ def apply(params: dict, x: jnp.ndarray, *, scale: float,
     bands = frequency_bands(0, max_deg).astype(proj.dtype)
     xb = proj[..., None, :] * bands[:, None]  # [..., n_freqs, 21]
     xb = xb.reshape(*proj.shape[:-1], -1)
-    return jnp.concatenate([t, jnp.sin(xb * jnp.pi)], axis=-1)
+    sin_fn = sinpi if _FAST_SINPI else (lambda v: jnp.sin(jnp.pi * v))
+    return jnp.concatenate([t, sin_fn(xb)], axis=-1)
 
 
 def positional_encoding(x: jnp.ndarray, num_encoding_functions: int = 6,

@@ -1,0 +1,57 @@
+"""A/B the PRNG implementation on the production superstep.
+
+JAX's default threefry2x32 is serialized and slow on TPU; the step body
+draws RNG at batch gather (randint row indices) and 3D point sampling
+(one fused uniform draw per ray-candidate layout). The 'rbg' impl
+generates the same-quality bits for sampling purposes at a fraction of
+the op cost. This measures whether it matters at our shapes.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from catnerf_tpu.config import Config
+from catnerf_tpu.data.device_buffer import build_device_store, make_superstep
+from catnerf_tpu.data.synthetic import make_scene
+from catnerf_tpu.train.loop import TrainingSession
+from catnerf_tpu.train.step import make_train_step
+
+N_INNER = 100
+N_DISPATCH = 10
+
+
+def run(impl: str) -> float:
+    cfg = Config()
+    cfg.seed = 0
+    scene = make_scene(n_frames=4, width=96, height=72, n_categories=8,
+                       insts_per_cat=3, seed=0)
+    sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
+                           cam=scene.cam)
+    store = build_device_store(sess.categories, sess.background)
+    inner = make_train_step(cfg, sess.obj_mask, jit=False)
+    superstep = make_superstep(inner, store, n_per_cls=sess.n_per_cls,
+                               n_bg=cfg.n_per_optim_bg, n_inner=N_INNER)
+    state = jax.tree.map(jnp.copy, sess.state)
+    key = jax.random.key(0, impl=impl)
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        state, m = superstep(state, k)
+    float(m.total)  # honest sync (axon: block_until_ready can lie)
+    t0 = time.perf_counter()
+    for _ in range(N_DISPATCH):
+        key, k = jax.random.split(key)
+        state, m = superstep(state, k)
+    float(m.total)
+    dt = time.perf_counter() - t0
+    us = dt / (N_DISPATCH * N_INNER) * 1e6
+    print(f"{impl:12s} {us:9.1f} us/step  final_loss={float(m.total):.2f}")
+    return us
+
+
+if __name__ == "__main__":
+    for impl in ("threefry2x32", "rbg", "threefry2x32", "rbg"):
+        run(impl)

@@ -35,6 +35,30 @@ def test_embedding_golden_value():
     np.testing.assert_allclose(emb[0, :3], t[0], rtol=1e-6)
 
 
+def test_sinpi_cospi_accuracy_and_grad():
+    """The fast range-reduced polynomial sin(pi*x) (embedding.sinpi) must
+    match the transcendental to within its fitted bound across the full
+    band-scaled argument range (|x| up to 2^5 * |proj| ~ 64), including
+    half-integers (reduction boundaries), and its custom JVP must equal
+    pi*cos(pi*x)."""
+    x = np.concatenate([
+        np.linspace(-64.0, 64.0, 20001, dtype=np.float32),
+        np.arange(-8, 8, dtype=np.float32) + 0.5,  # reduction boundaries
+        np.arange(-8, 8, dtype=np.float32),
+    ])
+    got = np.asarray(embedding.sinpi(jnp.asarray(x)))
+    want = np.sin(np.pi * x.astype(np.float64))
+    # absolute error: poly bound 3.4e-9 + f32 rounding of band-scaled args
+    assert np.abs(got - want).max() < 3e-5
+    gotc = np.asarray(embedding.cospi(jnp.asarray(x)))
+    wantc = np.cos(np.pi * x.astype(np.float64))
+    assert np.abs(gotc - wantc).max() < 3e-5
+
+    g = np.asarray(jax.vmap(jax.grad(embedding.sinpi))(jnp.asarray(x)))
+    wantg = np.pi * np.cos(np.pi * x.astype(np.float64))
+    assert np.abs(g - wantg).max() < 1e-4
+
+
 def test_embedding_scale_invariance_property():
     """Doubling scale must equal halving the input."""
     p = embedding.init_params()
