@@ -61,10 +61,11 @@ def main():
     import jax.numpy as jnp
 
     state0 = jax.tree.map(jnp.copy, sess.state)
-    store = build_device_store(sess.categories, sess.background)
+    store = build_device_store(sess.categories, sess.background,
+                               window_pad=r, bg_window_pad=r_bg)
     inner = make_train_step(cfg, sess.obj_mask, jit=False)
     superstep = make_superstep(inner, store, n_per_cls=r, n_bg=r_bg,
-                               n_inner=N_INNER)
+                               n_inner=N_INNER, window=True)
     state = jax.tree.map(jnp.copy, state0)
     key = sess.base_key
     for i in range(2):  # compile + warmup

@@ -52,27 +52,27 @@ def init_params(key: jax.Array, *, emb_size1: int = EMB_SIZE1, emb_size2: int = 
     return p
 
 
-def apply(params: dict, emb: jnp.ndarray, shape_latent: jnp.ndarray,
-          texture_latent: jnp.ndarray, *, emb_size1: int = EMB_SIZE1,
-          do_cat: bool = True):
-    """Forward pass (ref: src/model.py:56-84).
+def project_codes(params: dict, shape_latent: jnp.ndarray,
+                  texture_latent: jnp.ndarray, *, do_cat: bool = True):
+    """Latent-code injections for rows of codes.
 
-    emb: [..., 129]; shape/texture_latent: [..., latent_dim] broadcastable
-    against emb's leading axes. Returns (sigma [..., 1], rgb [..., 3]).
+    All shape-side injections (and the cat-layer one) share the same input,
+    so their projections run as ONE matmul and are sliced back out in
+    `apply_with_injections` — identical math to per-layer linears, ~5x fewer
+    ops on the latent path. Likewise for the texture side.
+
+    The injections depend only on the instance code, not on the ray, so the
+    train step calls this on the [n_obj, latent_dim] code *tables* and
+    gathers the [*, W]-dim results per ray (project-then-gather) instead of
+    gathering latent_dim-wide codes per ray and projecting per ray — 8x less
+    gather traffic and ~(rays/instances)x fewer latent-matmul FLOPs, with a
+    correspondingly cheaper scatter in the code-gradient backward.
+
+    Returns (shape_inj [..., (shape_blocks+do_cat)*W],
+             texture_inj [..., texture_blocks*W]).
     """
-    x1 = emb[..., :emb_size1]
-    x2 = emb[..., emb_size1:]
-    shape_blocks = len(params["shape_layers"])
-    texture_blocks = len(params["texture_layers"])
-    W = params["shape_layers"][0]["w"].shape[-1]
-
-    # All shape-side latent injections share the same input (the per-ray
-    # shape code), so their projections run as ONE matmul and are sliced
-    # back out — identical math to per-layer linears, ~5x fewer ops on the
-    # latent path (these are [*, latent_dim] x [latent_dim, W] matmuls per
-    # ray, a measurable slice of the op-count-bound step).
     zcat_params = [params["cat_latent_layer"]] if do_cat else []
-    z_all = linear_relu(
+    shape_inj = linear_relu(
         {
             "w": jnp.concatenate(
                 [p["w"] for p in params["shape_latent_layers"]]
@@ -83,16 +83,40 @@ def apply(params: dict, emb: jnp.ndarray, shape_latent: jnp.ndarray,
         },
         shape_latent,
     )
+    texture_inj = linear_relu(
+        {
+            "w": jnp.concatenate(
+                [p["w"] for p in params["texture_latent_layers"]], axis=-1),
+            "b": jnp.concatenate(
+                [p["b"] for p in params["texture_latent_layers"]], axis=-1),
+        },
+        texture_latent,
+    )
+    return shape_inj, texture_inj
+
+
+def apply_with_injections(params: dict, emb: jnp.ndarray,
+                          shape_inj: jnp.ndarray, texture_inj: jnp.ndarray,
+                          *, emb_size1: int = EMB_SIZE1, do_cat: bool = True):
+    """Forward pass given precomputed latent injections (see project_codes).
+
+    emb: [..., 129]; shape_inj/texture_inj broadcastable against emb's
+    leading axes. Returns (sigma [..., 1], rgb [..., 3])."""
+    x1 = emb[..., :emb_size1]
+    x2 = emb[..., emb_size1:]
+    shape_blocks = len(params["shape_layers"])
+    texture_blocks = len(params["texture_layers"])
+    W = params["shape_layers"][0]["w"].shape[-1]
 
     y = linear_relu(params["encoding_xyz"], x1)
     for j in range(shape_blocks):
         if do_cat and j == 1:
-            y = y + z_all[..., shape_blocks * W:]
+            y = y + shape_inj[..., shape_blocks * W:]
             y = jnp.concatenate(
                 [y, jnp.broadcast_to(x1, y.shape[:-1] + (x1.shape[-1],))], axis=-1
             )
             y = linear_relu(params["cat_layer"], y)
-        y = y + z_all[..., j * W:(j + 1) * W]
+        y = y + shape_inj[..., j * W:(j + 1) * W]
         y = linear_relu(params["shape_layers"][j], y)
 
     y = linear(params["encoding_shape"], y)
@@ -103,8 +127,22 @@ def apply(params: dict, emb: jnp.ndarray, shape_latent: jnp.ndarray,
     )
     y = linear_relu(params["encoding_viewdir"], y)
     for j in range(texture_blocks):
-        z = linear_relu(params["texture_latent_layers"][j], texture_latent)
-        y = y + z
+        y = y + texture_inj[..., j * W:(j + 1) * W]
         y = linear_relu(params["texture_layers"][j], y)
     rgb = jax.nn.sigmoid(linear(params["rgb_1"], jax.nn.relu(linear(params["rgb_0"], y))))
     return sigma, rgb
+
+
+def apply(params: dict, emb: jnp.ndarray, shape_latent: jnp.ndarray,
+          texture_latent: jnp.ndarray, *, emb_size1: int = EMB_SIZE1,
+          do_cat: bool = True):
+    """Forward pass (ref: src/model.py:56-84).
+
+    emb: [..., 129]; shape/texture_latent: [..., latent_dim] broadcastable
+    against emb's leading axes. Returns (sigma [..., 1], rgb [..., 3]).
+    """
+    shape_inj, texture_inj = project_codes(
+        params, shape_latent, texture_latent, do_cat=do_cat)
+    return apply_with_injections(
+        params, emb, shape_inj, texture_inj, emb_size1=emb_size1,
+        do_cat=do_cat)

@@ -130,32 +130,48 @@ def store_shardings(mesh: Mesh):
                           bg_length=repl)
 
 
-def _sample_batch_sharded(store, key, n_per_cls: int, n_bg: int):
+def _sample_batch_sharded(store, key, n_per_cls: int, n_bg: int,
+                          window: bool = False):
     """Like device_buffer.sample_batch but with a per-category gather that
     preserves the category-sharded store layout (the flat-index gather of
-    the single-chip path would reshape across the sharded axis)."""
+    the single-chip path would reshape across the sharded axis). window=True
+    mirrors device_buffer's cyclic-window draw (store must be built with
+    window_pad); the vmapped per-category dynamic_slice is shard-local."""
     import jax.numpy as jnp
     from catnerf_tpu.data.device_buffer import _unpack_bg, _unpack_cat
 
     n_cls = store.packed.shape[0]
     k_cat, k_bg = jax.random.split(key)
-    idx = jax.random.randint(k_cat, (n_cls, n_per_cls), 0,
-                             store.lengths[:, None])
-    rows = jnp.take_along_axis(
-        store.packed, idx[:, :, None].astype(jnp.int32), axis=1)
+    if window:
+        offs = jax.random.randint(k_cat, (n_cls,), 0, store.lengths)
+        rows = jax.vmap(
+            lambda p, o: jax.lax.dynamic_slice_in_dim(p, o, n_per_cls, axis=0)
+        )(store.packed, offs)
+    else:
+        idx = jax.random.randint(k_cat, (n_cls, n_per_cls), 0,
+                                 store.lengths[:, None])
+        rows = jnp.take_along_axis(
+            store.packed, idx[:, :, None].astype(jnp.int32), axis=1)
     cat = _unpack_cat(rows)
 
     bg = None
     if store.bg_packed is not None:
-        bidx = jax.random.randint(k_bg, (n_bg,), 0, store.bg_length)
-        bg = _unpack_bg(jnp.take(store.bg_packed, bidx, axis=0))
+        if window:
+            boff = jax.random.randint(k_bg, (), 0, store.bg_length)
+            bg_rows = jax.lax.dynamic_slice_in_dim(
+                store.bg_packed, boff, n_bg, axis=0)
+        else:
+            bidx = jax.random.randint(k_bg, (n_bg,), 0, store.bg_length)
+            bg_rows = jnp.take(store.bg_packed, bidx, axis=0)
+        bg = _unpack_bg(bg_rows)
     return cat, bg
 
 
 def make_sharded_superstep(cfg: Config, obj_mask, mesh: Mesh,
                            state_template: TrainState, n_cls: int, store,
                            n_per_cls: int, n_bg: int, n_inner: int,
-                           with_background: bool = True):
+                           with_background: bool = True,
+                           window: bool = False):
     """jitted (state, key) -> (state, last-step metrics): n_inner optimizer
     steps per dispatch, fully sharded. `store` is placed with
     store_shardings before tracing."""
@@ -172,7 +188,8 @@ def make_sharded_superstep(cfg: Config, obj_mask, mesh: Mesh,
 
     def body(state, k):
         k_draw, k_step = jax.random.split(k)
-        cat, bg = _sample_batch_sharded(store, k_draw, n_per_cls, n_bg)
+        cat, bg = _sample_batch_sharded(store, k_draw, n_per_cls, n_bg,
+                                        window=window)
         cat = jax.lax.with_sharding_constraint(cat, cat_sh)
         if bg is not None:
             bg = jax.lax.with_sharding_constraint(bg, bg_sh)

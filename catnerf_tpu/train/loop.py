@@ -111,19 +111,24 @@ class TrainingSession:
     # ------------------------------------------------------------------
     # Production fast path: device-resident ray store + multi-step
     # superstep (one dispatch per `n_inner` optimizer steps). Statistically
-    # equivalent to the parity path (uniform on-device batch draws instead
-    # of the host epoch-shuffle cursor).
+    # equivalent to the parity path: each step takes a random cyclic window
+    # of the build-time-shuffled buffers (the reference's cursor is likewise
+    # a sequential window over a shuffled buffer) instead of the host
+    # epoch-shuffle cursor.
     def enable_fast_path(self, n_inner: int) -> None:
         from catnerf_tpu.data.device_buffer import (
             build_device_store, make_superstep)
 
-        store = build_device_store(self.categories, self.background)
+        store = build_device_store(
+            self.categories, self.background,
+            window_pad=self.n_per_cls,
+            bg_window_pad=self.cfg.n_per_optim_bg)
         inner = make_train_step(
             self.cfg, self.obj_mask,
             with_background=self.background is not None, jit=False)
         self._superstep = make_superstep(
             inner, store, n_per_cls=self.n_per_cls,
-            n_bg=self.cfg.n_per_optim_bg, n_inner=n_inner)
+            n_bg=self.cfg.n_per_optim_bg, n_inner=n_inner, window=True)
         self._n_inner = n_inner
 
     def run_fast(self, n_steps: int) -> StepMetrics:

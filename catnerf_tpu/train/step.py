@@ -98,24 +98,29 @@ def category_forward(params: dict, batch: CategoryBatch, key: jax.Array,
         keys, batch.rgbs, batch.states, batch.depth, batch.origins, batch.dirs
     )
 
-    # Per-ray code lookup inside each category (ref: train.py:136-137).
-    sc = jax.vmap(lambda c, i: jnp.take(c, i, axis=0))(
-        params["codes"]["shape"], batch.obj_indices
+    # Project-then-gather latent injections (ref: train.py:136-137 gathers
+    # latent_dim-wide codes per ray; injections depend only on the instance,
+    # so project the [max_obj, latent] code tables once and gather the
+    # W-dim results per ray instead — see codenerf.project_codes).
+    inj_s_inst, inj_t_inst = jax.vmap(
+        partial(codenerf.project_codes, do_cat=True)
+    )(params["cat_fc"], params["codes"]["shape"], params["codes"]["texture"])
+    inj_s = jax.vmap(lambda z, i: jnp.take(z, i, axis=0))(
+        inj_s_inst, batch.obj_indices
     )
-    tc = jax.vmap(lambda c, i: jnp.take(c, i, axis=0))(
-        params["codes"]["texture"], batch.obj_indices
+    inj_t = jax.vmap(lambda z, i: jnp.take(z, i, axis=0))(
+        inj_t_inst, batch.obj_indices
     )
 
     if _fused_eligible(cfg):
         fc = params["cat_fc"]
         C, R, Bt, _ = rays.input_pcs.shape
         N = R * Bt
-        # Per-ray latent injections (latent_dim-wide, per ray not per point)
-        # stay in XLA; broadcast to per-point for the kernel.
-        zs0 = _batched_linear_relu(fc["shape_latent_layers"][0], sc)
-        zc = _batched_linear_relu(fc["cat_latent_layer"], sc)
-        zs1 = _batched_linear_relu(fc["shape_latent_layers"][1], sc)
-        zt0 = _batched_linear_relu(fc["texture_latent_layers"][0], tc)
+        W = cfg.net_hyperparams.W
+        # Injection layout (project_codes): [shape0, shape1, cat | tex0].
+        zs0, zs1 = inj_s[..., :W], inj_s[..., W:2 * W]
+        zc = inj_s[..., 2 * W:]
+        zt0 = inj_t[..., :W]
 
         def per_point(z):
             return jnp.broadcast_to(
@@ -133,8 +138,8 @@ def category_forward(params: dict, batch: CategoryBatch, key: jax.Array,
     pe_fn = partial(embedding.apply, scale=cfg.obj_scale,
                     max_deg=cfg.n_unidir_funcs)
     emb = jax.vmap(pe_fn)(params["cat_pe"], rays.input_pcs)
-    alpha, color = jax.vmap(codenerf.apply)(
-        params["cat_fc"], emb, sc[:, :, None, :], tc[:, :, None, :]
+    alpha, color = jax.vmap(codenerf.apply_with_injections)(
+        params["cat_fc"], emb, inj_s[:, :, None, :], inj_t[:, :, None, :]
     )
     return alpha[..., 0], color, rays
 

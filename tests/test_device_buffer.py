@@ -60,3 +60,58 @@ def test_superstep_trains():
     assert np.isfinite(float(m.total))
     # training signal: opacity falls vs the first superstep
     assert float(m.cat_opacity.mean()) < float(m1.cat_opacity.mean()) * 1.5
+
+
+def test_windowed_sampling_cyclic_and_uniform():
+    """window=True: rows are a contiguous cyclic window of the valid rows —
+    within-step without replacement, wraparound pad equals the buffer head,
+    and every source row is reachable (uniform inclusion)."""
+    sess = _session()
+    n, n_bg = 32, 64
+    store = build_device_store(sess.categories, sess.background,
+                               window_pad=n, bg_window_pad=n_bg)
+    # pad rows replicate the head of each category's valid rows
+    for c in range(store.packed.shape[0]):
+        L = int(store.lengths[c])
+        np.testing.assert_array_equal(
+            np.asarray(store.packed[c, L:L + n]),
+            np.asarray(store.packed[c, :n]) if L >= n
+            else np.resize(np.asarray(store.packed[c, :L]), (n, 12)))
+
+    seen = [set() for _ in range(store.packed.shape[0])]
+    for s in range(40):
+        cat, bg = sample_batch(store, jax.random.PRNGKey(s), n, n_bg,
+                               window=True)
+        for c in range(store.packed.shape[0]):
+            L = int(store.lengths[c])
+            rows = np.asarray(cat.depth[c])
+            src = np.asarray(store.packed[c, :L, 9])
+            # every sampled row comes from the valid set
+            assert np.isin(np.round(rows, 5), np.round(src, 5)).all()
+            # contiguity: the window matches src at some cyclic offset
+            ext = np.concatenate([src, src[:n]])
+            offsets = [
+                o for o in range(L)
+                if np.allclose(ext[o:o + n], rows)
+            ]
+            assert offsets, f"window not contiguous-cyclic (cat {c}, step {s})"
+            seen[c].update((offsets[0] + np.arange(n)) % L)
+        assert bg.depth.shape == (n_bg,)
+    # over 40 draws of 32 from small buffers, coverage should be near-total
+    for c, s in enumerate(seen):
+        L = int(store.lengths[c])
+        assert len(s) > 0.8 * min(L, 40 * n), (c, len(s), L)
+
+
+def test_windowed_superstep_trains():
+    sess = _session()
+    store = build_device_store(sess.categories, sess.background,
+                               window_pad=32, bg_window_pad=64)
+    inner = make_train_step(sess.cfg, sess.obj_mask, jit=False)
+    superstep = make_superstep(inner, store, n_per_cls=32, n_bg=64,
+                               n_inner=4, donate=False, window=True)
+    state = sess.state
+    key = jax.random.PRNGKey(0)
+    state, m = superstep(state, key)
+    assert int(state.step) == 4
+    assert np.isfinite(float(m.total))
