@@ -13,6 +13,28 @@ import os
 import shutil
 
 
+def load_scene(config: str | None, synthetic: bool = False):
+    """(cfg, inst_dict, sample_dict, cam) for a config file or the built-in
+    synthetic scene — shared by this CLI and catnerf_tpu.render_views."""
+    from catnerf_tpu.config import Config
+    from catnerf_tpu.data.camera import CameraInfo
+
+    if synthetic:
+        from catnerf_tpu.data.synthetic import make_scene
+
+        cfg = Config()
+        cfg.net_hyperparams.latent_dim = 32
+        scene = make_scene(n_frames=8, width=160, height=120,
+                           n_categories=3, insts_per_cat=2)
+        return cfg, scene.inst_dict, scene.sample_dict, scene.cam
+
+    cfg = Config.from_json(config)
+    from catnerf_tpu.data.replica import get_dataset
+
+    data = get_dataset(cfg)
+    return cfg, data.inst_dict, data.sample_dict, CameraInfo.from_config(cfg)
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", type=str,
@@ -47,11 +69,9 @@ def main():
                              "imported) weights and exit")
     args = parser.parse_args()
 
-    from catnerf_tpu.config import Config
     from catnerf_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    from catnerf_tpu.data.camera import CameraInfo
     from catnerf_tpu.mesher.meshing import mesh_scene
     from catnerf_tpu.train import checkpoint as ckpt_mod
     from catnerf_tpu.train.logging import MetricsWriter
@@ -59,22 +79,9 @@ def main():
 
     os.makedirs(args.logdir, exist_ok=True)
 
-    if args.synthetic:
-        from catnerf_tpu.data.synthetic import make_scene
-
-        cfg = Config()
-        cfg.net_hyperparams.latent_dim = 32
-        scene = make_scene(n_frames=8, width=160, height=120,
-                           n_categories=3, insts_per_cat=2)
-        inst_dict, sample_dict, cam = scene.inst_dict, scene.sample_dict, scene.cam
-    else:
-        cfg = Config.from_json(args.config)
+    cfg, inst_dict, sample_dict, cam = load_scene(args.config, args.synthetic)
+    if not args.synthetic:
         shutil.copy(args.config, args.logdir)
-        from catnerf_tpu.data.replica import get_dataset
-
-        data = get_dataset(cfg)
-        inst_dict, sample_dict = data.inst_dict, data.sample_dict
-        cam = CameraInfo.from_config(cfg)
 
     if args.max_iter is not None:
         cfg.max_iter = args.max_iter
