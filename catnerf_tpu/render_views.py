@@ -172,6 +172,118 @@ def render_session_orbits(session, out_dir: str, *, n_views: int = 8,
     return written
 
 
+def _obb_mask(pts: np.ndarray, center, R, extent, margin: float) -> np.ndarray:
+    local = (pts - np.asarray(center, np.float32)) @ np.asarray(R, np.float32)
+    half = 0.5 * margin * np.asarray(extent, np.float32)
+    return (np.abs(local) <= half).all(-1)
+
+
+def render_scene_view(session, T: np.ndarray, cam: CameraInfo, *,
+                      near: float, far: float, n_bins: int = 64,
+                      margin: float = 1.3, chunk: int = 262144):
+    """Composite ALL trained fields (every object + background) along shared
+    world-frame rays into one RGB-D image.
+
+    Per bin the fields merge as independent occupancies — union
+    occ = 1 - prod(1 - occ_f), color = sum(occ_f * rgb_f) / sum(occ_f) —
+    then composite along the ray with the training's shifted-cumprod math.
+    Object fields are evaluated in their own frame (canonical via the
+    inverse sim(3) for multi-instance categories, world otherwise) and
+    masked to their OBB/extent box (fields are untrained garbage outside
+    the region the mesh grid would evaluate).
+    """
+    cfg = session.cfg
+    dirs_c = ray_dirs_cache(cam.width, cam.height, cam.fx, cam.fy,
+                            cam.cx, cam.cy)
+    R_wc, o_w = T[:3, :3], T[:3, 3]
+    dirs = dirs_c @ R_wc.T
+    edges = np.linspace(near, far, n_bins + 1, dtype=np.float32)
+    z = 0.5 * (edges[:-1] + edges[1:])
+    pts_w = (o_w + dirs[:, :, None, :] * z[None, None, :, None]).reshape(-1, 3)
+    n = len(pts_w)
+
+    one_minus = np.ones(n, np.float32)
+    color_sum = np.zeros((n, 3), np.float32)
+    w_sum = np.zeros(n, np.float32)
+
+    def accumulate(occ, rgb, mask=None):
+        nonlocal one_minus, color_sum, w_sum
+        if mask is not None:
+            occ = occ * mask
+        one_minus *= 1.0 - occ
+        color_sum += occ[:, None] * rgb
+        w_sum += occ
+
+    from catnerf_tpu.ops.sim3 import tensor_to_se3_np
+
+    for cls_id in session.cls_ids:
+        cat = session.categories[session.cls_ids.index(cls_id)]
+        params = session.category_params(cls_id)
+        multi = cat.n_obj > 1
+        for obj_id in cat.obj_ids:
+            k = cat.inst_id_to_index[obj_id]
+            sc = np.asarray(params["shape_codes"][k])
+            tc = np.asarray(params["texture_codes"][k])
+            if multi:
+                obj_tensor = cat.object_tensor_dict[obj_id]
+                s = float(obj_tensor[0])
+                T_ow = tensor_to_se3_np(obj_tensor[1:])  # canonical->world
+                x_c = ((pts_w - T_ow[:3, 3]) @ T_ow[:3, :3]) / max(s, 1e-9)
+                half_c = np.asarray(cat.extent_dict[obj_id]) / (2 * max(s, 1e-9))
+                mask = (np.abs(x_c) <= margin * half_c).all(-1)
+                eval_pts = x_c
+            else:
+                bound = cat.bound_dict.get(obj_id)
+                if bound is None:
+                    continue
+                mask = _obb_mask(pts_w, bound.center, bound.R, bound.extent,
+                                 margin)
+                eval_pts = pts_w
+            if not mask.any():
+                continue
+            occ, rgb = eval_points(eval_pts, params, cfg, sc, tc,
+                                   is_background=False, chunk=chunk)
+            accumulate(occ.astype(np.float32), rgb.astype(np.float32),
+                       mask.astype(np.float32))
+
+    bg_params = session.background_params()
+    if bg_params is not None:
+        occ, rgb = eval_points(pts_w, bg_params, cfg, is_background=True,
+                               chunk=chunk)
+        accumulate(occ.astype(np.float32), rgb.astype(np.float32))
+
+    occ_u = (1.0 - one_minus).reshape(cam.width, cam.height, n_bins)
+    rgb_u = (color_sum / np.maximum(w_sum[:, None], 1e-8)).reshape(
+        cam.width, cam.height, n_bins, 3)
+    return _composite(occ_u, rgb_u, z)
+
+
+def render_scene_views(session, out_dir: str, *, n_views: int = 4,
+                       width: int = 320, height: int = 240,
+                       n_bins: int = 64) -> list[str]:
+    """Composited whole-scene renders from up to n_views dataset poses."""
+    if not getattr(session, "sample_dict", None):
+        return []
+    cfg = session.cfg
+    f = 0.9 * max(width, height)
+    cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
+    bound = (session.background.bound if session.background is not None
+             else None)
+    far = (1.2 * float(np.linalg.norm(np.asarray(bound.extent)))
+           if bound is not None else 8.0)
+    frames = sorted(session.sample_dict.keys())
+    step = max(1, len(frames) // max(1, n_views))
+    written = []
+    for v, fr in enumerate(frames[::step][:n_views]):
+        T = np.asarray(session.sample_dict[fr]["T"], np.float32)
+        img, depth, alpha = render_scene_view(
+            session, T, cam, near=0.05, far=far, n_bins=n_bins)
+        name = f"scene_frame{fr}_view{v:02d}"
+        _save(out_dir, name, img, depth, alpha)
+        written.append(name)
+    return written
+
+
 def main() -> None:
     import argparse
 
@@ -188,6 +300,9 @@ def main() -> None:
     parser.add_argument("--width", type=int, default=320)
     parser.add_argument("--height", type=int, default=240)
     parser.add_argument("--n-bins", type=int, default=96)
+    parser.add_argument("--scene", action="store_true",
+                        help="also render composited whole-scene views "
+                             "(all objects + background) from dataset poses")
     args = parser.parse_args()
 
     enable_compilation_cache()
@@ -207,6 +322,10 @@ def main() -> None:
     written = render_session_orbits(
         session, out, n_views=args.n_views, width=args.width,
         height=args.height, n_bins=args.n_bins)
+    if args.scene:
+        written += render_scene_views(
+            session, out, n_views=args.n_views, width=args.width,
+            height=args.height, n_bins=min(args.n_bins, 64))
     print(f"wrote {len(written)} views to {out}")
 
 
