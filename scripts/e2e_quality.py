@@ -178,6 +178,25 @@ def main():
         comps.append(m["completion"])
         ratios.append(m["completion_ratio"])
 
+    # Image-space readout: composite ALL trained fields from two dataset
+    # poses (catnerf_tpu.render_views) and score true MSE PSNR against the
+    # GT frames — appearance fidelity, complementing the mesh metrics (and a
+    # regression check on the renderer itself).
+    from catnerf_tpu.render_views import render_scene_view
+
+    render_psnrs = []
+    bound = sess.background.bound if sess.background is not None else None
+    far = (1.2 * float(np.linalg.norm(np.asarray(bound.extent)))
+           if bound is not None else 8.0)
+    rframes = sorted(sess.sample_dict.keys())
+    for fr in {rframes[0], rframes[len(rframes) // 2]}:
+        T = np.asarray(sess.sample_dict[fr]["T"], np.float32)
+        img, _, _ = render_scene_view(sess, T, sess.cam, near=0.1, far=far,
+                                      n_bins=64)
+        gt = np.asarray(sess.sample_dict[fr]["image"], np.float32) / 255.0
+        mse = float(np.mean((img - gt) ** 2))
+        render_psnrs.append(round(-10.0 * np.log10(max(mse, 1e-10)), 2))
+
     result = {
         "metric": (("e2e_synthetic_quality_registered"
                     + ("_scannet" if args.dataset == "scannet" else ""))
@@ -191,6 +210,7 @@ def main():
         "n_meshed": len(accs),
         "n_objects": len(scene.spheres),
         "per_object": per_obj,
+        "render_psnr": render_psnrs,
         "seed": args.seed,
         "sampling": "parity" if args.parity else "fast",
         "mesh_dir": out_dir,
