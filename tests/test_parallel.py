@@ -200,12 +200,14 @@ def test_weak_scaling_collective_volume():
             kinds.add(op)
         return total, biggest, kinds
 
-    def volume(n_data, n_model, n_per_cls=16, n_bg=32):
+    def volume(n_data, n_model, n_per_cls=16, n_bg=32, use_store=None,
+               window=False):
         mesh = mesh_mod.make_mesh(n_data=n_data, n_model=n_model)
         state = sharding.shard_state(sess.state, mesh, n_cls)
         ss = sharding.make_sharded_superstep(
-            cfg, sess.obj_mask, mesh, sess.state, n_cls, store,
-            n_per_cls=n_per_cls, n_bg=n_bg, n_inner=2)
+            cfg, sess.obj_mask, mesh, sess.state, n_cls,
+            use_store if use_store is not None else store,
+            n_per_cls=n_per_cls, n_bg=n_bg, n_inner=2, window=window)
         return collective_stats(ss.lower(state,
                                          jax.random.PRNGKey(0)).compile()
                                 .as_text())
@@ -229,3 +231,17 @@ def test_weak_scaling_collective_volume():
     # rays never cross chips: 4x the per-device ray batch moves ZERO extra
     # collective bytes
     assert v8x4 == v8, (v8x4, v8)
+
+    # the cyclic-window draw (production fast path) must stay shard-local
+    # too: the per-category dynamic_slice adds ZERO collective bytes. Under
+    # EP the compiler replicates the [n_cls] per-category metric vectors
+    # with tiny all-gathers (f32[2] x a few) instead of all-reduces — allow
+    # those, bounded to well under 1 KB.
+    store_w = build_device_store(sess.categories, sess.background,
+                                 window_pad=16, bg_window_pad=32)
+    vw, _, kw = volume(8, 1, use_store=store_w, window=True)
+    vwep, bigwep, kwep = volume(4, 2, use_store=store_w, window=True)
+    assert kw == {"all-reduce"}, kw
+    assert vw == v8, (vw, v8)
+    assert kwep <= {"all-reduce", "all-gather"}, kwep
+    assert abs(vwep - vep) < 1024, (vwep, vep)
