@@ -1,0 +1,229 @@
+"""Minimal HTTP serving layer for trained scenes.
+
+Serves novel-view renders of a trained checkpoint over HTTP — the
+deployment surface the reference lacks entirely (its outputs are offline
+mesh files). Requests are handled serially (one device, one compiled
+render program), so the server is a thin stateless façade over
+catnerf_tpu.render_views; renders of a given size reuse the same compiled
+XLA programs after the first request.
+
+Endpoints (all GET, images as PNG):
+  /health                          -> {"ok": true, "objects": [...]}
+  /object?id=<obj_id>&az=<deg>&el=<deg>[&radius=R][&w=W&h=H][&bins=B]
+                                   -> orbit render of one object
+  /scene?frame=<idx>[&w=W&h=H][&bins=B]
+                                   -> composited whole-scene render from a
+                                      dataset pose
+  /scene?az=<deg>&el=<deg>&radius=R[&cx=&cy=&cz=]
+                                   -> composited render from a free camera
+                                      orbiting the scene center
+
+CLI: python -m catnerf_tpu.serve --logdir <dir> [--synthetic | --config
+<json>] [--port 8765]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from catnerf_tpu.data.camera import CameraInfo
+from catnerf_tpu.render_views import (
+    look_at,
+    render_scene_view,
+    render_view,
+)
+
+
+def _png(img: np.ndarray) -> bytes:
+    """(W, H, 3) float [0,1] -> PNG bytes (standard row-major layout)."""
+    import cv2
+
+    bgr = cv2.cvtColor(
+        (np.clip(img, 0, 1).transpose(1, 0, 2) * 255).astype(np.uint8),
+        cv2.COLOR_RGB2BGR)
+    ok, buf = cv2.imencode(".png", bgr)
+    assert ok
+    return bytes(buf)
+
+
+class SceneServer:
+    """Render dispatch for one trained session (serial; not thread-safe —
+    pair with a single-threaded HTTPServer)."""
+
+    def __init__(self, session):
+        self.session = session
+        self.cfg = session.cfg
+        self._objects = {}
+        for cls_id in session.cls_ids:
+            cat = session.categories[session.cls_ids.index(cls_id)]
+            for obj_id in cat.obj_ids:
+                self._objects[int(obj_id)] = (cls_id, cat)
+
+    def object_ids(self) -> list[int]:
+        return sorted(self._objects)
+
+    def render_object(self, obj_id: int, az_deg: float, el_deg: float,
+                      radius: float | None, width: int, height: int,
+                      n_bins: int) -> np.ndarray:
+        cls_id, cat = self._objects[obj_id]
+        params = self.session.category_params(cls_id)
+        k = cat.inst_id_to_index[obj_id]
+        sc = np.asarray(params["shape_codes"][k])
+        tc = np.asarray(params["texture_codes"][k])
+        if cat.n_obj > 1:
+            s = float(cat.object_tensor_dict[obj_id][0])
+            extent = np.asarray(cat.extent_dict[obj_id]) / max(s, 1e-9)
+            center = np.zeros(3)
+        else:
+            bound = cat.bound_dict[obj_id]
+            extent = np.asarray(bound.extent)
+            center = np.asarray(bound.center)
+        half_diag = 0.5 * float(np.linalg.norm(extent))
+        r = radius if radius is not None else 2.2 * half_diag
+        az, el = np.deg2rad(az_deg), np.deg2rad(el_deg)
+        eye = center + r * np.array(
+            [np.cos(az) * np.cos(el), np.sin(az) * np.cos(el), np.sin(el)])
+        T = look_at(eye, center)
+        f = 0.9 * max(width, height)
+        cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
+        near = max(0.05 * r, r - 1.3 * half_diag)
+        far = r + 1.3 * half_diag
+        img, _, _ = render_view(params, self.cfg, T, cam, near=near, far=far,
+                                shape_code=sc, texture_code=tc, n_bins=n_bins)
+        return img
+
+    def _scene_far(self) -> float:
+        bound = (self.session.background.bound
+                 if self.session.background is not None else None)
+        if bound is None:
+            return 8.0
+        return 1.2 * float(np.linalg.norm(np.asarray(bound.extent)))
+
+    def render_scene_frame(self, frame: int, width: int, height: int,
+                           n_bins: int) -> np.ndarray:
+        T = np.asarray(self.session.sample_dict[frame]["T"], np.float32)
+        f = 0.9 * max(width, height)
+        cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
+        img, _, _ = render_scene_view(self.session, T, cam, near=0.05,
+                                      far=self._scene_far(), n_bins=n_bins)
+        return img
+
+    def render_scene_orbit(self, az_deg: float, el_deg: float, radius: float,
+                           center, width: int, height: int,
+                           n_bins: int) -> np.ndarray:
+        az, el = np.deg2rad(az_deg), np.deg2rad(el_deg)
+        center = np.asarray(center, np.float64)
+        eye = center + radius * np.array(
+            [np.cos(az) * np.cos(el), np.sin(az) * np.cos(el), np.sin(el)])
+        T = look_at(eye, center)
+        f = 0.9 * max(width, height)
+        cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
+        img, _, _ = render_scene_view(self.session, T, cam, near=0.05,
+                                      far=self._scene_far(), n_bins=n_bins)
+        return img
+
+
+def make_handler(server: SceneServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _reply(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, code: int, obj) -> None:
+            self._reply(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            try:
+                w = int(q.get("w", 320))
+                h = int(q.get("h", 240))
+                bins = min(int(q.get("bins", 64)), 192)
+                if u.path == "/health":
+                    self._json(200, {"ok": True,
+                                     "objects": server.object_ids()})
+                elif u.path == "/object":
+                    img = server.render_object(
+                        int(q["id"]), float(q.get("az", 0.0)),
+                        float(q.get("el", 25.0)),
+                        float(q["radius"]) if "radius" in q else None,
+                        w, h, bins)
+                    self._reply(200, _png(img), "image/png")
+                elif u.path == "/scene":
+                    if "frame" in q:
+                        img = server.render_scene_frame(int(q["frame"]),
+                                                        w, h, bins)
+                    else:
+                        center = (float(q.get("cx", 0.0)),
+                                  float(q.get("cy", 0.0)),
+                                  float(q.get("cz", 0.0)))
+                        img = server.render_scene_orbit(
+                            float(q.get("az", 0.0)), float(q.get("el", 25.0)),
+                            float(q.get("radius", 4.0)), center, w, h, bins)
+                    self._reply(200, _png(img), "image/png")
+                else:
+                    self._json(404, {"error": f"unknown path {u.path}"})
+            except (KeyError, ValueError) as e:
+                self._json(400, {"error": repr(e)})
+            except Exception as e:  # pragma: no cover - defensive
+                self._json(500, {"error": repr(e)})
+
+    return Handler
+
+
+def serve(session, port: int = 8765, host: str = "127.0.0.1") -> HTTPServer:
+    """Build the (not-yet-running) single-threaded HTTP server."""
+    httpd = HTTPServer((host, port), make_handler(SceneServer(session)))
+    return httpd
+
+
+def main() -> None:
+    import argparse
+
+    from catnerf_tpu.utils import enable_compilation_cache
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--logdir", required=True)
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--port", type=int, default=8765)
+    parser.add_argument("--host", default="127.0.0.1")
+    args = parser.parse_args()
+
+    enable_compilation_cache()
+    from train import load_scene
+
+    cfg, inst_dict, sample_dict, cam = load_scene(args.config,
+                                                  synthetic=args.synthetic)
+    from catnerf_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+    from catnerf_tpu.train.loop import TrainingSession
+
+    session = TrainingSession(cfg, inst_dict, sample_dict, cam=cam)
+    ckpt = latest_checkpoint(os.path.join(args.logdir, "ckpt"))
+    if ckpt is None:
+        raise SystemExit(f"no checkpoint under {args.logdir}/ckpt")
+    session.state = load_checkpoint(ckpt, session.state)
+
+    httpd = serve(session, port=args.port, host=args.host)
+    print(f"serving {len(session.cls_ids)} categories on "
+          f"http://{args.host}:{args.port} "
+          f"(endpoints: /health /object /scene)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""HTTP serving layer tests (catnerf_tpu/serve.py)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+
+from catnerf_tpu.config import Config
+from catnerf_tpu.data.synthetic import make_scene
+from catnerf_tpu.serve import serve
+from catnerf_tpu.train.loop import TrainingSession
+
+
+def _session():
+    cfg = Config()
+    cfg.net_hyperparams.latent_dim = 16
+    cfg.hidden_feature_size_bg = 32
+    scene = make_scene(n_frames=3, width=48, height=36, n_categories=2,
+                       insts_per_cat=2, seed=3)
+    return TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
+                           cam=scene.cam)
+
+
+def test_serve_endpoints():
+    sess = _session()
+    httpd = serve(sess, port=0)  # OS-assigned free port
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/health", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and len(health["objects"]) == 4
+
+        obj = health["objects"][0]
+        url = f"{base}/object?id={obj}&az=30&el=20&w=32&h=24&bins=8"
+        with urllib.request.urlopen(url, timeout=120) as r:
+            assert r.headers["Content-Type"] == "image/png"
+            png = r.read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        import cv2
+
+        img = cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_COLOR)
+        assert img.shape == (24, 32, 3)
+
+        url = f"{base}/scene?frame=0&w=32&h=24&bins=8"
+        with urllib.request.urlopen(url, timeout=300) as r:
+            assert r.headers["Content-Type"] == "image/png"
+            assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+
+        url = f"{base}/scene?az=45&el=30&radius=4&w=32&h=24&bins=8"
+        with urllib.request.urlopen(url, timeout=300) as r:
+            assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+
+        # bad requests come back as structured 4xx, not a dead socket
+        try:
+            urllib.request.urlopen(f"{base}/object?az=1", timeout=30)
+            raise AssertionError("missing id should 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        try:
+            urllib.request.urlopen(f"{base}/nope", timeout=30)
+            raise AssertionError("unknown path should 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
