@@ -52,3 +52,34 @@ def test_loss_curve_matches_golden():
     assert d_psnr.mean() < 0.1
     assert d_bg.max() < 0.35
     assert rel_total.max() < 0.08 and rel_total.mean() < 0.02
+
+
+GOLDEN_FAST = os.path.join(os.path.dirname(__file__), "golden",
+                           "loss_curve_fast_seed0.json")
+
+
+def test_fast_path_loss_curve_matches_golden():
+    """Same pin for the PRODUCTION path (superstep + cyclic-window device
+    draws): catches numerics drift in the device store, windowed sampling,
+    and the scanned step that the parity-path pin cannot see."""
+    cfg = Config()
+    cfg.net_hyperparams.latent_dim = 16
+    cfg.hidden_feature_size_bg = 32
+    cfg.n_per_optim = 48
+    cfg.n_per_optim_bg = 128
+    scene = make_scene(n_frames=4, width=64, height=48, n_categories=2,
+                       insts_per_cat=2, seed=0)
+    sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
+                           cam=scene.cam)
+    sess.enable_fast_path(n_inner=10)
+    total, cat_psnr = [], []
+    for _ in range(20):
+        m = sess.run_fast(10)
+        total.append(float(m.total))
+        cat_psnr.append(float(m.cat_psnr.mean()))
+
+    golden = json.load(open(GOLDEN_FAST))
+    d_psnr = np.abs(np.asarray(cat_psnr) - np.asarray(golden["cat_psnr"]))
+    rel_total = np.abs(np.asarray(total) / np.asarray(golden["total"]) - 1.0)
+    assert d_psnr.max() < 0.35, (cat_psnr, golden["cat_psnr"])
+    assert rel_total.max() < 0.08 and rel_total.mean() < 0.02
