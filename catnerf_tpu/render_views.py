@@ -3,28 +3,36 @@
 A capability the reference does not ship (its only visual output is mesh
 export, ref: src/trainer.py:62-123): ray-march the trained category /
 background fields from arbitrary camera poses and emit RGB, depth, and
-opacity images. Reuses the training stack end-to-end — camera ray cache
-(data/camera.py), chunked field evaluation (mesher/meshing.eval_points),
-and the exact UniSurf compositing math the loss trains against
-(ops/render.py, ref: src/render_rays.py:25-50) — so rendered views are a
-faithful readout of what the optimizer saw.
+opacity images, using the exact UniSurf compositing math the loss trains
+against (ops/render.py, ref: src/render_rays.py:25-50) — so rendered views
+are a faithful readout of what the optimizer saw.
+
+The entire render is ONE jitted device program per (camera, bins) shape:
+ray generation, chunked field evaluation (lax.map tiles), termination and
+compositing all stay on device; the host uploads a 4x4 pose and downloads
+one image. This matters doubly on the axon tunnel (~134 MB/s): the naive
+host-staged pipeline moved ~140 MB of points/occupancies per 320x240x64
+view (~6.5 s/view measured); the device program moves ~1 MB.
 
 CLI: python -m catnerf_tpu.render_views --logdir <dir> [--synthetic |
 --config <json>] --out <dir> [--n-views 8] [--width 320 --height 240]
 Renders an orbit around every object (canonical frame for multi-instance
 categories, world frame otherwise) plus the background from dataset camera
-poses when available.
+poses when available; --scene adds composited whole-scene views.
 """
 
 from __future__ import annotations
 
 import os
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from catnerf_tpu.config import Config
 from catnerf_tpu.data.camera import CameraInfo, ray_dirs_cache
-from catnerf_tpu.mesher.meshing import eval_points
+from catnerf_tpu.models import codenerf, embedding, occupancy
+from catnerf_tpu.ops import render as render_ops
 
 
 def look_at(eye, target=(0.0, 0.0, 0.0), up=(0.0, 0.0, 1.0)) -> np.ndarray:
@@ -72,6 +80,74 @@ def _composite(occ: np.ndarray, rgb: np.ndarray, z: np.ndarray):
     return img, depth, alpha
 
 
+# ---------------------------------------------------------------------------
+# On-device render programs, cached per (camera, bins, field kind) shape.
+# ---------------------------------------------------------------------------
+
+_PROGRAM_CACHE: dict = {}
+
+
+def _chunked_field(chunk_fn, flat_pts: jnp.ndarray, chunk: int):
+    """lax.map a field evaluator over fixed-size tiles of [N, 3] points
+    (same tiling discipline as mesher/meshing.eval_points), on device."""
+    n = flat_pts.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        flat_pts = jnp.concatenate(
+            [flat_pts, jnp.zeros((pad, 3), flat_pts.dtype)])
+    occ, rgb = jax.lax.map(chunk_fn, flat_pts.reshape(-1, chunk, 3))
+    return occ.reshape(-1)[:n], rgb.reshape(-1, 3)[:n]
+
+
+def _ray_grid(dirs_c: jnp.ndarray, T: jnp.ndarray, near, far, n_bins: int):
+    dirs = dirs_c @ T[:3, :3].T
+    edges = near + (far - near) * jnp.linspace(0.0, 1.0, n_bins + 1)
+    z = 0.5 * (edges[:-1] + edges[1:])
+    pts = T[:3, 3] + dirs[:, :, None, :] * z[None, None, :, None]
+    return pts, z
+
+
+def _composite_device(occ: jnp.ndarray, rgb: jnp.ndarray, z: jnp.ndarray):
+    term = render_ops.occupancy_to_termination(occ)
+    img = (term[..., None] * rgb).sum(-2)
+    depth = (term * z).sum(-1)
+    return img, depth, term.sum(-1)
+
+
+def _field_render_program(cam_key, cfg: Config, is_background: bool,
+                          n_bins: int, chunk: int):
+    """jitted (pe, fc, sc, tc, T, near, far) -> (img, depth, alpha), fully
+    on device: the host uploads a pose and downloads one image."""
+    key = ("field", cam_key, is_background, n_bins, chunk,
+           cfg.obj_scale, cfg.bg_scale, cfg.n_unidir_funcs)
+    if key in _PROGRAM_CACHE:
+        return _PROGRAM_CACHE[key]
+    width, height, fx, fy, cx, cy = cam_key
+    dirs_c = jnp.asarray(ray_dirs_cache(width, height, fx, fy, cx, cy))
+    scale = cfg.bg_scale if is_background else cfg.obj_scale
+    max_deg = cfg.n_unidir_funcs
+
+    @jax.jit
+    def run(pe, fc, sc, tc, T, near, far):
+        pts, z = _ray_grid(dirs_c, T, near, far, n_bins)
+
+        def chunk_fn(p):
+            emb = embedding.apply(pe, p, scale=scale, max_deg=max_deg)
+            if is_background:
+                sigma, rgb = occupancy.apply(fc, emb)
+            else:
+                sigma, rgb = codenerf.apply(fc, emb, sc, tc)
+            return render_ops.occupancy_activation(sigma[..., 0]), rgb
+
+        occ, rgb = _chunked_field(chunk_fn, pts.reshape(-1, 3), chunk)
+        occ = occ.reshape(width, height, n_bins)
+        rgb = rgb.reshape(width, height, n_bins, 3)
+        return _composite_device(occ, rgb, z)
+
+    _PROGRAM_CACHE[key] = run
+    return run
+
+
 def render_view(params: dict, cfg: Config, T: np.ndarray, cam: CameraInfo,
                 *, near: float, far: float, shape_code=None,
                 texture_code=None, is_background: bool = False,
@@ -81,20 +157,14 @@ def render_view(params: dict, cfg: Config, T: np.ndarray, cam: CameraInfo,
 
     Returns (rgb [W, H, 3] in [0,1], depth [W, H], alpha [W, H]) in the
     pipeline's transposed (W, H) layout."""
-    dirs_c = ray_dirs_cache(cam.width, cam.height, cam.fx, cam.fy,
-                            cam.cx, cam.cy)
-    R, o = T[:3, :3], T[:3, 3]
-    dirs = dirs_c @ R.T  # (W, H, 3) field-frame, z-depth convention
-    # bin midpoints (deterministic render: no stratified jitter)
-    edges = np.linspace(near, far, n_bins + 1, dtype=np.float32)
-    z = 0.5 * (edges[:-1] + edges[1:])
-    pts = o + dirs[:, :, None, :] * z[None, None, :, None]  # (W, H, B, 3)
-    occ, rgb = eval_points(
-        pts.reshape(-1, 3), params, cfg, shape_code, texture_code,
-        is_background=is_background, chunk=chunk, want_color=True)
-    occ = occ.reshape(cam.width, cam.height, n_bins)
-    rgb = rgb.reshape(cam.width, cam.height, n_bins, 3)
-    return _composite(occ, rgb, z)
+    cam_key = (cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy)
+    run = _field_render_program(cam_key, cfg, is_background, n_bins, chunk)
+    sc = jnp.zeros((0,)) if shape_code is None else jnp.asarray(shape_code)
+    tc = jnp.zeros((0,)) if texture_code is None else jnp.asarray(texture_code)
+    img, depth, alpha = run(params["pe"], params["fc"], sc, tc,
+                            jnp.asarray(T, jnp.float32),
+                            jnp.float32(near), jnp.float32(far))
+    return np.asarray(img), np.asarray(depth), np.asarray(alpha)
 
 
 def _save(out_dir: str, name: str, img: np.ndarray, depth: np.ndarray,
@@ -172,10 +242,56 @@ def render_session_orbits(session, out_dir: str, *, n_views: int = 8,
     return written
 
 
-def _obb_mask(pts: np.ndarray, center, R, extent, margin: float) -> np.ndarray:
-    local = (pts - np.asarray(center, np.float32)) @ np.asarray(R, np.float32)
-    half = 0.5 * margin * np.asarray(extent, np.float32)
-    return (np.abs(local) <= half).all(-1)
+def _scene_programs(cfg: Config, width: int, height: int, n_bins: int,
+                    chunk: int):
+    """Cached jitted pieces for the scene composite: one accumulator per
+    field kind plus the final union+composite. Points and accumulators stay
+    on device across all fields — the host only moves poses/codes in and
+    the final image out."""
+    key = ("scene", width, height, n_bins, chunk,
+           cfg.obj_scale, cfg.bg_scale, cfg.n_unidir_funcs)
+    if key in _PROGRAM_CACHE:
+        return _PROGRAM_CACHE[key]
+    max_deg = cfg.n_unidir_funcs
+
+    def _acc(is_background):
+        scale = cfg.bg_scale if is_background else cfg.obj_scale
+
+        @jax.jit
+        def acc(pe, fc, sc, tc, pts_w, A_e, b_e, A_m, b_m, half,
+                one_minus, color_sum, w_sum):
+            # eval frame: x_e = pts_w @ A_e.T + b_e  (canonical or world);
+            # mask frame: x_m likewise; box mask |x_m| <= half
+            x_e = pts_w @ A_e.T + b_e
+            x_m = pts_w @ A_m.T + b_m
+            mask = (jnp.abs(x_m) <= half).all(-1).astype(jnp.float32)
+
+            def chunk_fn(p):
+                emb = embedding.apply(pe, p, scale=scale, max_deg=max_deg)
+                if is_background:
+                    sigma, rgb = occupancy.apply(fc, emb)
+                else:
+                    sigma, rgb = codenerf.apply(fc, emb, sc, tc)
+                return render_ops.occupancy_activation(sigma[..., 0]), rgb
+
+            occ, rgb = _chunked_field(chunk_fn, x_e, chunk)
+            occ = occ * mask
+            return (one_minus * (1.0 - occ),
+                    color_sum + occ[:, None] * rgb,
+                    w_sum + occ)
+
+        return acc
+
+    @jax.jit
+    def finish(one_minus, color_sum, w_sum, z):
+        occ_u = (1.0 - one_minus).reshape(width, height, n_bins)
+        rgb_u = (color_sum / jnp.maximum(w_sum[:, None], 1e-8)).reshape(
+            width, height, n_bins, 3)
+        return _composite_device(occ_u, rgb_u, z)
+
+    progs = {"obj": _acc(False), "bg": _acc(True), "finish": finish}
+    _PROGRAM_CACHE[key] = progs
+    return progs
 
 
 def render_scene_view(session, T: np.ndarray, cam: CameraInfo, *,
@@ -190,7 +306,8 @@ def render_scene_view(session, T: np.ndarray, cam: CameraInfo, *,
     Object fields are evaluated in their own frame (canonical via the
     inverse sim(3) for multi-instance categories, world otherwise) and
     masked to their OBB/extent box (fields are untrained garbage outside
-    the region the mesh grid would evaluate).
+    the region the mesh grid would evaluate). Points and accumulators stay
+    on device for the whole composite.
     """
     cfg = session.cfg
     dirs_c = ray_dirs_cache(cam.width, cam.height, cam.fx, cam.fy,
@@ -199,20 +316,18 @@ def render_scene_view(session, T: np.ndarray, cam: CameraInfo, *,
     dirs = dirs_c @ R_wc.T
     edges = np.linspace(near, far, n_bins + 1, dtype=np.float32)
     z = 0.5 * (edges[:-1] + edges[1:])
-    pts_w = (o_w + dirs[:, :, None, :] * z[None, None, :, None]).reshape(-1, 3)
-    n = len(pts_w)
+    pts_w = jnp.asarray(
+        (o_w + dirs[:, :, None, :] * z[None, None, :, None])
+        .reshape(-1, 3).astype(np.float32))
+    n = pts_w.shape[0]
+    progs = _scene_programs(cfg, cam.width, cam.height, n_bins, chunk)
 
-    one_minus = np.ones(n, np.float32)
-    color_sum = np.zeros((n, 3), np.float32)
-    w_sum = np.zeros(n, np.float32)
-
-    def accumulate(occ, rgb, mask=None):
-        nonlocal one_minus, color_sum, w_sum
-        if mask is not None:
-            occ = occ * mask
-        one_minus *= 1.0 - occ
-        color_sum += occ[:, None] * rgb
-        w_sum += occ
+    one_minus = jnp.ones(n, jnp.float32)
+    color_sum = jnp.zeros((n, 3), jnp.float32)
+    w_sum = jnp.zeros(n, jnp.float32)
+    eye3 = np.eye(3, dtype=np.float32)
+    zero3 = np.zeros(3, np.float32)
+    inf3 = np.full(3, np.inf, np.float32)
 
     from catnerf_tpu.ops.sim3 import tensor_to_se3_np
 
@@ -222,40 +337,46 @@ def render_scene_view(session, T: np.ndarray, cam: CameraInfo, *,
         multi = cat.n_obj > 1
         for obj_id in cat.obj_ids:
             k = cat.inst_id_to_index[obj_id]
-            sc = np.asarray(params["shape_codes"][k])
-            tc = np.asarray(params["texture_codes"][k])
+            sc = jnp.asarray(params["shape_codes"][k])
+            tc = jnp.asarray(params["texture_codes"][k])
             if multi:
                 obj_tensor = cat.object_tensor_dict[obj_id]
-                s = float(obj_tensor[0])
+                s = max(float(obj_tensor[0]), 1e-9)
                 T_ow = tensor_to_se3_np(obj_tensor[1:])  # canonical->world
-                x_c = ((pts_w - T_ow[:3, 3]) @ T_ow[:3, :3]) / max(s, 1e-9)
-                half_c = np.asarray(cat.extent_dict[obj_id]) / (2 * max(s, 1e-9))
-                mask = (np.abs(x_c) <= margin * half_c).all(-1)
-                eval_pts = x_c
+                A = (T_ow[:3, :3].T / s).astype(np.float32)
+                b = (-T_ow[:3, :3].T @ T_ow[:3, 3] / s).astype(np.float32)
+                half = (margin * np.asarray(cat.extent_dict[obj_id])
+                        / (2 * s)).astype(np.float32)
+                A_m, b_m = A, b
             else:
                 bound = cat.bound_dict.get(obj_id)
                 if bound is None:
                     continue
-                mask = _obb_mask(pts_w, bound.center, bound.R, bound.extent,
-                                 margin)
-                eval_pts = pts_w
-            if not mask.any():
-                continue
-            occ, rgb = eval_points(eval_pts, params, cfg, sc, tc,
-                                   is_background=False, chunk=chunk)
-            accumulate(occ.astype(np.float32), rgb.astype(np.float32),
-                       mask.astype(np.float32))
+                A = eye3
+                b = zero3
+                Rb = np.asarray(bound.R, np.float32)
+                A_m = Rb.T
+                b_m = (-Rb.T @ np.asarray(bound.center, np.float32))
+                half = (0.5 * margin
+                        * np.asarray(bound.extent)).astype(np.float32)
+            one_minus, color_sum, w_sum = progs["obj"](
+                params["pe"], params["fc"], sc, tc, pts_w,
+                jnp.asarray(A), jnp.asarray(b), jnp.asarray(A_m),
+                jnp.asarray(b_m), jnp.asarray(half),
+                one_minus, color_sum, w_sum)
 
     bg_params = session.background_params()
     if bg_params is not None:
-        occ, rgb = eval_points(pts_w, bg_params, cfg, is_background=True,
-                               chunk=chunk)
-        accumulate(occ.astype(np.float32), rgb.astype(np.float32))
+        dummy = jnp.zeros((0,))
+        one_minus, color_sum, w_sum = progs["bg"](
+            bg_params["pe"], bg_params["fc"], dummy, dummy, pts_w,
+            jnp.asarray(eye3), jnp.asarray(zero3), jnp.asarray(eye3),
+            jnp.asarray(zero3), jnp.asarray(inf3),
+            one_minus, color_sum, w_sum)
 
-    occ_u = (1.0 - one_minus).reshape(cam.width, cam.height, n_bins)
-    rgb_u = (color_sum / np.maximum(w_sum[:, None], 1e-8)).reshape(
-        cam.width, cam.height, n_bins, 3)
-    return _composite(occ_u, rgb_u, z)
+    img, depth, alpha = progs["finish"](one_minus, color_sum, w_sum,
+                                        jnp.asarray(z))
+    return np.asarray(img), np.asarray(depth), np.asarray(alpha)
 
 
 def render_scene_views(session, out_dir: str, *, n_views: int = 4,
