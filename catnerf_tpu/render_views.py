@@ -242,61 +242,72 @@ def render_session_orbits(session, out_dir: str, *, n_views: int = 8,
     return written
 
 
-def _scene_programs(cfg: Config, width: int, height: int, n_bins: int,
-                    chunk: int):
-    """Cached jitted pieces for the scene composite: one accumulator per
-    field kind plus the final union+composite. Points and accumulators stay
-    on device across all fields — the host only moves poses/codes in and
-    the final image out."""
-    key = ("scene", width, height, n_bins, chunk,
+def _scene_render_program(cfg: Config, cam_key, n_bins: int, n_obj: int,
+                          with_bg: bool, chunk: int):
+    """ONE jitted program for the whole-scene composite: world-frame ray
+    grid from the pose, a lax.map over point tiles where every object field
+    is evaluated (vmapped over the stacked object axis), union-reduced, and
+    merged with the background INSIDE the tile (so no [n_obj, N] tensor is
+    ever materialized), then composited. One dispatch per request; the host
+    uploads a pose + stacked codes/frames, downloads one image."""
+    key = ("scene", cam_key, n_bins, n_obj, with_bg, chunk,
            cfg.obj_scale, cfg.bg_scale, cfg.n_unidir_funcs)
     if key in _PROGRAM_CACHE:
         return _PROGRAM_CACHE[key]
+    width, height, fx, fy, cx, cy = cam_key
+    dirs_c = jnp.asarray(ray_dirs_cache(width, height, fx, fy, cx, cy))
     max_deg = cfg.n_unidir_funcs
 
-    def _acc(is_background):
-        scale = cfg.bg_scale if is_background else cfg.obj_scale
-
-        @jax.jit
-        def acc(pe, fc, sc, tc, pts_w, A_e, b_e, A_m, b_m, half,
-                one_minus, color_sum, w_sum):
-            # eval frame: x_e = pts_w @ A_e.T + b_e  (canonical or world);
-            # mask frame: x_m likewise; box mask |x_m| <= half
-            x_e = pts_w @ A_e.T + b_e
-            x_m = pts_w @ A_m.T + b_m
-            mask = (jnp.abs(x_m) <= half).all(-1).astype(jnp.float32)
-
-            def chunk_fn(p):
-                emb = embedding.apply(pe, p, scale=scale, max_deg=max_deg)
-                if is_background:
-                    sigma, rgb = occupancy.apply(fc, emb)
-                else:
-                    sigma, rgb = codenerf.apply(fc, emb, sc, tc)
-                return render_ops.occupancy_activation(sigma[..., 0]), rgb
-
-            occ, rgb = _chunked_field(chunk_fn, x_e, chunk)
-            occ = occ * mask
-            return (one_minus * (1.0 - occ),
-                    color_sum + occ[:, None] * rgb,
-                    w_sum + occ)
-
-        return acc
-
     @jax.jit
-    def finish(one_minus, color_sum, w_sum, z):
-        occ_u = (1.0 - one_minus).reshape(width, height, n_bins)
-        rgb_u = (color_sum / jnp.maximum(w_sum[:, None], 1e-8)).reshape(
-            width, height, n_bins, 3)
-        return _composite_device(occ_u, rgb_u, z)
+    def run(pe_s, fc_s, sc_s, tc_s, A_s, b_s, Am_s, bm_s, half_s,
+            bg_pe, bg_fc, T, near, far):
+        pts, z = _ray_grid(dirs_c, T, near, far, n_bins)
+        flat = pts.reshape(-1, 3)
+        n = flat.shape[0]
+        pad = (-n) % chunk
+        if pad:
+            flat = jnp.concatenate([flat, jnp.zeros((pad, 3), flat.dtype)])
 
-    progs = {"obj": _acc(False), "bg": _acc(True), "finish": finish}
-    _PROGRAM_CACHE[key] = progs
-    return progs
+        def tile_fn(p):  # [chunk, 3] world-frame points
+            def one_field(pe, fc, sc, tc, A, b, Am, bm, half):
+                x_e = p @ A.T + b
+                x_m = p @ Am.T + bm
+                mask = (jnp.abs(x_m) <= half).all(-1).astype(jnp.float32)
+                emb = embedding.apply(pe, x_e, scale=cfg.obj_scale,
+                                      max_deg=max_deg)
+                sigma, rgb = codenerf.apply(fc, emb, sc, tc)
+                occ = render_ops.occupancy_activation(sigma[..., 0]) * mask
+                return occ, rgb
+
+            occs, rgbs = jax.vmap(one_field)(
+                pe_s, fc_s, sc_s, tc_s, A_s, b_s, Am_s, bm_s, half_s)
+            one_minus = jnp.prod(1.0 - occs, axis=0)
+            csum = (occs[..., None] * rgbs).sum(0)
+            wsum = occs.sum(0)
+            if with_bg:
+                emb = embedding.apply(bg_pe, p, scale=cfg.bg_scale,
+                                      max_deg=max_deg)
+                sigma, rgb = occupancy.apply(bg_fc, emb)
+                occb = render_ops.occupancy_activation(sigma[..., 0])
+                one_minus = one_minus * (1.0 - occb)
+                csum = csum + occb[:, None] * rgb
+                wsum = wsum + occb
+            occ_u = 1.0 - one_minus
+            rgb_u = csum / jnp.maximum(wsum[:, None], 1e-8)
+            return occ_u, rgb_u
+
+        occ, rgb = jax.lax.map(tile_fn, flat.reshape(-1, chunk, 3))
+        occ = occ.reshape(-1)[:n].reshape(width, height, n_bins)
+        rgb = rgb.reshape(-1, 3)[:n].reshape(width, height, n_bins, 3)
+        return _composite_device(occ, rgb, z)
+
+    _PROGRAM_CACHE[key] = run
+    return run
 
 
 def render_scene_view(session, T: np.ndarray, cam: CameraInfo, *,
                       near: float, far: float, n_bins: int = 64,
-                      margin: float = 1.3, chunk: int = 262144):
+                      margin: float = 1.3, chunk: int = 131072):
     """Composite ALL trained fields (every object + background) along shared
     world-frame rays into one RGB-D image.
 
@@ -306,39 +317,22 @@ def render_scene_view(session, T: np.ndarray, cam: CameraInfo, *,
     Object fields are evaluated in their own frame (canonical via the
     inverse sim(3) for multi-instance categories, world otherwise) and
     masked to their OBB/extent box (fields are untrained garbage outside
-    the region the mesh grid would evaluate). Points and accumulators stay
-    on device for the whole composite.
+    the region the mesh grid would evaluate). The whole composite is ONE
+    device dispatch (see _scene_render_program).
     """
     cfg = session.cfg
-    dirs_c = ray_dirs_cache(cam.width, cam.height, cam.fx, cam.fy,
-                            cam.cx, cam.cy)
-    R_wc, o_w = T[:3, :3], T[:3, 3]
-    dirs = dirs_c @ R_wc.T
-    edges = np.linspace(near, far, n_bins + 1, dtype=np.float32)
-    z = 0.5 * (edges[:-1] + edges[1:])
-    pts_w = jnp.asarray(
-        (o_w + dirs[:, :, None, :] * z[None, None, :, None])
-        .reshape(-1, 3).astype(np.float32))
-    n = pts_w.shape[0]
-    progs = _scene_programs(cfg, cam.width, cam.height, n_bins, chunk)
-
-    one_minus = jnp.ones(n, jnp.float32)
-    color_sum = jnp.zeros((n, 3), jnp.float32)
-    w_sum = jnp.zeros(n, jnp.float32)
     eye3 = np.eye(3, dtype=np.float32)
     zero3 = np.zeros(3, np.float32)
-    inf3 = np.full(3, np.inf, np.float32)
 
     from catnerf_tpu.ops.sim3 import tensor_to_se3_np
 
+    pes, fcs, scs, tcs, As, bs, Ams, bms, halfs = ([] for _ in range(9))
     for cls_id in session.cls_ids:
         cat = session.categories[session.cls_ids.index(cls_id)]
         params = session.category_params(cls_id)
         multi = cat.n_obj > 1
         for obj_id in cat.obj_ids:
             k = cat.inst_id_to_index[obj_id]
-            sc = jnp.asarray(params["shape_codes"][k])
-            tc = jnp.asarray(params["texture_codes"][k])
             if multi:
                 obj_tensor = cat.object_tensor_dict[obj_id]
                 s = max(float(obj_tensor[0]), 1e-9)
@@ -352,30 +346,38 @@ def render_scene_view(session, T: np.ndarray, cam: CameraInfo, *,
                 bound = cat.bound_dict.get(obj_id)
                 if bound is None:
                     continue
-                A = eye3
-                b = zero3
+                A, b = eye3, zero3
                 Rb = np.asarray(bound.R, np.float32)
                 A_m = Rb.T
                 b_m = (-Rb.T @ np.asarray(bound.center, np.float32))
                 half = (0.5 * margin
                         * np.asarray(bound.extent)).astype(np.float32)
-            one_minus, color_sum, w_sum = progs["obj"](
-                params["pe"], params["fc"], sc, tc, pts_w,
-                jnp.asarray(A), jnp.asarray(b), jnp.asarray(A_m),
-                jnp.asarray(b_m), jnp.asarray(half),
-                one_minus, color_sum, w_sum)
+            pes.append(params["pe"])
+            fcs.append(params["fc"])
+            scs.append(np.asarray(params["shape_codes"][k]))
+            tcs.append(np.asarray(params["texture_codes"][k]))
+            As.append(A), bs.append(b), Ams.append(A_m), bms.append(b_m)
+            halfs.append(half)
 
     bg_params = session.background_params()
-    if bg_params is not None:
-        dummy = jnp.zeros((0,))
-        one_minus, color_sum, w_sum = progs["bg"](
-            bg_params["pe"], bg_params["fc"], dummy, dummy, pts_w,
-            jnp.asarray(eye3), jnp.asarray(zero3), jnp.asarray(eye3),
-            jnp.asarray(zero3), jnp.asarray(inf3),
-            one_minus, color_sum, w_sum)
-
-    img, depth, alpha = progs["finish"](one_minus, color_sum, w_sum,
-                                        jnp.asarray(z))
+    if not pes:  # no renderable objects: background-only view
+        assert bg_params is not None, "nothing to render"
+        return render_view(bg_params, cfg, T, cam, near=near, far=far,
+                           is_background=True, n_bins=n_bins, chunk=chunk)
+    cam_key = (cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy)
+    run = _scene_render_program(cfg, cam_key, n_bins, len(pes),
+                                bg_params is not None, chunk)
+    stack = lambda xs: jax.tree_util.tree_map(  # noqa: E731
+        lambda *ls: jnp.stack([jnp.asarray(x) for x in ls]), *xs)
+    dummy = jnp.zeros(())
+    img, depth, alpha = run(
+        stack(pes), stack(fcs), jnp.asarray(np.stack(scs)),
+        jnp.asarray(np.stack(tcs)), jnp.asarray(np.stack(As)),
+        jnp.asarray(np.stack(bs)), jnp.asarray(np.stack(Ams)),
+        jnp.asarray(np.stack(bms)), jnp.asarray(np.stack(halfs)),
+        bg_params["pe"] if bg_params is not None else dummy,
+        bg_params["fc"] if bg_params is not None else dummy,
+        jnp.asarray(T, jnp.float32), jnp.float32(near), jnp.float32(far))
     return np.asarray(img), np.asarray(depth), np.asarray(alpha)
 
 
