@@ -13,26 +13,7 @@ import os
 import shutil
 
 
-def load_scene(config: str | None, synthetic: bool = False):
-    """(cfg, inst_dict, sample_dict, cam) for a config file or the built-in
-    synthetic scene — shared by this CLI and catnerf_tpu.render_views."""
-    from catnerf_tpu.config import Config
-    from catnerf_tpu.data.camera import CameraInfo
-
-    if synthetic:
-        from catnerf_tpu.data.synthetic import make_scene
-
-        cfg = Config()
-        cfg.net_hyperparams.latent_dim = 32
-        scene = make_scene(n_frames=8, width=160, height=120,
-                           n_categories=3, insts_per_cat=2)
-        return cfg, scene.inst_dict, scene.sample_dict, scene.cam
-
-    cfg = Config.from_json(config)
-    from catnerf_tpu.data.replica import get_dataset
-
-    data = get_dataset(cfg)
-    return cfg, data.inst_dict, data.sample_dict, CameraInfo.from_config(cfg)
+from catnerf_tpu.loaders import load_scene  # re-export (CLI API compat)
 
 
 def main():
