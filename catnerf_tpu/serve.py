@@ -147,8 +147,10 @@ def make_handler(server: SceneServer):
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             try:
-                w = int(q.get("w", 320))
-                h = int(q.get("h", 240))
+                # caps bound per-request device memory (occ/rgb buffers are
+                # O(w*h*bins)); 1280x960x192 is ~2.4 GB peak, well inside HBM
+                w = min(int(q.get("w", 320)), 1280)
+                h = min(int(q.get("h", 240)), 960)
                 bins = min(int(q.get("bins", 64)), 192)
                 if u.path == "/health":
                     self._json(200, {"ok": True,
