@@ -35,10 +35,13 @@ def main():
                        insts_per_cat=3, seed=0)
     sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
                            cam=scene.cam)
-    store = build_device_store(sess.categories, sess.background)
+    store = build_device_store(sess.categories, sess.background,
+                               window_pad=sess.n_per_cls,
+                               bg_window_pad=cfg.n_per_optim_bg)
     inner = make_train_step(cfg, sess.obj_mask, jit=False)
     superstep = make_superstep(inner, store, n_per_cls=sess.n_per_cls,
-                               n_bg=cfg.n_per_optim_bg, n_inner=N_INNER)
+                               n_bg=cfg.n_per_optim_bg, n_inner=N_INNER,
+                               window=True)
     state = jax.tree.map(jnp.copy, sess.state)
     key = jax.random.PRNGKey(0)
     for _ in range(3):

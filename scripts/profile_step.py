@@ -57,7 +57,9 @@ def main():
                            cam=scene.cam)
     r = sess.n_per_cls
     r_bg = cfg.n_per_optim_bg
-    store = build_device_store(sess.categories, sess.background)
+    store = build_device_store(sess.categories, sess.background,
+                               window_pad=sess.n_per_cls,
+                               bg_window_pad=cfg.n_per_optim_bg)
     state0 = jax.tree.map(jnp.copy, sess.state)
 
     def n_leaves(tree):
@@ -145,7 +147,7 @@ def main():
     # ---- 6. production superstep (batch gather + full step)
     inner = make_train_step(cfg, sess.obj_mask, jit=False)
     superstep = make_superstep(inner, store, n_per_cls=r, n_bg=r_bg,
-                               n_inner=N_INNER)
+                               n_inner=N_INNER, window=True)
     state = jax.tree.map(jnp.copy, state0)
     key = jax.random.PRNGKey(0)
     for _ in range(2):
