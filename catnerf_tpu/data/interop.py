@@ -122,6 +122,8 @@ def _convert(obj):
         return {k: _convert(v) for k, v in obj.items()}
     if isinstance(obj, list):
         return [_convert(v) for v in obj]
+    if isinstance(obj, tuple):
+        return tuple(_convert(v) for v in obj)
     return obj
 
 

@@ -39,6 +39,7 @@ class ScanNet:
         self.name = "scannet"
         self.root_dir = cfg.dataset_dir
         self.cfg = cfg
+        self._warned_stale_cache = False
         self.cam = CameraInfo.from_config(cfg)
 
         self.color_paths = _sorted_paths(self.root_dir, "color", "jpg")
@@ -143,6 +144,20 @@ class ScanNet:
                     os.path.basename(inst_path))
                 if os.path.exists(claimed_path):
                     claimed_mask = np.load(claimed_path)
+                # The cache bakes in the unknown-pixel semantics it was
+                # written under; re-apply the CURRENT flag so a cached run
+                # honors cfg.refined_mask_unknown (e.g. a strict-parity
+                # re-run with the flag off must not inherit -1 labels).
+                if not self.cfg.refined_mask_unknown:
+                    inst_data = np.where(inst_data == -1, 0, inst_data)
+                    claimed_mask = None
+                elif (inst_data == -1).sum() == 0 and claimed_mask is None \
+                        and not self._warned_stale_cache:
+                    self._warned_stale_cache = True
+                    print("WARNING: refined-mask cache was written without "
+                          "unknown-pixel marking (refined_mask_unknown was "
+                          "false); delete instance-refined/ to rebuild "
+                          "with the current setting")
             else:
                 inst_path = self.raw_inst_paths[index]
                 sem_path = self.raw_sem_paths[index]

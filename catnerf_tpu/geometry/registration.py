@@ -570,14 +570,11 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                             template_np_w, tmpl_c_full - pivot_c, src_tf,
                             src_bins, scale_template)
                 else:
+                    # parity path (scale_aware False): raw unidirectional-
+                    # Chamfer selection, no polish (ref:
+                    # src/category_registration.py:257-267)
                     chamfer_unidir, T_rel, src_tf = min(results,
                                                         key=lambda r: r[0])
-                    if scale_aware:
-                        T_rel = _polish_candidate(
-                            source_np_w, template_np_w, T_rel, scale_template)
-                        src_tf = transform_pointcloud_np(source_np_w, T_rel)
-                        chamfer_unidir = chamfer_unidirectional(
-                            src_tf, template_np_w) / scale_template
                 print(f"registered obj {obj_id} in cls {cls_id}: "
                       f"chamfer={chamfer_unidir:.4f}")
 

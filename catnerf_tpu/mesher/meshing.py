@@ -59,14 +59,21 @@ def space_carve_mask(points_w: np.ndarray, depths: np.ndarray,
     return seen
 
 
-def _fill_unobservable_interior(occ3: np.ndarray) -> np.ndarray:
+def _fill_unobservable_interior(occ3: np.ndarray,
+                                observed_free: np.ndarray | None = None
+                                ) -> np.ndarray:
     """Raise interior empty voxels above the iso level so marching cubes
     extracts only the outer surface. Two passes: binary_fill_holes for
     closed crusts, plus an axis visual-hull pass (empty voxels occluded by
     solid in >=5 of 6 axis directions) that still works when the crust has
     holes in never-observed regions — where fill_holes leaks and spurious
     inner shells survive (measured 29-34% junk vertices on the registered
-    gate's partially observed objects)."""
+    gate's partially observed objects).
+
+    observed_free: voxels some training view directly observed as empty
+    (the space-carve mask) — these are NEVER filled: a genuinely observed
+    concavity (an open bowl's interior) is blocked on >=5 axes and would
+    otherwise be clobbered back to solid, undoing the carve."""
     from scipy import ndimage
 
     solid = occ3 > 0.5
@@ -78,6 +85,8 @@ def _fill_unobservable_interior(occ3: np.ndarray) -> np.ndarray:
             np.maximum.accumulate(np.flip(solid, ax), axis=ax), ax
         ).astype(np.int8)
     cavity |= (~solid) & (blocked >= 5)
+    if observed_free is not None:
+        cavity &= ~observed_free
     if cavity.any():
         occ3 = np.where(cavity, np.float32(0.51), occ3)
     return occ3
@@ -223,6 +232,7 @@ def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
         grid_pts = np.asarray(grid).reshape(-1, 3)
         occ, _ = eval_points(grid_pts, params, cfg, shape_code, texture_code,
                              is_background=is_background, want_color=False)
+        seen_empty = None
         if carve is not None and not is_background:
             if world_transform is not None:
                 ws = abs(np.linalg.det(world_transform[:3, :3])) ** (1 / 3)
@@ -239,6 +249,8 @@ def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
         if occ.max() <= 0.5 or occ.min() >= 0.5:
             return None
         occ3 = occ.reshape(grid_dim, grid_dim, grid_dim)
+        seen_empty3 = (seen_empty.reshape(occ3.shape)
+                       if seen_empty is not None else None)
         if attempt == max_grow:
             break
         # boundary-face occupancy -> grow that side by 30%
@@ -268,7 +280,7 @@ def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
         # (the reference has the same artifact). Raise interior empty
         # regions above the level; the outer crossing band keeps its exact
         # values, so subvoxel interpolation is unaffected.
-        occ3 = _fill_unobservable_interior(occ3)
+        occ3 = _fill_unobservable_interior(occ3, observed_free=seen_empty3)
 
     out = geomlib.marching_cubes(occ3, 0.5)
     if out is None:

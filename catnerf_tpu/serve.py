@@ -80,7 +80,10 @@ class SceneServer:
             extent = np.asarray(cat.extent_dict[obj_id]) / max(s, 1e-9)
             center = np.zeros(3)
         else:
-            bound = cat.bound_dict[obj_id]
+            bound = cat.bound_dict.get(obj_id)
+            if bound is None:  # degenerate hull at dataset build
+                raise ValueError(f"object {obj_id} has no bound; "
+                                 "cannot frame an orbit camera")
             extent = np.asarray(bound.extent)
             center = np.asarray(bound.center)
         half_diag = 0.5 * float(np.linalg.norm(extent))

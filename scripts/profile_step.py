@@ -69,11 +69,17 @@ def main():
           f"param_leaves={n_leaves(state0.params)} "
           f"opt_leaves={n_leaves(state0.opt_state)}")
 
-    # ---- 0. batch sampling from device store only
+    # ---- 0. batch draw from device store (production windowed path +
+    # the legacy scattered gather for comparison)
+    def f_sample_window(carry, key):
+        cat, bg = sample_batch(store, key, r, r_bg, window=True)
+        return carry, (cat.rgbs.sum() + bg.rgbs.sum())
+    timed_scan(f_sample_window, 0.0, "batch draw (window, production)")
+
     def f_sample_batch(carry, key):
         cat, bg = sample_batch(store, key, r, r_bg)
         return carry, (cat.rgbs.sum() + bg.rgbs.sum())
-    timed_scan(f_sample_batch, 0.0, "batch gather from store")
+    timed_scan(f_sample_batch, 0.0, "batch gather (legacy)")
 
     # ---- fixed batch for the pieces below
     key0 = jax.random.PRNGKey(1)

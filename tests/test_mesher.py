@@ -219,3 +219,30 @@ def test_mesh_adaptive_bounds_canonical_frame(monkeypatch):
     assert abs(np.median(r) - sphere_r) < 0.03
     # the +z cap (beyond the original grid top at z=1.2/0.9/2=0.67) exists
     assert (mesh.vertices[:, 2] > sphere_c[2] + 0.9 * sphere_r).any()
+
+
+def test_interior_fill_respects_observed_free_concavity():
+    """Regression: the >=5-axis visual-hull interior fill must not re-mark
+    voxels the space carve proved free — an open cup's interior is blocked
+    on 5 of 6 axes and was being clobbered back to solid, deleting the
+    observed concavity (found in review; order was carve THEN fill)."""
+    occ = np.full((16, 16, 16), 0.1, np.float32)
+    occ[4:12, 4:12, 4:12] = 0.9          # solid block
+    cavity = np.zeros_like(occ, bool)
+    cavity[6:10, 6:10, 6:12] = True      # interior channel, open at +z
+    occ[cavity] = 0.1
+
+    filled = meshing._fill_unobservable_interior(occ.copy())
+    assert (filled[cavity] > 0.5).all(), "sanity: fill does close the cup"
+
+    kept = meshing._fill_unobservable_interior(occ.copy(),
+                                               observed_free=cavity)
+    assert (kept[cavity] <= 0.5).all(), \
+        "observed-free voxels must survive the interior fill"
+    # fill still works elsewhere: a fully enclosed bubble gets closed
+    occ2 = occ.copy()
+    bubble = np.zeros_like(occ, bool)
+    bubble[5, 5, 5] = True
+    occ2[bubble] = 0.1
+    kept2 = meshing._fill_unobservable_interior(occ2, observed_free=cavity)
+    assert (kept2[bubble] > 0.5).all()

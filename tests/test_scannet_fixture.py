@@ -118,6 +118,19 @@ def test_scannet_loader_full_pipeline(tmp_path):
         assert n_claimed > 0, ("disputed pixels cached but none voided "
                                "in supervision masks")
 
+    # A cached reload with refined_mask_unknown DISABLED must re-apply the
+    # current flag, not inherit the cache's baked-in -1/disputed semantics
+    # (strict-parity recipe: the reference hard-labels dropped pixels
+    # background).
+    cfg3 = Config(**{**cfg.__dict__})
+    cfg3.use_refined_mask = False
+    cfg3.load_refined_mask = True
+    cfg3.refined_mask_unknown = False
+    data3 = ScanNet(cfg3)
+    for fid in data3.sample_dict:
+        m3 = data3.sample_dict[fid]["obj_mask"]
+        assert (m3 != -1).all(), "flag-off reload inherited unknown labels"
+
     sess = TrainingSession(cfg, data.inst_dict, data.sample_dict)
     m = None
     for _ in range(3):

@@ -87,12 +87,6 @@ def main():
         print(f"imported reference checkpoints "
               f"(global_step={step}) from {args.import_reference_ckpt}")
 
-    mesh_dir = os.path.join(args.logdir, "scene_mesh")
-    if args.mesh_only:
-        written = mesh_scene(session, mesh_dir, session.iteration)
-        print(f"exported {len(written)} meshes to {mesh_dir}")
-        return
-
     start = 0
     if args.resume:
         latest = ckpt_mod.latest_checkpoint(ckpt_dir)
@@ -101,6 +95,14 @@ def main():
             start = int(session.state.step)
             session.iteration = start
             print(f"resumed from {latest} at iteration {start}")
+
+    # After --resume / --import-reference-ckpt so `--resume --mesh-only`
+    # meshes the restored weights, not a fresh initialization.
+    mesh_dir = os.path.join(args.logdir, "scene_mesh")
+    if args.mesh_only:
+        written = mesh_scene(session, mesh_dir, session.iteration)
+        print(f"exported {len(written)} meshes to {mesh_dir}")
+        return
 
     print(f"training {len(session.cls_ids)} categories "
           f"({session.batcher.n_objs_per_cls} instances) "
@@ -139,11 +141,18 @@ def main():
             total = float(m0.total)
             if math.isfinite(total) and total < 1e8:
                 continue
-            path = ckpt_mod.save_checkpoint(ckpt_dir, session.state, it0)
+            # NB: with the two-step slack, session.state has already
+            # absorbed up to two further (possibly NaN-poisoned) updates —
+            # label the snapshot with its true iteration and say so.
+            it_state = session.iteration
+            path = ckpt_mod.save_checkpoint(ckpt_dir, session.state,
+                                            it_state)
             writer.close()
             raise SystemExit(
-                f"loss explosion at iteration {it0} (total={total}); "
-                f"post-mortem checkpoint saved to {path}")
+                f"loss explosion detected at iteration {it0} "
+                f"(total={total}); post-mortem state snapshot (iteration "
+                f"{it_state}, {it_state - it0} steps past the explosion — "
+                f"may be poisoned) saved to {path}")
 
     def post_step(it, metrics):
         check_health(it, metrics)
