@@ -226,3 +226,39 @@ def test_utils_timers_and_trace(tmp_path):
     with device_trace(str(tmp_path / "trace")):
         jax.block_until_ready(jnp.ones((8,)) * 2)
     assert os.path.isdir(tmp_path / "trace")
+
+
+def test_train_cli_resume_mesh_only(tmp_path):
+    """Regression: --resume --mesh-only must load the checkpoint BEFORE
+    meshing (previously the mesh-only branch returned first and exported
+    meshes of freshly initialized weights)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    logdir = str(tmp_path / "logs_rm")
+    train_code = (
+        "import jax; jax.config.update('jax_platforms','cpu');\n"
+        "import sys; sys.argv = ['train.py', '--synthetic',\n"
+        f" '--logdir', {logdir!r}, '--max-iter', '7', '--log-iter', '3',\n"
+        " '--save-iter', '6', '--mesh-it', '1000', '--grid-dim', '48'];\n"
+        "import train; train.main()\n"
+    )
+    root = os.path.dirname(os.path.dirname(__file__))
+    proc = subprocess.run([sys.executable, "-c", train_code], env=env,
+                          capture_output=True, text=True, timeout=900,
+                          cwd=root)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    mesh_code = (
+        "import jax; jax.config.update('jax_platforms','cpu');\n"
+        "import sys; sys.argv = ['train.py', '--synthetic',\n"
+        f" '--logdir', {logdir!r}, '--resume', '--mesh-only',\n"
+        " '--grid-dim', '48'];\n"
+        "import train; train.main()\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", mesh_code], env=env,
+                          capture_output=True, text=True, timeout=900,
+                          cwd=root)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "resumed from" in proc.stdout, proc.stdout[-2000:]
+    mesh_dir = os.path.join(logdir, "scene_mesh")
+    assert os.path.isdir(mesh_dir) and len(os.listdir(mesh_dir)) >= 1
