@@ -17,6 +17,7 @@ The inst_dict contract matches the reference: per instance
 from __future__ import annotations
 
 import os
+import re
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -147,7 +148,12 @@ def get_uncertainty_fields(inst_dict: dict, bbox3d_dict: dict,
             from catnerf_tpu.train.checkpoint import load_vmap_pth
 
             ckpt_dir = os.path.join(cfg.weight_root, "ckpt", str(obj_id))
-            ckpt_paths = sorted(os.listdir(ckpt_dir))
+            # latest by PARSED iteration number — lexicographic sort
+            # misorders unpadded names ('999' > '1500')
+            def _it_num(fn: str) -> int:
+                nums = re.findall(r"\d+", fn)
+                return int(nums[-1]) if nums else -1
+            ckpt_paths = sorted(os.listdir(ckpt_dir), key=_it_num)
             field = load_vmap_pth(os.path.join(ckpt_dir, ckpt_paths[-1]))
         elif pretrained_fields is not None and pretrained_fields[i] is not None:
             field = pretrained_fields[i]
@@ -290,12 +296,32 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
     t1 = time.time()
     cls_id_add = 100 if name == "replica" else 10000
 
+    def _usable_cloud(pts) -> bool:
+        return pts is not None and np.asarray(pts).size >= 9  # >= 3 points
+
     while bbox3d_dict:
         for cls_id in list(bbox3d_dict.keys()):
             obj_ids = list(bbox3d_dict[cls_id].keys())
-            counts = [count_dict[cls_id][o] for o in count_dict[cls_id]]
-            idx_repr = int(np.argmax(counts)) if len(counts) > 1 else 0
             inst_dict_cls = inst_dict[cls_id]
+
+            # Instances without a usable point cloud (e.g. ScanNet objects
+            # missing from the refined segmentation set pcs=None,
+            # registration.py get_all_poses) cannot be registered or serve
+            # as template: keep them at their default pose and drop them
+            # from the alignment instead of crashing on max() of None.
+            skipped = [o for o in obj_ids
+                       if not _usable_cloud(inst_dict_cls[o].get("pcs"))]
+            for o in skipped:
+                inst_dict_cls[o].setdefault("T_obj", np.eye(4))
+                print(f"skipping unregistrable obj {o} in cls {cls_id} "
+                      f"(no usable point cloud)")
+            obj_ids = [o for o in obj_ids if o not in skipped]
+            if not obj_ids:
+                bbox3d_dict.pop(cls_id)
+                continue
+
+            counts = [count_dict[cls_id].get(o, 0) for o in obj_ids]
+            idx_repr = int(np.argmax(counts)) if len(counts) > 1 else 0
 
             obj_id_repr = obj_ids[idx_repr]
             template_pts = inst_dict_cls[obj_id_repr]["pcs"]
@@ -561,6 +587,18 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                     src_tf = transform_pointcloud_np(source_np_w, T_rel)
                     chamfer_unidir = masked_cd(src_tf, template_np_w,
                                                tmpl_bins_full)
+                    if not np.isfinite(chamfer_unidir):
+                        # <30% of source points comparable — exactly the
+                        # complementary alignments the coverage tie-break
+                        # selects. 'Cannot judge' must not read as 'poor
+                        # fit' (inf > eta2 force-subcategorized them):
+                        # judge shape compatibility on whatever overlap
+                        # exists, down to 2% of points; only a virtually
+                        # zero-overlap pair stays inf and splits.
+                        chamfer_unidir = _masked_chamfer(
+                            src_tf, canon(src_tf) - pivot_c, template_np_w,
+                            tmpl_bins_full, scale_template,
+                            min_overlap=0.02)
                     src_bins = _coverage_bins(canon(src_tf) - pivot_c)
                     if os.environ.get("CATNERF_REG_DEBUG"):
                         print(f"  epilog {time.time() - t_epilog:.1f}s")
@@ -643,7 +681,9 @@ def _recenter_canonical_frame(inst_dict_cls: dict) -> None:
     coords by c* updates t_i += s_i R_i c*; extents are recomputed about
     the new origin (get_obb, per-instance scale preserved)."""
     members = [o for o, info in inst_dict_cls.items()
-               if info.get("pcs") is not None and "T_obj" in info]
+               if info.get("pcs") is not None
+               and np.asarray(info["pcs"]).size >= 9  # skip empty clouds
+               and "T_obj" in info]
     if not members:
         return
     canon_clouds = []

@@ -14,8 +14,6 @@ The field evaluation (10k rays x 96 bins x MLP) runs jitted on TPU.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,9 +51,12 @@ def spherical_ray_grid() -> np.ndarray:
     return np.stack([x, y, z], -1).reshape(-1, 3)
 
 
-@partial(jax.jit, static_argnames=("pe_scale",))
+@jax.jit
 def _term_probs_field(pe_params, fc_params, rays_o, viewdirs, z_vals,
-                      *, pe_scale):
+                      pe_scale):
+    # pe_scale is TRACED: it is only used as x/scale inside embedding.apply,
+    # and making it static forced one full XLA recompile (20-45 s on the
+    # tunnel) per distinct object scale — one per object in a scene.
     xyz = rays_o[:, None, :] + viewdirs[:, None, :] * z_vals[..., None]
     emb = embedding.apply(pe_params, xyz, scale=pe_scale)
     alpha, _ = occupancy.apply(fc_params, emb, do_color=False)
@@ -99,7 +100,8 @@ def uncertainty_score(field_params: dict, points: np.ndarray,
 
     term = np.asarray(_term_probs_field(
         field_params["pe"], field_params["fc"], jnp.asarray(rays_o),
-        jnp.asarray(viewdir), z_vals, pe_scale=field_params["obj_scale"]))
+        jnp.asarray(viewdir), z_vals,
+        jnp.float32(field_params["obj_scale"])))
 
     entropies = np.sum(-term * np.log(term + 1e-10), axis=-1)
     if use_reliability:

@@ -22,11 +22,9 @@ _lib = None
 
 
 def _build() -> None:
-    srcs = [os.path.join(_DIR, "src", f)
-            for f in ("geomlib.cpp", "registration.cpp", "tsdf.cpp")]
-    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17", "-shared",
-           *srcs, "-o", _SO]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    # single source of truth for the compile recipe: the Makefile
+    subprocess.run(["make", "-C", _DIR], check=True, capture_output=True,
+                   text=True)
 
 
 def _stale() -> bool:
@@ -248,8 +246,12 @@ class geomlib:
         lib = _load()
         s = _as_f32(src)
         d = _as_f32(dst)
-        T = np.ascontiguousarray(
-            init if init is not None else np.eye(4), dtype=np.float64)
+        # always copy: the C side writes the result into this buffer, and
+        # np.ascontiguousarray would alias an already-contiguous float64
+        # init, mutating the CALLER's matrix (which broke teaser.py's
+        # restore-pre-ICP-pose fallback on degenerate solves)
+        T = np.array(init if init is not None else np.eye(4),
+                     dtype=np.float64, order="C", copy=True)
         fitness = ctypes.c_double(0)
         rmse = ctypes.c_double(0)
         lib.icp_point_to_point(

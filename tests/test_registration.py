@@ -439,3 +439,44 @@ def test_uncertainty_fields_empty_frame_info_falls_back():
     assert count_dict[cls_id][objs[1]] > 0
     assert objs[0] in field_dict[cls_id]
     assert objs[1] not in field_dict[cls_id]
+
+
+def test_align_poses_skips_unregistrable_instances():
+    """Regression: instances whose point cloud is None or empty (ScanNet
+    objects missing from the refined segmentation) must be skipped with a
+    default pose, not crash align_poses on max() of None (found in
+    review)."""
+    rng = np.random.default_rng(9)
+    sphere = rng.standard_normal((3000, 3))
+    sphere = sphere / np.linalg.norm(sphere, axis=-1, keepdims=True) * 0.3
+    sphere2 = sphere * 1.02 + np.array([1.5, 0, 0])
+
+    inst_dict = {7: {1: {"frame_info": [], "pcs": sphere},
+                     2: {"frame_info": [], "pcs": sphere2},
+                     3: {"frame_info": [], "pcs": None},
+                     4: {"frame_info": [], "pcs": np.zeros((0, 3))}}}
+    count_dict = {7: {1: 100, 2: 50, 3: 0, 4: 0}}
+    bbox3d_dict = {7: {1: None, 2: None, 3: None, 4: None}}
+    align_poses(inst_dict, bbox3d_dict, count_dict, {}, name="replica")
+    # the two real instances registered
+    assert "T_obj" in inst_dict[7][1] and "T_obj" in inst_dict[7][2]
+    # the unregistrable ones got a default pose and were not subcategorized
+    np.testing.assert_array_equal(inst_dict[7][3]["T_obj"], np.eye(4))
+    np.testing.assert_array_equal(inst_dict[7][4]["T_obj"], np.eye(4))
+    assert 107 not in inst_dict or 3 not in inst_dict.get(107, {})
+
+
+def test_icp_does_not_mutate_init():
+    """Regression: geomlib.icp wrote its result into the caller's init
+    matrix (np.ascontiguousarray aliases contiguous float64), defeating
+    teaser.py's restore-pre-ICP-pose fallback on degenerate solves."""
+    from catnerf_tpu.native.lib import geomlib
+
+    rng = np.random.default_rng(3)
+    src = rng.standard_normal((500, 3)).astype(np.float32)
+    dst = src + np.array([0.05, 0.0, 0.0], np.float32)
+    init = np.eye(4)
+    T, _, _ = geomlib.icp(src, dst, max_corr_dist=0.2, init=init)
+    assert T is not init
+    np.testing.assert_array_equal(init, np.eye(4))
+    assert abs(T[0, 3] - 0.05) < 0.02  # and the solve itself worked
