@@ -50,12 +50,6 @@ class ScanNet:
             os.makedirs(os.path.join(self.root_dir, "instance-refined"), exist_ok=True)
             os.makedirs(os.path.join(self.root_dir, "instance-disputed"), exist_ok=True)
             os.makedirs(os.path.join(self.root_dir, "inst_to_cls"), exist_ok=True)
-        if cfg.load_refined_mask:
-            self.inst_paths = _sorted_paths(self.root_dir, "instance-refined", "npy")
-            self.sem_paths = _sorted_paths(self.root_dir, "inst_to_cls", "pkl")
-        else:
-            self.inst_paths = self.raw_inst_paths
-            self.sem_paths = self.raw_sem_paths
 
         self.poses = self._load_poses(os.path.join(self.root_dir, "pose"))
         self.n_img = len(self.color_paths)
@@ -104,10 +98,15 @@ class ScanNet:
         cv2 = self._cv2
         t1 = time.time()
         reduce = 0
+        if len(self.poses) < self.n_img:
+            raise FileNotFoundError(
+                f"ScanNet layout needs one pose per frame: found "
+                f"{len(self.poses)} poses under {self.root_dir}/pose for "
+                f"{self.n_img} frames")
         for index in range(self.n_img):
             index_reduced = index - reduce
-            T = self.poses[index] if self.poses else None
-            if T is not None and np.any(np.isinf(T)):
+            T = self.poses[index]
+            if np.any(np.isinf(T)):
                 # (ref: src/dataset.py:296-300)
                 reduce += 1
                 continue
@@ -128,10 +127,20 @@ class ScanNet:
                 transforms.depth_scale(depth, self.cfg.depth_scale),
                 self.cfg.max_depth)
 
-            inst_path = (self.inst_paths[index]
-                         if len(self.inst_paths) > index else "")
-            sem_path = (self.sem_paths[index]
-                        if len(self.sem_paths) > index else "")
+            # Cache paths derive from the RAW mask filenames — never from a
+            # positional index into the sorted cache directory, which
+            # misaligns every frame after one skipped for an inf pose
+            # (the cache-building run writes no file for skipped frames).
+            inst_path = sem_path = ""
+            if self.cfg.load_refined_mask and len(self.raw_inst_paths) > index:
+                ib = os.path.splitext(
+                    os.path.basename(self.raw_inst_paths[index]))[0]
+                sb = os.path.splitext(
+                    os.path.basename(self.raw_sem_paths[index]))[0]
+                inst_path = os.path.join(self.root_dir, "instance-refined",
+                                         ib + ".npy")
+                sem_path = os.path.join(self.root_dir, "inst_to_cls",
+                                        sb + ".pkl")
             claimed_mask = None  # supervision-only unknown pixels
 
             if (self.cfg.load_refined_mask and os.path.exists(inst_path)
@@ -260,8 +269,9 @@ class ScanNet:
                 )["frame_info"].append({"frame": index_reduced, "bbox": bbox})
 
             # accumulate per-object world point clouds
-            # (ref: src/dataset.py:385-400)
-            T_CW = np.linalg.inv(T)
+            # (ref: src/dataset.py:385-400); clouds are gathered as
+            # per-frame lists and concatenated once after the frame loop —
+            # per-frame np.concatenate is O(F^2) in total points
             depth_wh = depth.transpose(1, 0)
             inst_wh = inst_data.transpose(1, 0)
             for obj_id in np.unique(inst_data):
@@ -271,10 +281,9 @@ class ScanNet:
                 if sem_cls is None or int(obj_id) not in self.inst_dict.get(sem_cls, {}):
                     continue
                 d = np.where(inst_wh == obj_id, depth_wh, 0.0)
-                pts = self.cam.unproject_depth(d, np.linalg.inv(T_CW))
+                pts = self.cam.unproject_depth(d, T)
                 info = self.inst_dict[sem_cls][int(obj_id)]
-                info["pcs"] = (pts if "pcs" not in info
-                               else np.concatenate([info["pcs"], pts]))
+                info.setdefault("_pcs_parts", []).append(pts)
 
             if index_reduced == 0:
                 self.inst_dict[0] = {"frame_info": []}
@@ -300,6 +309,15 @@ class ScanNet:
                 "T": T,
                 "frame_id": index_reduced,
             }
+
+        # finalize per-object clouds (one concatenate per object)
+        for cls_id, objs in self.inst_dict.items():
+            if cls_id == 0:
+                continue
+            for info in objs.values():
+                parts = info.pop("_pcs_parts", None)
+                if parts:
+                    info["pcs"] = np.concatenate(parts)
 
         self.n_img -= reduce
         print(f"get_all_frames took {time.time() - t1:.1f}s "

@@ -387,7 +387,8 @@ def codenerf_fused_apply(fc: dict, pe: dict, pts: jnp.ndarray,
                          interpret: bool | None = None):
     """Fused category-ensemble forward.
 
-    fc: stacked cat_fc params pytree ([C, ...] leaves); pe: {"B": [C, 3, 21]};
+    fc: stacked cat_fc params pytree ([C, ...] leaves); pe: {"B": [C, 21, 3]}
+    (the stacked embedding.init_params layout);
     pts: [C, N, 3] object-frame sample points; zs0/zc/zs1/zt0: [C, N, 32]
     pre-broadcast ReLU'd latent injections. Returns (sigma [C, N], rgb
     [C, N, 3]); differentiable w.r.t. everything (PE basis included).

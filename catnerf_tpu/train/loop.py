@@ -100,11 +100,15 @@ class TrainingSession:
             callback: Callable[[int, StepMetrics], None] | None = None,
             callback_every: int = 100) -> list[dict[str, Any]]:
         history = []
+        # self.iteration is absolute (resume keeps counting); the final
+        # history append must key off the RUN's end, not n_iters
+        end_iter = self.iteration + n_iters
         for _ in range(n_iters):
             metrics = self.step_once()
             if callback is not None and self.iteration % callback_every == 0:
                 callback(self.iteration, metrics)
-            if self.iteration % callback_every == 0 or self.iteration == n_iters:
+            if (self.iteration % callback_every == 0
+                    or self.iteration == end_iter):
                 history.append(self.metrics_to_dict(metrics))
         return history
 
@@ -147,8 +151,11 @@ class TrainingSession:
         d = {
             "iteration": self.iteration,
             "total": float(m.total),
-            "bg_psnr": float(m.bg_psnr),
         }
+        if self.background is not None:
+            # bg metrics are hard-zero without a background model, which
+            # makes the L1-PSNR proxy +inf — invalid in strict JSON
+            d["bg_psnr"] = float(m.bg_psnr)
         for i, cid in enumerate(self.cls_ids):
             d[f"cls_{cid}/depth"] = float(m.cat_depth[i])
             d[f"cls_{cid}/color"] = float(m.cat_color[i])

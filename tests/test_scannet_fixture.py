@@ -76,6 +76,15 @@ def test_scannet_loader_full_pipeline(tmp_path):
     cfg.hidden_feature_size_bg = 32
 
     write_scannet_layout(scene, str(tmp_path), cfg.depth_scale)
+    # corrupt a MIDDLE frame's pose to inf: the loader must skip it
+    # (ref: src/dataset.py:296-300) and — regression — the refined-mask
+    # caches must still line up with the right frames on reload (cache
+    # files used to be matched by position in a sorted listing, so one
+    # skipped frame shifted every later frame onto its neighbor's mask)
+    frames = sorted(scene.sample_dict.keys())
+    inf_frame = frames[len(frames) // 2]
+    np.savetxt(os.path.join(str(tmp_path), "pose", f"{inf_frame}.txt"),
+               np.full((4, 4), np.inf))
     data = ScanNet(cfg)
 
     assert 0 in data.inst_dict

@@ -159,8 +159,10 @@ def main():
         if it % cfg.log_iter == 0:
             writer.log_step(session, metrics, it)
             psnr = float(metrics.cat_psnr.mean())
+            bg = (f" bg_psnr={float(metrics.bg_psnr):.2f}"
+                  if session.background is not None else "")
             print(f"iter {it}: loss={float(metrics.total):.3f} "
-                  f"psnr={psnr:.2f} bg_psnr={float(metrics.bg_psnr):.2f}")
+                  f"psnr={psnr:.2f}{bg}")
         if it % cfg.save_iter == 0:
             path = ckpt_mod.save_checkpoint(ckpt_dir, session.state, it)
             print(f"saved checkpoint {path}")
