@@ -106,7 +106,8 @@ def build_device_store(categories: list[CategoryScene],
 
 
 def sample_batch(store: DeviceRayStore, key: jax.Array, n_per_cls: int,
-                 n_bg: int, *, window: bool = False):
+                 n_bg: int, *, window: bool = False,
+                 per_category_gather: bool = False):
     """Draw (CategoryBatch, BackgroundBatch|None) fully on device.
 
     window=False: one fused randint + ONE flat row-gather for all categories
@@ -117,7 +118,12 @@ def sample_batch(store: DeviceRayStore, key: jax.Array, n_per_cls: int,
     reference's epoch cursor over a shuffled buffer (ref:
     src/scene_cateogries.py:421-449) minus the per-epoch reshuffle. ~9 dense
     slices instead of ~3k scattered row-gathers: the gather's HBM random
-    access was ~13% of the train step."""
+    access was ~13% of the train step.
+
+    per_category_gather: use take_along_axis per category instead of the
+    flat-index gather — required on a category-sharded (EP) store, where
+    the flat reshape would cross the sharded axis. The window path is
+    already shard-local (vmapped per-category dynamic_slice)."""
     n_cls, max_len, _ = store.packed.shape
     k_cat, k_bg = jax.random.split(key)
 
@@ -126,6 +132,11 @@ def sample_batch(store: DeviceRayStore, key: jax.Array, n_per_cls: int,
         rows = jax.vmap(
             lambda p, o: jax.lax.dynamic_slice_in_dim(p, o, n_per_cls, axis=0)
         )(store.packed, offs)
+    elif per_category_gather:
+        idx = jax.random.randint(k_cat, (n_cls, n_per_cls), 0,
+                                 store.lengths[:, None])
+        rows = jnp.take_along_axis(
+            store.packed, idx[:, :, None].astype(jnp.int32), axis=1)
     else:
         idx = jax.random.randint(k_cat, (n_cls, n_per_cls), 0,
                                  store.lengths[:, None])

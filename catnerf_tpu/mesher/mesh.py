@@ -166,8 +166,9 @@ def _load_obj(path: str) -> TriMesh:
                 if len(parts) >= 7:
                     colors.append([float(x) for x in parts[4:7]])
             elif parts[0] == "f":
-                idx = [int(p.split("/")[0]) - 1 for p in parts[1:4]]
-                faces.append(idx)
+                idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                for j in range(1, len(idx) - 1):  # fan-triangulate n-gons
+                    faces.append([idx[0], idx[j], idx[j + 1]])
     vc = None
     if colors and len(colors) == len(verts):
         vc = (np.asarray(colors) * 255).clip(0, 255).astype(np.uint8)
@@ -184,6 +185,7 @@ def _load_ply(path: str) -> TriMesh:
     n_v = n_f = 0
     v_props: list[tuple[str, str]] = []
     cur = None
+    f_count_t, f_index_t = "uchar", "int"  # PLY defaults if no face list
     for line in header:
         parts = line.split()
         if not parts:
@@ -198,6 +200,8 @@ def _load_ply(path: str) -> TriMesh:
                 n_f = int(parts[2])
         elif parts[0] == "property" and cur == "vertex" and parts[1] != "list":
             v_props.append((parts[1], parts[2]))
+        elif parts[0] == "property" and cur == "face" and parts[1] == "list":
+            f_count_t, f_index_t = parts[2], parts[3]
 
     _types = {"float": ("f4", 4), "float32": ("f4", 4), "double": ("f8", 8),
               "uchar": ("u1", 1), "uint8": ("u1", 1), "char": ("i1", 1),
@@ -233,13 +237,28 @@ def _load_ply(path: str) -> TriMesh:
     if "red" in dt.names:
         vc = np.stack([varr["red"], varr["green"], varr["blue"]], -1).astype(np.uint8)
     off = dt.itemsize * n_v
+    # face list dtypes come from the header's 'property list <count> <index>'
+    # declaration (hardcoding uchar/int32 desynchronizes the parse for e.g.
+    # 'property list int int vertex_indices')
+    cnt_dt = np.dtype("<" + _types[f_count_t][0])
+    idx_dt = np.dtype("<" + _types[f_index_t][0])
+    n_body = len(body) - off
+
+    # fast path: uniform triangles (the overwhelmingly common GT-mesh case;
+    # the per-face Python loop costs seconds on million-face backgrounds)
+    rec = np.dtype([("k", cnt_dt), ("v", idx_dt, (3,))])
+    if n_f > 0 and n_body == n_f * rec.itemsize:
+        fa = np.frombuffer(body, dtype=rec, count=n_f, offset=off)
+        if (fa["k"] == 3).all():
+            return TriMesh(verts, fa["v"].astype(np.int64), vc)
+
     faces = []
     pos = off
     for _ in range(n_f):
-        k = body[pos]
-        pos += 1
-        idx = np.frombuffer(body, dtype="<i4", count=k, offset=pos)
-        pos += 4 * k
+        k = int(np.frombuffer(body, dtype=cnt_dt, count=1, offset=pos)[0])
+        pos += cnt_dt.itemsize
+        idx = np.frombuffer(body, dtype=idx_dt, count=k, offset=pos)
+        pos += idx_dt.itemsize * k
         for j in range(1, k - 1):
             faces.append([idx[0], idx[j], idx[j + 1]])
     return TriMesh(verts, np.asarray(faces, np.int64), vc)

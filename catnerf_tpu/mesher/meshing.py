@@ -225,11 +225,17 @@ def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
         transform_np = np.eye(4, dtype=np.float32)
         transform_np[:3, :3] = R if R is not None else np.eye(3)
         transform_np[:3, 3] = center + (R @ offset if R is not None else offset)
-        grid = render_ops.make_3d_grid(
-            occ_range, grid_dim, transform=jnp.asarray(transform_np),
-            scale=jnp.asarray(scale_np, jnp.float32))
-
-        grid_pts = np.asarray(grid).reshape(-1, 3)
+        # grid built host-side (numpy mirror of render_ops.make_3d_grid):
+        # it is consumed on host anyway (carve mask, MC), and a
+        # device-built grid cost a pure-waste ~25 MB device->host pull per
+        # grow attempt over the ~134 MB/s link
+        t = np.linspace(occ_range[0], occ_range[1], grid_dim,
+                        dtype=np.float32)
+        gx, gy, gz = np.meshgrid(t, t, t, indexing="ij")
+        grid_pts = (np.stack([gx, gy, gz], -1).reshape(-1, 3)
+                    * scale_np.astype(np.float32))
+        grid_pts = (grid_pts @ transform_np[:3, :3].T
+                    + transform_np[:3, 3]).astype(np.float32)
         occ, _ = eval_points(grid_pts, params, cfg, shape_code, texture_code,
                              is_background=is_background, want_color=False)
         seen_empty = None
@@ -246,8 +252,19 @@ def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
             seen_empty = space_carve_mask(pts_w, depths, T_wc, cam,
                                           margin=3.0 * voxel_w)
             occ = np.where(seen_empty, np.float32(0.0), occ)
-        if occ.max() <= 0.5 or occ.min() >= 0.5:
+        if occ.max() <= 0.5:  # nothing to extract anywhere in the grid
             return None
+        if occ.min() >= 0.5:
+            # grid lies entirely INSIDE the object (OBB from sparse
+            # observed points can under-bound badly): this is exactly the
+            # case adaptive growth exists for — grow every side instead of
+            # giving up before the boundary-face check can run
+            if attempt == max_grow:
+                return None
+            pad = 0.3 * (hi - lo)
+            lo -= pad
+            hi += pad
+            continue
         occ3 = occ.reshape(grid_dim, grid_dim, grid_dim)
         seen_empty3 = (seen_empty.reshape(occ3.shape)
                        if seen_empty is not None else None)

@@ -25,7 +25,7 @@ import numpy as np
 from catnerf_tpu.data.scene import OrientedBBox
 from catnerf_tpu.geometry.obb import oriented_bounds
 from catnerf_tpu.mesher.mesh import TriMesh, load_mesh
-from catnerf_tpu.metrics.metrics3d import accuracy, completion, completion_ratio
+from catnerf_tpu.metrics import metrics3d
 
 REPLICA_BG_CLS = [5, 12, 30, 31, 40, 60, 92, 93, 95, 97, 98, 79]
 SCANNET_BG_CLS = [-1, 0, 1, 3, 16, 41, 232, 21, 161, 128, 21]
@@ -47,26 +47,25 @@ def concatenate_meshes(meshes: list[TriMesh]) -> TriMesh:
 def calc_3d_metric(mesh_rec: TriMesh, mesh_ref: TriMesh, n: int = 200000,
                    seed: int = 0):
     """(ref: metric/eval_3D_obj.py:10-39): accuracy on the OBB-cropped rec
-    mesh; completion/ratio on the full rec mesh; x100 units."""
+    mesh; completion/ratio on the full rec mesh; x100 units.
+
+    Reference-shaped wrapper over metrics3d.calc_3d_metric — ONE
+    implementation of the crop/sample/metric protocol (a second copy here
+    had already started to drift). Differences kept from the reference CLI:
+    the OBB is derived from the GT mesh, and an empty crop aborts the
+    object ('no mesh found') instead of falling back to the full mesh."""
     out = oriented_bounds(mesh_ref.vertices)
+    obb = None
     if out is not None:
         T, extents = out
         obb = OrientedBBox(center=T[:3, 3], R=T[:3, :3], extent=extents)
-        rec_for_acc = mesh_rec.crop_to_obb(obb.center, obb.R, obb.extent)
-        if len(rec_for_acc.faces) == 0:
+        if len(mesh_rec.crop_to_obb(obb.center, obb.R,
+                                    obb.extent).faces) == 0:
             print("no mesh found")
             return None
-    else:
-        rec_for_acc = mesh_rec
-    rng = np.random.default_rng(seed)
-    rec_pc = mesh_rec.sample_surface(n, rng)
-    rec_pc_acc = rec_for_acc.sample_surface(n, rng)
-    gt_pc = mesh_ref.sample_surface(n, rng)
-    return [
-        [accuracy(gt_pc, rec_pc_acc) * 100.0],
-        [completion(gt_pc, rec_pc) * 100.0],
-        [completion_ratio(gt_pc, rec_pc, 0.05) * 100.0],
-    ]
+    d = metrics3d.calc_3d_metric(mesh_rec, mesh_ref, n_samples=n,
+                                 ref_obb=obb, seed=seed)
+    return [[d["accuracy"]], [d["completion"]], [d["completion_ratio"]]]
 
 
 def get_gt_bg_mesh(gt_dir: str, background_cls_list: list[int]) -> TriMesh:
@@ -109,7 +108,11 @@ def get_gt_bg_mesh_scannet(gt_dir: str, exp: str, background_cls_list,
 
 def get_obj_ids(obj_dir: str) -> list[int]:
     """Parse object ids from exported mesh filenames
-    (ref: metric/eval_3D_obj.py:95-103)."""
+    (ref: metric/eval_3D_obj.py:95-103). A missing mesh dir (scene never
+    trained/meshed) reads as 'no objects' so a multi-scene eval run keeps
+    going instead of losing all completed scenes to FileNotFoundError."""
+    if not os.path.isdir(obj_dir):
+        return []
     obj_ids = []
     for f in os.listdir(obj_dir):
         if "obj" not in f:
@@ -187,6 +190,13 @@ def main():
     args = parser.parse_args()
 
     dataset = args.data_dir.rstrip("/").split("/")[-1]
+    if dataset not in ("Replica", "ScanNet"):
+        # the reference errors on unsupported datasets (metric/
+        # eval_3D_obj.py); silently defaulting to ScanNet turned a
+        # misspelled --data_dir into a confusing FileNotFoundError
+        raise SystemExit(
+            f"unsupported dataset {dataset!r}: --data_dir must end in "
+            "'Replica' or 'ScanNet' (got " + args.data_dir + ")")
     scenes = args.scenes or (REPLICA_SCENES if dataset == "Replica"
                              else SCANNET_SCENES)
     for exp in scenes:

@@ -36,6 +36,13 @@ def main():
     args = parser.parse_args()
 
     dataset = args.data_dir.rstrip("/").split("/")[-1]
+    if dataset not in ("Replica", "ScanNet"):
+        # the reference errors on unsupported datasets (metric/
+        # eval_3D_obj.py); silently defaulting to ScanNet turned a
+        # misspelled --data_dir into a confusing FileNotFoundError
+        raise SystemExit(
+            f"unsupported dataset {dataset!r}: --data_dir must end in "
+            "'Replica' or 'ScanNet' (got " + args.data_dir + ")")
     scenes = args.scenes or (REPLICA_SCENES if dataset == "Replica"
                              else SCANNET_SCENES)
 

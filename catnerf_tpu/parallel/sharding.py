@@ -132,39 +132,14 @@ def store_shardings(mesh: Mesh):
 
 def _sample_batch_sharded(store, key, n_per_cls: int, n_bg: int,
                           window: bool = False):
-    """Like device_buffer.sample_batch but with a per-category gather that
+    """device_buffer.sample_batch with per_category_gather=True, which
     preserves the category-sharded store layout (the flat-index gather of
-    the single-chip path would reshape across the sharded axis). window=True
-    mirrors device_buffer's cyclic-window draw (store must be built with
-    window_pad); the vmapped per-category dynamic_slice is shard-local."""
-    import jax.numpy as jnp
-    from catnerf_tpu.data.device_buffer import _unpack_bg, _unpack_cat
+    the single-chip path would reshape across the sharded axis); the window
+    path's vmapped per-category dynamic_slice is shard-local as-is."""
+    from catnerf_tpu.data.device_buffer import sample_batch
 
-    n_cls = store.packed.shape[0]
-    k_cat, k_bg = jax.random.split(key)
-    if window:
-        offs = jax.random.randint(k_cat, (n_cls,), 0, store.lengths)
-        rows = jax.vmap(
-            lambda p, o: jax.lax.dynamic_slice_in_dim(p, o, n_per_cls, axis=0)
-        )(store.packed, offs)
-    else:
-        idx = jax.random.randint(k_cat, (n_cls, n_per_cls), 0,
-                                 store.lengths[:, None])
-        rows = jnp.take_along_axis(
-            store.packed, idx[:, :, None].astype(jnp.int32), axis=1)
-    cat = _unpack_cat(rows)
-
-    bg = None
-    if store.bg_packed is not None:
-        if window:
-            boff = jax.random.randint(k_bg, (), 0, store.bg_length)
-            bg_rows = jax.lax.dynamic_slice_in_dim(
-                store.bg_packed, boff, n_bg, axis=0)
-        else:
-            bidx = jax.random.randint(k_bg, (n_bg,), 0, store.bg_length)
-            bg_rows = jnp.take(store.bg_packed, bidx, axis=0)
-        bg = _unpack_bg(bg_rows)
-    return cat, bg
+    return sample_batch(store, key, n_per_cls, n_bg, window=window,
+                        per_category_gather=True)
 
 
 def make_sharded_superstep(cfg: Config, obj_mask, mesh: Mesh,

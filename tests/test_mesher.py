@@ -246,3 +246,52 @@ def test_interior_fill_respects_observed_free_concavity():
     occ2[bubble] = 0.1
     kept2 = meshing._fill_unobservable_interior(occ2, observed_free=cavity)
     assert (kept2[bubble] > 0.5).all()
+
+
+def test_load_obj_fan_triangulates_quads(tmp_path):
+    """Regression: quad faces lost one of their two triangles (review)."""
+    p = tmp_path / "quad.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "f 1 2 3 4\n")
+    m = load_mesh(str(p))
+    assert m.faces.shape == (2, 3)
+    # the two triangles cover the unit square: total area 1
+    a = 0.0
+    for f in m.faces:
+        v = m.vertices[f]
+        a += 0.5 * np.linalg.norm(np.cross(v[1] - v[0], v[2] - v[0]))
+    np.testing.assert_allclose(a, 1.0, rtol=1e-6)
+
+
+def test_load_ply_binary_int_list_counts(tmp_path):
+    """Regression: binary PLY face parsing hardcoded uchar counts + int32
+    indices instead of honoring the declared 'property list' types."""
+    import struct
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {len(verts)}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element face 2\n"
+        "property list int int vertex_indices\n"
+        "end_header\n")
+    body = verts.astype("<f4").tobytes()
+    for tri in ([0, 1, 2], [0, 2, 3]):
+        body += struct.pack("<i", 3) + struct.pack("<3i", *tri)
+    p = tmp_path / "intlist.ply"
+    p.write_bytes(header.encode() + body)
+    m = load_mesh(str(p))
+    np.testing.assert_array_equal(m.faces, [[0, 1, 2], [0, 2, 3]])
+    np.testing.assert_allclose(m.vertices, verts, atol=1e-7)
+
+    # and a quad face with ushort counts exercises the loop path
+    header2 = header.replace("element face 2", "element face 1").replace(
+        "property list int int", "property list ushort uint")
+    body2 = verts.astype("<f4").tobytes() + struct.pack("<H", 4) + \
+        struct.pack("<4I", 0, 1, 2, 3)
+    p2 = tmp_path / "quadlist.ply"
+    p2.write_bytes(header2.encode() + body2)
+    m2 = load_mesh(str(p2))
+    assert m2.faces.shape == (2, 3)
