@@ -71,14 +71,16 @@ def main():
     for i in range(2):  # compile + warmup
         key, k = jax.random.split(key)
         state, metrics = superstep(state, k)
-    jax.block_until_ready(metrics.total)
+    float(metrics.total)  # honest sync: on the axon platform
+    # block_until_ready can return before the computation finishes
+    # (CLAUDE.md); only a device->host transfer is a reliable barrier
 
     n_dispatch = 8
     t0 = time.perf_counter()
     for _ in range(n_dispatch):
         key, k = jax.random.split(key)
         state, metrics = superstep(state, k)
-    jax.block_until_ready(metrics.total)
+    float(metrics.total)
     dt = time.perf_counter() - t0
     steps_per_sec = n_dispatch * N_INNER / dt
     ray_samples_per_sec = steps_per_sec * samples_per_step
@@ -97,13 +99,13 @@ def main():
     for i in range(3):
         cat, bg = batches[i % 8]
         pstate, pm = sess.step_fn(pstate, cat, bg, key)
-    jax.block_until_ready(pm.total)
+    float(pm.total)
     n_iters = 100
     t0 = time.perf_counter()
     for i in range(n_iters):
         cat, bg = batches[i % 8]
         pstate, pm = sess.step_fn(pstate, cat, bg, key)
-    jax.block_until_ready(pm.total)
+    float(pm.total)
     parity_sps = n_iters / (time.perf_counter() - t0)
 
     print(json.dumps({

@@ -188,6 +188,15 @@ class Config:
         cfg = cls()
         cfg.dataset_format = ds.get("format", cfg.dataset_format)
         cfg.dataset_dir = ds.get("path", cfg.dataset_dir)
+        # anchor RELATIVE dataset paths at the config file's directory, not
+        # the process CWD (otherwise the ScanNet intrinsics probe below
+        # silently misses and the loader can't find frames)
+        if (config_dir and cfg.dataset_dir
+                and not os.path.isabs(cfg.dataset_dir)
+                and not os.path.exists(cfg.dataset_dir)):
+            anchored = os.path.join(config_dir, cfg.dataset_dir)
+            if os.path.exists(anchored):
+                cfg.dataset_dir = anchored
         cfg.depth_scale = 1.0 / trainer.get("scale", 1000.0)
 
         cfg.max_n_models = trainer.get("n_models", cfg.max_n_models)

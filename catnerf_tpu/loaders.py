@@ -2,6 +2,9 @@
 
 One entry for "give me a trainable scene": a reference-layout dataset from
 a config JSON, or the built-in synthetic analytic scene (no data needed).
+Parity target: the dataset-construction prologue of the reference driver
+(ref: train.py:30-48, src/dataset.py:16-24); the synthetic branch has no
+reference equivalent.
 """
 
 from __future__ import annotations
@@ -13,6 +16,8 @@ def load_scene(config: str | None, synthetic: bool = False):
     from catnerf_tpu.config import Config
     from catnerf_tpu.data.camera import CameraInfo
 
+    if not synthetic and config is None:
+        raise SystemExit("one of --config or --synthetic is required")
     if synthetic:
         from catnerf_tpu.data.synthetic import make_scene
 

@@ -53,18 +53,32 @@ def look_at(eye, target=(0.0, 0.0, 0.0), up=(0.0, 0.0, 1.0)) -> np.ndarray:
     return T.astype(np.float32)
 
 
+def orbit_eye(az_rad: float, el_rad: float, radius: float,
+              center=(0.0, 0.0, 0.0)) -> np.ndarray:
+    """Camera position on a sphere around `center` (single definition of
+    the azimuth/elevation convention for the CLI and the HTTP server)."""
+    return np.asarray(center, np.float64) + radius * np.array(
+        [np.cos(az_rad) * np.cos(el_rad),
+         np.sin(az_rad) * np.cos(el_rad),
+         np.sin(el_rad)])
+
+
+def orbit_frame(extent, radius: float | None = None):
+    """(radius, near, far) framing an object of `extent` from an orbit
+    camera — one copy of the 2.2x/1.3x framing recipe."""
+    half_diag = 0.5 * float(np.linalg.norm(np.asarray(extent)))
+    r = radius if radius is not None else 2.2 * half_diag
+    near = max(0.05 * r, r - 1.3 * half_diag)
+    far = r + 1.3 * half_diag
+    return r, near, far
+
+
 def orbit_poses(n: int, radius: float, center=(0.0, 0.0, 0.0),
                 elevation_deg: float = 25.0) -> list[np.ndarray]:
     """n camera poses on a circle of `radius` around `center`, looking in."""
-    center = np.asarray(center, np.float64)
     el = np.deg2rad(elevation_deg)
-    poses = []
-    for i in range(n):
-        az = 2.0 * np.pi * i / n
-        eye = center + radius * np.array(
-            [np.cos(az) * np.cos(el), np.sin(az) * np.cos(el), np.sin(el)])
-        poses.append(look_at(eye, center))
-    return poses
+    return [look_at(orbit_eye(2.0 * np.pi * i / n, el, radius, center),
+                    center) for i in range(n)]
 
 
 def _composite(occ: np.ndarray, rgb: np.ndarray, z: np.ndarray):
@@ -193,8 +207,7 @@ def render_session_orbits(session, out_dir: str, *, n_views: int = 8,
     cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
     written: list[str] = []
 
-    for cls_id in session.cls_ids:
-        cat = session.categories[session.cls_ids.index(cls_id)]
+    for cls_id, cat in zip(session.cls_ids, session.categories):
         params = session.category_params(cls_id)
         multi = cat.n_obj > 1
         for obj_id in cat.obj_ids:
@@ -211,10 +224,7 @@ def render_session_orbits(session, out_dir: str, *, n_views: int = 8,
                     continue
                 extent = np.asarray(bound.extent)
                 center = np.asarray(bound.center)
-            half_diag = 0.5 * float(np.linalg.norm(extent))
-            radius = 2.2 * half_diag
-            near = max(0.05 * radius, radius - 1.3 * half_diag)
-            far = radius + 1.3 * half_diag
+            radius, near, far = orbit_frame(extent)
             for v, T in enumerate(orbit_poses(n_views, radius, center)):
                 img, depth, alpha = render_view(
                     params, cfg, T, cam, near=near, far=far, shape_code=sc,
@@ -327,8 +337,7 @@ def render_scene_view(session, T: np.ndarray, cam: CameraInfo, *,
     from catnerf_tpu.ops.sim3 import tensor_to_se3_np
 
     pes, fcs, scs, tcs, As, bs, Ams, bms, halfs = ([] for _ in range(9))
-    for cls_id in session.cls_ids:
-        cat = session.categories[session.cls_ids.index(cls_id)]
+    for cls_id, cat in zip(session.cls_ids, session.categories):
         params = session.category_params(cls_id)
         multi = cat.n_obj > 1
         for obj_id in cat.obj_ids:

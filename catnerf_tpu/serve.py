@@ -1,8 +1,8 @@
 """Minimal HTTP serving layer for trained scenes.
 
 Serves novel-view renders of a trained checkpoint over HTTP — the
-deployment surface the reference lacks entirely (its outputs are offline
-mesh files). Requests are handled serially (one device, one compiled
+deployment surface the reference lacks entirely (its only outputs are
+offline mesh files, ref: src/trainer.py:62-123, train.py:214-243). Requests are handled serially (one device, one compiled
 render program), so the server is a thin stateless façade over
 catnerf_tpu.render_views; renders of a given size reuse the same compiled
 XLA programs after the first request.
@@ -34,6 +34,8 @@ import numpy as np
 from catnerf_tpu.data.camera import CameraInfo
 from catnerf_tpu.render_views import (
     look_at,
+    orbit_eye,
+    orbit_frame,
     render_scene_view,
     render_view,
 )
@@ -59,8 +61,7 @@ class SceneServer:
         self.session = session
         self.cfg = session.cfg
         self._objects = {}
-        for cls_id in session.cls_ids:
-            cat = session.categories[session.cls_ids.index(cls_id)]
+        for cls_id, cat in zip(session.cls_ids, session.categories):
             for obj_id in cat.obj_ids:
                 self._objects[int(obj_id)] = (cls_id, cat)
 
@@ -86,16 +87,11 @@ class SceneServer:
                                  "cannot frame an orbit camera")
             extent = np.asarray(bound.extent)
             center = np.asarray(bound.center)
-        half_diag = 0.5 * float(np.linalg.norm(extent))
-        r = radius if radius is not None else 2.2 * half_diag
-        az, el = np.deg2rad(az_deg), np.deg2rad(el_deg)
-        eye = center + r * np.array(
-            [np.cos(az) * np.cos(el), np.sin(az) * np.cos(el), np.sin(el)])
-        T = look_at(eye, center)
+        r, near, far = orbit_frame(extent, radius)
+        T = look_at(orbit_eye(np.deg2rad(az_deg), np.deg2rad(el_deg),
+                              r, center), center)
         f = 0.9 * max(width, height)
         cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
-        near = max(0.05 * r, r - 1.3 * half_diag)
-        far = r + 1.3 * half_diag
         img, _, _ = render_view(params, self.cfg, T, cam, near=near, far=far,
                                 shape_code=sc, texture_code=tc, n_bins=n_bins)
         return img
@@ -119,16 +115,24 @@ class SceneServer:
     def render_scene_orbit(self, az_deg: float, el_deg: float, radius: float,
                            center, width: int, height: int,
                            n_bins: int) -> np.ndarray:
-        az, el = np.deg2rad(az_deg), np.deg2rad(el_deg)
-        center = np.asarray(center, np.float64)
-        eye = center + radius * np.array(
-            [np.cos(az) * np.cos(el), np.sin(az) * np.cos(el), np.sin(el)])
-        T = look_at(eye, center)
+        T = look_at(orbit_eye(np.deg2rad(az_deg), np.deg2rad(el_deg),
+                              radius, center), center)
         f = 0.9 * max(width, height)
         cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
         img, _, _ = render_scene_view(self.session, T, cam, near=0.05,
                                       far=self._scene_far(), n_bins=n_bins)
         return img
+
+
+_SIZES = ((160, 120), (320, 240), (640, 480), (1280, 960))
+_BINS = (16, 32, 64, 96, 128, 192)
+
+
+def _snap(value, allowed):
+    """Nearest allowed value (tuples compare by their first element)."""
+    key = (lambda a: abs(a[0] - value[0])) if isinstance(value, tuple) \
+        else (lambda a: abs(a - value))
+    return min(allowed, key=key)
 
 
 def make_handler(server: SceneServer):
@@ -150,11 +154,14 @@ def make_handler(server: SceneServer):
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             try:
-                # caps bound per-request device memory (occ/rgb buffers are
-                # O(w*h*bins)); 1280x960x192 is ~2.4 GB peak, well inside HBM
-                w = min(int(q.get("w", 320)), 1280)
-                h = min(int(q.get("h", 240)), 960)
-                bins = min(int(q.get("bins", 64)), 192)
+                # snap sizes to a small whitelist: every distinct
+                # (w, h, bins) compiles and caches a new XLA program
+                # (20-45 s first compile), so free-form sizes would let a
+                # client grow the program cache and stall the server
+                # without bound; the whitelist caps it at 24 programs
+                w, h = _snap((int(q.get("w", 320)), int(q.get("h", 240))),
+                             _SIZES)
+                bins = _snap(int(q.get("bins", 64)), _BINS)
                 if u.path == "/health":
                     self._json(200, {"ok": True,
                                      "objects": server.object_ids()})

@@ -64,7 +64,11 @@ def importance_sampling_coords(key: jax.Array, weights: jnp.ndarray,
         u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
     else:
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
-    inds = jnp.searchsorted(cdf, u, side="right")
+    # jnp.searchsorted needs a 1-D sorted array: CDF inversion via a
+    # broadcast comparison honors the advertised [..., n_bins] batching
+    # (u >= cdf counts the bins whose cumulative mass is below u ==
+    # searchsorted side='right')
+    inds = jnp.sum(u[..., :, None] >= cdf[..., None, :], axis=-1)
     inds = jnp.clip(inds, 0, cdf.shape[-1] - 1)
     return inds, u, cdf
 

@@ -262,3 +262,29 @@ def test_train_cli_resume_mesh_only(tmp_path):
     assert "resumed from" in proc.stdout, proc.stdout[-2000:]
     mesh_dir = os.path.join(logdir, "scene_mesh")
     assert os.path.isdir(mesh_dir) and len(os.listdir(mesh_dir)) >= 1
+
+
+def test_importance_sampling_batched_contract():
+    """Regression: the vestigial importance sampler (kept for reference API
+    parity, ref: src/utils.py:495-526) crashed on its advertised [...,
+    n_bins] batched input (jnp.searchsorted needs 1-D); the broadcast CDF
+    inversion must match searchsorted on 1-D and support batching."""
+    import jax
+    import jax.numpy as jnp
+
+    from catnerf_tpu.utils import importance_sampling_coords
+
+    w = jnp.asarray(np.random.default_rng(0).random((4, 7, 16)))
+    inds, u, cdf = importance_sampling_coords(jax.random.PRNGKey(0), w, 5)
+    assert inds.shape == (4, 7, 5)
+    assert int(inds.min()) >= 0 and int(inds.max()) < 16
+
+    w1 = jnp.asarray(np.random.default_rng(1).random(16))
+    i1, u1, c1 = importance_sampling_coords(jax.random.PRNGKey(1), w1, 50)
+    ref = jnp.clip(jnp.searchsorted(c1, u1, side="right"), 0, 15)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(ref))
+
+    # det=True path is deterministic and sorted
+    i2, _, _ = importance_sampling_coords(jax.random.PRNGKey(2), w, 5,
+                                          det=True)
+    assert (np.diff(np.asarray(i2), axis=-1) >= 0).all()

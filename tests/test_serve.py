@@ -35,22 +35,24 @@ def test_serve_endpoints():
         assert health["ok"] and len(health["objects"]) == 4
 
         obj = health["objects"][0]
-        url = f"{base}/object?id={obj}&az=30&el=20&w=32&h=24&bins=8"
-        with urllib.request.urlopen(url, timeout=120) as r:
+        # w/h/bins snap to the program-cache whitelist: a 100x80x9 request
+        # renders at the nearest allowed 160x120x16
+        url = f"{base}/object?id={obj}&az=30&el=20&w=100&h=80&bins=9"
+        with urllib.request.urlopen(url, timeout=300) as r:
             assert r.headers["Content-Type"] == "image/png"
             png = r.read()
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
         import cv2
 
         img = cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_COLOR)
-        assert img.shape == (24, 32, 3)
+        assert img.shape == (120, 160, 3)
 
-        url = f"{base}/scene?frame=0&w=32&h=24&bins=8"
+        url = f"{base}/scene?frame=0&w=160&h=120&bins=16"
         with urllib.request.urlopen(url, timeout=300) as r:
             assert r.headers["Content-Type"] == "image/png"
             assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
 
-        url = f"{base}/scene?az=45&el=30&radius=4&w=32&h=24&bins=8"
+        url = f"{base}/scene?az=45&el=30&radius=4&w=160&h=120&bins=16"
         with urllib.request.urlopen(url, timeout=300) as r:
             assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
 
