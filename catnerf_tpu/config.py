@@ -222,6 +222,9 @@ class Config:
         if "fx" in cam:
             cfg.fx, cfg.fy = cam["fx"], cam["fy"]
             cfg.cx, cfg.cy = cam["cx"], cam["cy"]
+            # explicit intrinsics: the ScanNet loader need not find an
+            # intrinsic_depth.txt (see data/scannet.py)
+            cfg._intrinsics_from_config = True
         else:
             # ScanNet: intrinsics live in <dataset>/intrinsic/intrinsic_depth.txt
             # (ref: src/cfg.py:38-43). Resolved lazily by the dataset loader.

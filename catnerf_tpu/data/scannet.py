@@ -40,6 +40,22 @@ class ScanNet:
         self.root_dir = cfg.dataset_dir
         self.cfg = cfg
         self._warned_stale_cache = False
+        # ScanNet configs carry no fx/fy (ref: src/cfg.py:38-43): resolve
+        # intrinsics from the dataset HERE, overriding whatever the config
+        # parser probed — if the file is missing, training with silently
+        # inherited Replica-default intrinsics would produce garbage rays
+        # with no error, so make it fatal.
+        intr_path = os.path.join(self.root_dir, "intrinsic",
+                                 "intrinsic_depth.txt")
+        if os.path.exists(intr_path):
+            vals = np.loadtxt(intr_path).reshape(4, 4)
+            cfg.fx, cfg.fy = float(vals[0, 0]), float(vals[1, 1])
+            cfg.cx, cfg.cy = float(vals[0, 2]), float(vals[1, 2])
+        elif not getattr(cfg, "_intrinsics_from_config", False):
+            raise FileNotFoundError(
+                f"ScanNet intrinsics not found at {intr_path} and the "
+                "config carries no fx/fy — refusing to run with default "
+                "intrinsics")
         self.cam = CameraInfo.from_config(cfg)
 
         self.color_paths = _sorted_paths(self.root_dir, "color", "jpg")

@@ -54,15 +54,37 @@ def main():
         os.path.join(REPO, "configs", args.dataset, "*.json")))
     pairs = [(scene_name(c), c) for c in configs]
     if args.scenes:
+        available = {s for s, _ in pairs}
+        missing = [s for s in args.scenes if s not in available]
+        if missing:
+            # a typo'd scene must not silently shrink the suite
+            sys.exit(f"unknown scene(s) {missing} under configs/"
+                     f"{args.dataset} (available: {sorted(available)})")
         pairs = [(s, c) for s, c in pairs if s in set(args.scenes)]
     if not pairs:
-        sys.exit(f"no configs matched under configs/{args.dataset} "
-                 f"(available: {[s for s, _ in [(scene_name(c), c) for c in configs]]})")
+        sys.exit(f"no configs found under configs/{args.dataset}")
 
     mesh_iter = (args.max_iter - 1) if args.max_iter is not None else 10000
 
+    def rebase_config(cfg_path: str, scene: str, logdir: str) -> str:
+        """Re-anchor the config's dataset path at --data_root so training
+        and eval read the SAME data (the shipped configs hardcode
+        repo-relative Datasets/...)."""
+        with open(cfg_path) as f:
+            raw = json.load(f)
+        parts = raw["dataset"]["path"].rstrip("/").split("/")
+        tail = parts[parts.index(scene) + 1:] if scene in parts else []
+        raw["dataset"]["path"] = os.path.join(
+            args.data_root, args.dataset, scene, *tail)
+        out = os.path.join(logdir, os.path.basename(cfg_path))
+        os.makedirs(logdir, exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(raw, f, indent=1)
+        return out
+
     for scene, cfg_path in pairs:
         logdir = os.path.join(args.log_root, args.dataset, scene)
+        cfg_path = rebase_config(cfg_path, scene, logdir)
         cmd = [sys.executable, os.path.join(REPO, "train.py"),
                "--config", cfg_path, "--logdir", logdir]
         if args.max_iter is not None:

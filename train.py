@@ -62,7 +62,10 @@ def main():
 
     cfg, inst_dict, sample_dict, cam = load_scene(args.config, args.synthetic)
     if not args.synthetic:
-        shutil.copy(args.config, args.logdir)
+        dst = os.path.join(args.logdir, os.path.basename(args.config))
+        if not (os.path.exists(dst)
+                and os.path.samefile(args.config, dst)):
+            shutil.copy(args.config, args.logdir)
 
     if args.max_iter is not None:
         cfg.max_iter = args.max_iter
@@ -75,6 +78,10 @@ def main():
     if args.grid_dim is not None:
         cfg.grid_dim = args.grid_dim
         cfg.live_voxel_size = max(cfg.live_voxel_size, 8.0 / args.grid_dim)
+    for name in ("log_iter", "save_iter", "mesh_it", "max_iter"):
+        if getattr(cfg, name) < 1:
+            raise SystemExit(f"{name} must be >= 1 (got {getattr(cfg, name)};"
+                             " use a value > max_iter to disable an action)")
 
     session = TrainingSession(cfg, inst_dict, sample_dict, cam=cam,
                               with_background=not args.no_background)
@@ -84,6 +91,9 @@ def main():
     if args.import_reference_ckpt:
         step = ckpt_mod.import_reference_checkpoints(
             session, args.import_reference_ckpt)
+        # adopt the checkpoints' iteration so --mesh-only exports are named
+        # iteration_<step>_obj*.obj, where the eval CLIs look for them
+        session.iteration = int(step)
         print(f"imported reference checkpoints "
               f"(global_step={step}) from {args.import_reference_ckpt}")
 
@@ -173,10 +183,18 @@ def main():
     def maybe_trace(first_chunk_fn):
         if not args.trace:
             return first_chunk_fn()
+        import jax
+
         from catnerf_tpu.utils import device_trace
 
         with device_trace(os.path.join(args.logdir, "trace")):
             out = first_chunk_fn()
+            # honest sync INSIDE the capture: the dispatch is async and on
+            # this platform only a device->host pull reliably waits, so
+            # stop_trace would otherwise fire before the device executed
+            jax.tree_util.tree_map(
+                lambda x: float(x.reshape(-1)[0]) if hasattr(x, "reshape")
+                else x, out)
         print(f"device trace written to {args.logdir}/trace")
         return out
 
