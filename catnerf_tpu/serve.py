@@ -7,6 +7,10 @@ render program), so the server is a thin stateless façade over
 catnerf_tpu.render_views; renders of a given size reuse the same compiled
 XLA programs after the first request.
 
+Requested w/h/bins snap to a whitelist (160x120..1280x960; 16..192 bins):
+each distinct shape compiles one cached XLA program, so free-form sizes
+would grow compile stalls and program memory without bound.
+
 Endpoints (all GET, images as PNG):
   /health                          -> {"ok": true, "objects": [...]}
   /object?id=<obj_id>&az=<deg>&el=<deg>[&radius=R][&w=W&h=H][&bins=B]
