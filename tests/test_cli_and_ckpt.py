@@ -34,7 +34,7 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     assert os.path.exists(path)
     assert ckpt_mod.latest_checkpoint(str(tmp_path / "ckpt")) == path
 
-    sess2 = _session()  # fresh init, different params
+    sess2 = _session()  # fresh session (same seed => identical init)
     restored = ckpt_mod.load_checkpoint(path, sess2.state)
     assert int(restored.step) == 5
     # params identical to saved
@@ -66,10 +66,9 @@ def test_reference_ckpt_export_import_roundtrip(tmp_path):
     assert len(written) == len(sess.cls_ids) + 1  # + background
 
     sess2 = _session()
-    # different init -> params differ before import
     a0 = np.asarray(sess.state.params["cat_fc"]["sigma"]["w"])
-    b0 = np.asarray(sess2.state.params["cat_fc"]["sigma"]["w"])
-    # (same seed in _session, so force a difference via one extra step)
+    # same seed in _session => identical init; force divergence with one
+    # extra step so the import below provably overwrites the params
     sess2.run(1, callback_every=100)
     b0 = np.asarray(sess2.state.params["cat_fc"]["sigma"]["w"])
     assert not np.allclose(a0, b0)
@@ -147,6 +146,9 @@ def test_train_cli_synthetic_fast_path(tmp_path):
                           capture_output=True, text=True, timeout=900,
                           cwd=os.path.dirname(os.path.dirname(__file__)))
     assert proc.returncode == 0, proc.stderr[-3000:]
+    # the superstep path must actually have engaged (it silently falls
+    # back to parity when the iter cadences misalign)
+    assert "fast path: superstep" in proc.stdout, proc.stdout[-2000:]
     lines = [json.loads(l) for l in open(os.path.join(logdir, "metrics.jsonl"))]
     assert len(lines) >= 2
     assert ckpt_mod.latest_checkpoint(os.path.join(logdir, "ckpt")) is not None
@@ -205,9 +207,13 @@ def test_eval_cli_on_synthetic_fixture(tmp_path):
 def test_benchmark_driver_scene_mapping():
     """run_benchmark derives eval-compatible scene names from configs."""
     import sys
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.dirname(__file__)), "scripts"))
-    from run_benchmark import scene_name
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "scripts")
+    sys.path.insert(0, scripts_dir)
+    try:
+        from run_benchmark import scene_name
+    finally:
+        sys.path.remove(scripts_dir)  # don't leak into later tests
 
     assert scene_name("configs/Replica/config_replica_room0.json") == "room_0"
     assert scene_name("configs/Replica/config_replica_office3.json") == "office_3"

@@ -58,8 +58,10 @@ def test_superstep_trains():
         state, m = superstep(state, k)
     assert int(state.step) == 44
     assert np.isfinite(float(m.total))
-    # training signal: opacity falls vs the first superstep
-    assert float(m.cat_opacity.mean()) < float(m1.cat_opacity.mean()) * 1.5
+    # training signal: opacity loss genuinely FALLS vs the first superstep
+    # (measured ~4x drop over these 40 steps; 0.5x leaves margin — the old
+    # * 1.5 bound passed even for a 49% RISE)
+    assert float(m.cat_opacity.mean()) < float(m1.cat_opacity.mean()) * 0.5
 
 
 def test_windowed_sampling_cyclic_and_uniform():

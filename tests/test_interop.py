@@ -125,7 +125,10 @@ def test_replica_loader_consumes_reference_cache(tmp_path):
     from catnerf_tpu.data.synthetic import make_scene
 
     sys.path.insert(0, os.path.dirname(__file__))
-    from test_replica_fixture import write_replica_layout
+    try:
+        from test_replica_fixture import write_replica_layout
+    finally:
+        sys.path.remove(os.path.dirname(__file__))  # no leak into later tests
 
     cfg = Config()
     scene = make_scene(n_frames=4, width=64, height=48, n_categories=2,

@@ -150,7 +150,8 @@ def test_sharded_superstep_trains_and_matches_shapes():
             m1 = m
     assert int(state.step) == 20
     assert np.isfinite(float(m.total))
-    assert float(m.cat_opacity.mean()) < float(m1.cat_opacity.mean()) * 1.5
+    # genuinely falls (the old * 1.5 bound tolerated a 49% rise)
+    assert float(m.cat_opacity.mean()) < float(m1.cat_opacity.mean()) * 0.8
 
 
 def test_weak_scaling_collective_volume():

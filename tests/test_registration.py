@@ -153,9 +153,10 @@ def test_full_registration_pipeline_synthetic():
                 np.asarray(info["pcs"]), np.linalg.inv(info["T_obj"]))
             assert np.abs(pts_o).max() < 1.6
 
-    # spheres of the same category should NOT subcategorize (they align)
-    base_ids = [c for c in inst_dict if c not in (0,) and c < 100 + 80]
+    # spheres of the same category should NOT subcategorize (they align):
+    # no cls_id + 100 subcategories may appear
     assert 80 in inst_dict and 81 in inst_dict
+    assert 180 not in inst_dict and 181 not in inst_dict, sorted(inst_dict)
 
 
 def test_subcategorization_on_mismatched_shapes():

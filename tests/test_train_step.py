@@ -71,11 +71,15 @@ def test_loss_decreases_over_training(session):
 
 
 def test_psnr_improves(session):
+    # NB: `session` is module-scoped and has trained in the preceding
+    # tests; assertions below are RELATIVE to this run's own start so the
+    # test also holds in isolation / under reordering.
+    start = session.metrics_to_dict(session.step_once())
     hist = session.run(120, callback_every=40)
     psnrs = [h["cls_80/psnr"] for h in hist]
-    assert psnrs[-1] > psnrs[0] - 0.5  # noisy but trending up
-    # opacity loss should be clearly shrinking as the field learns masks
-    assert hist[-1]["cls_80/opacity"] < 0.45
+    assert np.mean(psnrs[-2:]) > np.mean(psnrs[:2]) - 0.5  # noisy proxy
+    # opacity loss clearly shrinks within THIS run
+    assert hist[-1]["cls_80/opacity"] < start["cls_80/opacity"]
 
 
 def test_category_params_extraction(session):

@@ -128,6 +128,7 @@ def main():
             and start % cfg.log_iter == 0)
     if fast:
         session.enable_fast_path(n_inner=cfg.log_iter)
+        print(f"fast path: superstep (n_inner={cfg.log_iter})")
 
     import math
 
