@@ -141,12 +141,25 @@ def eval_scene(data_dir: str, log_dir: str, exp: str, dataset: str,
     obj_ids = get_obj_ids(mesh_dir)
     if include_background:
         obj_ids = [0] + obj_ids
+    # nothing reconstructed for this scene: report instead of loading GT
+    if not any(os.path.exists(os.path.join(
+            mesh_dir, f"iteration_{iteration}_obj{o}.obj")) for o in obj_ids):
+        return None
     for obj_id in obj_ids:
         if obj_id == 0:
+            if not os.path.exists(os.path.join(
+                    mesh_dir, f"iteration_{iteration}_obj0.obj")):
+                continue
             n = 200000
-            mesh_gt = (get_gt_bg_mesh(gt_dir, bg_cls) if dataset == "Replica"
-                       else get_gt_bg_mesh_scannet(gt_dir, exp, bg_cls,
-                                                   label_map_file))
+            try:
+                mesh_gt = (get_gt_bg_mesh(gt_dir, bg_cls)
+                           if dataset == "Replica"
+                           else get_gt_bg_mesh_scannet(gt_dir, exp, bg_cls,
+                                                       label_map_file))
+            except FileNotFoundError as e:
+                # missing GT for one scene must not kill a multi-scene run
+                print(f"missing GT for {exp} background: {e}")
+                continue
         else:
             n = 10000
             p = (os.path.join(gt_dir, f"mesh_semantic.ply_{obj_id}.ply")
