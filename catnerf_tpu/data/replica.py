@@ -35,6 +35,13 @@ class Replica:
         self.name = "replica"
         self.root_dir = cfg.dataset_dir
         self.cfg = cfg
+        if not os.path.isdir(self.root_dir):
+            raise FileNotFoundError(
+                f"Replica dataset not found at {self.root_dir!r} (from the "
+                "config's dataset.path, resolved against the CWD / config "
+                "dir) — expected the reference layout with traj_w_c.txt, "
+                "rgb/, depth/, semantic_instance/, semantic_class/; see "
+                "MIGRATION.md")
         traj = np.loadtxt(os.path.join(self.root_dir, "traj_w_c.txt"),
                           delimiter=" ").reshape(-1, 4, 4)
         self.Twc = traj
