@@ -198,9 +198,23 @@ def make_handler(server: SceneServer):
     return Handler
 
 
-def serve(session, port: int = 8765, host: str = "127.0.0.1") -> HTTPServer:
+def warmup(server: SceneServer, width: int = 320, height: int = 240,
+           n_bins: int = 64) -> None:
+    """Compile + cache the default-size render programs before the first
+    request (first compile is 20-45 s on the tunnel; a warmed server
+    answers its first real request at steady-state latency)."""
+    objs = server.object_ids()
+    if objs:
+        server.render_object(objs[0], 0.0, 25.0, None, width, height, n_bins)
+    server.render_scene_orbit(0.0, 25.0, 4.0, (0.0, 0.0, 0.0),
+                              width, height, n_bins)
+
+
+def serve(session, port: int = 8765, host: str = "127.0.0.1",
+          scene_server: SceneServer | None = None) -> HTTPServer:
     """Build the (not-yet-running) single-threaded HTTP server."""
-    httpd = HTTPServer((host, port), make_handler(SceneServer(session)))
+    scene_server = scene_server or SceneServer(session)
+    httpd = HTTPServer((host, port), make_handler(scene_server))
     return httpd
 
 
@@ -215,6 +229,9 @@ def main() -> None:
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--port", type=int, default=8765)
     parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--warmup", action="store_true",
+                        help="compile the default-size render programs "
+                             "before accepting requests")
     args = parser.parse_args()
 
     enable_compilation_cache()
@@ -231,7 +248,15 @@ def main() -> None:
         raise SystemExit(f"no checkpoint under {args.logdir}/ckpt")
     session.state = load_checkpoint(ckpt, session.state)
 
-    httpd = serve(session, port=args.port, host=args.host)
+    scene_server = SceneServer(session)
+    if args.warmup:
+        import time as _time
+
+        t0 = _time.time()
+        warmup(scene_server)
+        print(f"warmup done in {_time.time() - t0:.1f}s")
+    httpd = serve(session, port=args.port, host=args.host,
+                  scene_server=scene_server)
     print(f"serving {len(session.cls_ids)} categories on "
           f"http://{args.host}:{args.port} "
           f"(endpoints: /health /object /scene)")
