@@ -69,3 +69,35 @@ def test_serve_endpoints():
             assert e.code == 404
     finally:
         httpd.shutdown()
+
+
+def test_size_snapping_whitelist():
+    from catnerf_tpu.serve import _BINS, _SIZES, _snap
+
+    assert _snap((100, 80), _SIZES) == (160, 120)
+    assert _snap((320, 240), _SIZES) == (320, 240)
+    assert _snap((2000, 2000), _SIZES) == (1280, 960)
+    assert _snap(9, _BINS) == 16
+    assert _snap(64, _BINS) == 64
+    assert _snap(10000, _BINS) == 192
+
+
+def test_orbit_frame_and_eye():
+    from catnerf_tpu.render_views import orbit_eye, orbit_frame
+
+    extent = np.array([0.6, 0.6, 0.6])
+    r, near, far = orbit_frame(extent)
+    half_diag = 0.5 * np.linalg.norm(extent)
+    np.testing.assert_allclose(r, 2.2 * half_diag)
+    assert 0 < near < r < far
+    np.testing.assert_allclose(far - r, 1.3 * half_diag)
+    # explicit radius respected
+    r2, near2, far2 = orbit_frame(extent, radius=5.0)
+    assert r2 == 5.0 and near2 < 5.0 < far2
+
+    eye = orbit_eye(0.0, 0.0, 2.0, center=(1.0, 0.0, 0.0))
+    np.testing.assert_allclose(eye, [3.0, 0.0, 0.0], atol=1e-12)
+    eye = orbit_eye(np.pi / 2, 0.0, 2.0)
+    np.testing.assert_allclose(eye, [0.0, 2.0, 0.0], atol=1e-12)
+    eye = orbit_eye(0.0, np.pi / 2, 2.0)
+    np.testing.assert_allclose(eye, [0.0, 0.0, 2.0], atol=1e-12)
