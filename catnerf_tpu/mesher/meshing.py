@@ -148,10 +148,20 @@ def _pad_to_chunks(points: np.ndarray, chunk: int):
 
 def eval_points(points: np.ndarray, params: dict, cfg: Config,
                 shape_code=None, texture_code=None, *, is_background: bool,
-                chunk: int = 262144, want_color: bool = True):
+                chunk: int = 262144, want_color: bool = True,
+                device_mesh=None):
     """(occ, color) at arbitrary 3D points, chunked on device
     (ref: src/trainer.py:125-151). want_color=False skips the color branch
-    and its device->host transfer (grid passes only need occupancy)."""
+    and its device->host transfer (grid passes only need occupancy).
+    device_mesh: a jax.sharding.Mesh routes the evaluation data-parallel
+    over all its devices (parallel/grid_eval.py; bitwise-identical output,
+    zero collectives)."""
+    if device_mesh is not None and device_mesh.devices.size > 1:
+        from catnerf_tpu.parallel.grid_eval import eval_points_sharded
+
+        return eval_points_sharded(
+            points, params, cfg, device_mesh, shape_code, texture_code,
+            is_background=is_background, chunk=chunk, want_color=want_color)
     pts_padded, n = _pad_to_chunks(np.asarray(points, np.float32), chunk)
     pts = jnp.asarray(pts_padded)
     if is_background:
@@ -179,7 +189,7 @@ def adaptive_grid_dim(extent, live_voxel_size: float, grid_dim_max: int) -> int:
 def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
                is_background: bool, shape_code=None, texture_code=None,
                bound=None, extent=None, carve=None,
-               world_transform=None) -> TriMesh | None:
+               world_transform=None, device_mesh=None) -> TriMesh | None:
     """Extract one object's colored mesh (ref: src/trainer.py:62-123).
 
     Two layouts, as in the reference:
@@ -243,7 +253,8 @@ def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
         grid_pts = (grid_pts @ transform_np[:3, :3].T
                     + transform_np[:3, 3]).astype(np.float32)
         occ, _ = eval_points(grid_pts, params, cfg, shape_code, texture_code,
-                             is_background=is_background, want_color=False)
+                             is_background=is_background, want_color=False,
+                             device_mesh=device_mesh)
         seen_empty = None
         if carve is not None and not is_background:
             if world_transform is not None:
@@ -321,14 +332,18 @@ def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
     # vertex colors by re-query (ref: src/trainer.py:111-121)
     _, color = eval_points(mesh.vertices.astype(np.float32), params, cfg,
                            shape_code, texture_code,
-                           is_background=is_background)
+                           is_background=is_background,
+                           device_mesh=device_mesh)
     mesh.vertex_colors = (np.clip(color, 0, 1) * 255).astype(np.uint8)
     return mesh
 
 
-def mesh_scene(session, out_dir: str, iteration: int) -> dict[int, str]:
+def mesh_scene(session, out_dir: str, iteration: int,
+               device_mesh=None) -> dict[int, str]:
     """Mesh every object + background and export .obj files in scene frame
-    (ref: train.py:214-243). Returns {obj_id or 0: path}."""
+    (ref: train.py:214-243). Returns {obj_id or 0: path}. device_mesh
+    (optional jax.sharding.Mesh) shards every grid/color evaluation
+    data-parallel over its devices (parallel/grid_eval.py)."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -350,7 +365,8 @@ def mesh_scene(session, out_dir: str, iteration: int) -> dict[int, str]:
         bound = session.background.bound
         dim = adaptive_grid_dim(bound.extent, cfg.live_voxel_size, cfg.grid_dim)
         mesh = mesh_field(session.background_params(), cfg, grid_dim=dim,
-                          is_background=True, bound=bound)
+                          is_background=True, bound=bound,
+                          device_mesh=device_mesh)
         if mesh is not None:
             path = os.path.join(out_dir, f"iteration_{iteration}_obj0.obj")
             mesh.export(path)
@@ -374,7 +390,8 @@ def mesh_scene(session, out_dir: str, iteration: int) -> dict[int, str]:
                 mesh = mesh_field(params, cfg, grid_dim=dim,
                                   is_background=False, shape_code=sc,
                                   texture_code=tc, extent=extent,
-                                  carve=carve, world_transform=T_world)
+                                  carve=carve, world_transform=T_world,
+                                  device_mesh=device_mesh)
             else:
                 bound = cat.bound_dict.get(obj_id)
                 if bound is None:
@@ -383,7 +400,8 @@ def mesh_scene(session, out_dir: str, iteration: int) -> dict[int, str]:
                                         cfg.grid_dim)
                 mesh = mesh_field(params, cfg, grid_dim=dim,
                                   is_background=False, shape_code=sc,
-                                  texture_code=tc, bound=bound, carve=carve)
+                                  texture_code=tc, bound=bound, carve=carve,
+                                  device_mesh=device_mesh)
             if mesh is None:
                 print(f"mesh failed obj {obj_id}")
                 continue

@@ -45,6 +45,10 @@ def main():
                         help="load reference-schema per-category .pth "
                              "checkpoints (src/scene_cateogries.py:548-597 "
                              "format) from DIR before training")
+    parser.add_argument("--mesh-sharded", action="store_true",
+                        help="shard every mesh grid/color evaluation "
+                             "data-parallel over ALL visible devices "
+                             "(parallel/grid_eval.py; identical output)")
     parser.add_argument("--mesh-only", action="store_true",
                         help="skip training: mesh the current (e.g. just "
                              "imported) weights and exit")
@@ -106,11 +110,24 @@ def main():
             session.iteration = start
             print(f"resumed from {latest} at iteration {start}")
 
+    mesh_devices = None
+    if args.mesh_sharded:
+        import jax
+
+        from catnerf_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) > 1:
+            mesh_devices = make_mesh(n_model=1)
+            print(f"mesh eval sharded over {mesh_devices.devices.size} devices")
+        else:
+            print("--mesh-sharded: single device visible, running unsharded")
+
     # After --resume / --import-reference-ckpt so `--resume --mesh-only`
     # meshes the restored weights, not a fresh initialization.
     mesh_dir = os.path.join(args.logdir, "scene_mesh")
     if args.mesh_only:
-        written = mesh_scene(session, mesh_dir, session.iteration)
+        written = mesh_scene(session, mesh_dir, session.iteration,
+                             device_mesh=mesh_devices)
         print(f"exported {len(written)} meshes to {mesh_dir}")
         return
 
@@ -178,7 +195,8 @@ def main():
             path = ckpt_mod.save_checkpoint(ckpt_dir, session.state, it)
             print(f"saved checkpoint {path}")
         if it % cfg.mesh_it == 0:
-            written = mesh_scene(session, mesh_dir, it)
+            written = mesh_scene(session, mesh_dir, it,
+                                 device_mesh=mesh_devices)
             print(f"exported {len(written)} meshes to {mesh_dir}")
 
     def maybe_trace(first_chunk_fn):
