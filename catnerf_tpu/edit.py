@@ -1,0 +1,252 @@
+"""Latent-code editing: shape/texture transfer and interpolation.
+
+The category field is a CodeNeRF-style conditional MLP — geometry and
+appearance of an instance live entirely in its per-instance shape and
+texture latent codes (models/codes.py; ref: src/trainer.py:52-60,
+src/model.py:56-84). That factorization is what makes editing possible:
+swapping an instance's texture code repaints it with another instance's
+appearance on its own geometry, swapping the shape code does the inverse,
+and interpolating codes morphs smoothly between instances — all without
+touching the trained MLP. The reference repo carries a compiled `editing`
+module (`src/__pycache__/editing.cpython-38.pyc`, no source shipped); this
+is the capability, built on this framework's renderer and mesher.
+
+Edits are only defined WITHIN a category: codes are coordinates in that
+category's own latent space (each category trains its own MLP), so
+transferring a code across categories is meaningless.
+
+CLI:
+  python -m catnerf_tpu.edit --logdir <dir> [--synthetic | --config <json>]
+      --cls <cls_id> --obj <obj_id>
+      [--shape-from <obj_id>] [--texture-from <obj_id>]
+      [--interp <obj_id> --t 0.5 --what shape|texture|both]
+      [--views N] [--mesh] [--out <dir>]
+
+Writes orbit renders (and optionally a mesh) of the edited object next to
+the same views of the unedited one, tagged by the edit recipe.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from catnerf_tpu.render_views import (_save, orbit_frame, orbit_poses,
+                                      render_view)
+
+
+def instance_codes(session, cls_id: int, obj_id: int):
+    """(shape_code, texture_code) of one instance, as numpy."""
+    if cls_id not in session.cls_ids:
+        raise KeyError(f"category {cls_id} not in session "
+                       f"(have {session.cls_ids})")
+    cat = session.categories[session.cls_ids.index(cls_id)]
+    if obj_id not in cat.inst_id_to_index:
+        raise KeyError(f"object {obj_id} not in category {cls_id} "
+                       f"(have {cat.obj_ids})")
+    params = session.category_params(cls_id)
+    k = cat.inst_id_to_index[obj_id]
+    return (np.asarray(params["shape_codes"][k]),
+            np.asarray(params["texture_codes"][k]))
+
+
+def edit_codes(session, cls_id: int, obj_id: int, *,
+               shape_from: int | None = None,
+               texture_from: int | None = None):
+    """Codes for `obj_id` with its shape and/or texture code replaced by
+    another instance's (same category). Returns (shape, texture)."""
+    sc, tc = instance_codes(session, cls_id, obj_id)
+    if shape_from is not None:
+        sc, _ = instance_codes(session, cls_id, shape_from)
+    if texture_from is not None:
+        _, tc = instance_codes(session, cls_id, texture_from)
+    return sc, tc
+
+
+def interpolate_codes(session, cls_id: int, obj_a: int, obj_b: int,
+                      t: float, what: str = "both"):
+    """Linear interpolation (1-t)*a + t*b in latent space; `what` selects
+    which code interpolates ('shape', 'texture', 'both') — the other keeps
+    obj_a's value."""
+    if what not in ("shape", "texture", "both"):
+        raise ValueError(f"what must be shape|texture|both, got {what!r}")
+    sa, ta = instance_codes(session, cls_id, obj_a)
+    sb, tb = instance_codes(session, cls_id, obj_b)
+    sc = (1.0 - t) * sa + t * sb if what in ("shape", "both") else sa
+    tc = (1.0 - t) * ta + t * tb if what in ("texture", "both") else ta
+    return sc, tc
+
+
+def _edit_frame(session, cls_id: int, obj_ids: list[int]):
+    """(extent, center) framing every involved instance: editing renders in
+    the CANONICAL category frame, where all instances of a category are
+    registered, so a swapped-in shape is framed by the max extent of the
+    instances it mixes (a donor larger than the target must not clip)."""
+    cat = session.categories[session.cls_ids.index(cls_id)]
+    if cat.n_obj > 1:
+        extents = []
+        for oid in obj_ids:
+            s = float(cat.object_tensor_dict[oid][0])
+            extents.append(np.asarray(cat.extent_dict[oid]) / max(s, 1e-9))
+        return np.max(np.stack(extents), axis=0), np.zeros(3)
+    bound = cat.bound_dict[obj_ids[0]]
+    return np.asarray(bound.extent), np.asarray(bound.center)
+
+
+def render_edit(session, cls_id: int, obj_id: int, shape_code, texture_code,
+                out_dir: str, tag: str, *, donors: list[int] | None = None,
+                n_views: int = 4, width: int = 320, height: int = 240,
+                n_bins: int = 96) -> list[str]:
+    """Orbit renders of `obj_id`'s category field under the given codes."""
+    from catnerf_tpu.data.camera import CameraInfo
+
+    cfg = session.cfg
+    f = 0.9 * max(width, height)
+    cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
+    params = session.category_params(cls_id)
+    extent, center = _edit_frame(session, cls_id,
+                                 [obj_id] + list(donors or []))
+    radius, near, far = orbit_frame(extent)
+    written = []
+    for v, T in enumerate(orbit_poses(n_views, radius, center)):
+        img, depth, alpha = render_view(
+            params, cfg, T, cam, near=near, far=far,
+            shape_code=np.asarray(shape_code),
+            texture_code=np.asarray(texture_code), n_bins=n_bins)
+        name = f"obj{obj_id}_{tag}_view{v:02d}"
+        _save(out_dir, name, img, depth, alpha)
+        written.append(name)
+    return written
+
+
+def mesh_edit(session, cls_id: int, obj_id: int, shape_code, texture_code,
+              path: str, *, donors: list[int] | None = None,
+              grid_dim: int | None = None) -> str | None:
+    """Colored mesh of the edited object in the canonical frame (or the
+    world-frame OBB for single-instance categories). Returns the written
+    path, or None if the field has no iso-surface."""
+    from catnerf_tpu.mesher.meshing import adaptive_grid_dim, mesh_field
+
+    cfg = session.cfg
+    cat = session.categories[session.cls_ids.index(cls_id)]
+    params = session.category_params(cls_id)
+    if cat.n_obj > 1:
+        extent, _ = _edit_frame(session, cls_id,
+                                [obj_id] + list(donors or []))
+        dim = grid_dim or adaptive_grid_dim(extent, cfg.live_voxel_size,
+                                            cfg.grid_dim)
+        mesh = mesh_field(params, cfg, grid_dim=dim, is_background=False,
+                          shape_code=shape_code, texture_code=texture_code,
+                          extent=extent)
+    else:
+        bound = cat.bound_dict.get(obj_id)
+        if bound is None:
+            return None
+        dim = grid_dim or adaptive_grid_dim(bound.extent, cfg.live_voxel_size,
+                                            cfg.grid_dim)
+        mesh = mesh_field(params, cfg, grid_dim=dim, is_background=False,
+                          shape_code=shape_code, texture_code=texture_code,
+                          bound=bound)
+    if mesh is None:
+        return None
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    mesh.export(path)
+    return path
+
+
+def main() -> None:
+    import argparse
+
+    from catnerf_tpu.utils import enable_compilation_cache
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--logdir", required=True)
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--cls", type=int, required=True)
+    parser.add_argument("--obj", type=int, required=True)
+    parser.add_argument("--shape-from", type=int, default=None,
+                        help="take the shape code from this instance")
+    parser.add_argument("--texture-from", type=int, default=None,
+                        help="take the texture code from this instance")
+    parser.add_argument("--interp", type=int, default=None,
+                        help="interpolate codes towards this instance")
+    parser.add_argument("--t", type=float, default=0.5,
+                        help="interpolation weight (0=--obj, 1=--interp)")
+    parser.add_argument("--what", default="both",
+                        choices=("shape", "texture", "both"),
+                        help="which codes --interp interpolates")
+    parser.add_argument("--views", type=int, default=4)
+    parser.add_argument("--width", type=int, default=320)
+    parser.add_argument("--height", type=int, default=240)
+    parser.add_argument("--n-bins", type=int, default=96)
+    parser.add_argument("--mesh", action="store_true",
+                        help="also export the edited object's mesh")
+    parser.add_argument("--out", default=None,
+                        help="output dir (default <logdir>/edits)")
+    args = parser.parse_args()
+
+    if args.interp is not None and (args.shape_from is not None
+                                    or args.texture_from is not None):
+        raise SystemExit("--interp and --shape-from/--texture-from are "
+                         "mutually exclusive")
+    if args.interp is None and args.shape_from is None \
+            and args.texture_from is None:
+        raise SystemExit("nothing to edit: give --shape-from, "
+                         "--texture-from, and/or --interp")
+
+    enable_compilation_cache()
+    from catnerf_tpu.loaders import load_scene
+    from catnerf_tpu.train.checkpoint import (latest_checkpoint,
+                                              load_checkpoint)
+    from catnerf_tpu.train.loop import TrainingSession
+
+    cfg, inst_dict, sample_dict, cam = load_scene(args.config,
+                                                  synthetic=args.synthetic)
+    session = TrainingSession(cfg, inst_dict, sample_dict, cam=cam)
+    ckpt = latest_checkpoint(os.path.join(args.logdir, "ckpt"))
+    if ckpt is None:
+        raise SystemExit(f"no checkpoint under {args.logdir}/ckpt")
+    session.state = load_checkpoint(ckpt, session.state)
+
+    donors = []
+    if args.interp is not None:
+        sc, tc = interpolate_codes(session, args.cls, args.obj, args.interp,
+                                   args.t, what=args.what)
+        tag = f"interp{args.interp}_t{args.t:g}_{args.what}"
+        donors = [args.interp]
+    else:
+        sc, tc = edit_codes(session, args.cls, args.obj,
+                            shape_from=args.shape_from,
+                            texture_from=args.texture_from)
+        parts = []
+        if args.shape_from is not None:
+            parts.append(f"shape{args.shape_from}")
+            donors.append(args.shape_from)
+        if args.texture_from is not None:
+            parts.append(f"tex{args.texture_from}")
+            donors.append(args.texture_from)
+        tag = "_".join(parts)
+
+    out = args.out or os.path.join(args.logdir, "edits")
+    # original next to the edit, same framing, for side-by-side comparison
+    sc0, tc0 = instance_codes(session, args.cls, args.obj)
+    written = render_edit(session, args.cls, args.obj, sc0, tc0, out,
+                          "original", donors=donors, n_views=args.views,
+                          width=args.width, height=args.height,
+                          n_bins=args.n_bins)
+    written += render_edit(session, args.cls, args.obj, sc, tc, out, tag,
+                           donors=donors, n_views=args.views,
+                           width=args.width, height=args.height,
+                           n_bins=args.n_bins)
+    if args.mesh:
+        path = mesh_edit(session, args.cls, args.obj, sc, tc,
+                         os.path.join(out, f"obj{args.obj}_{tag}.obj"),
+                         donors=donors)
+        print(f"mesh: {path if path else 'no iso-surface'}")
+    print(f"wrote {len(written)} views to {out}")
+
+
+if __name__ == "__main__":
+    main()
