@@ -253,20 +253,29 @@ def render_session_orbits(session, out_dir: str, *, n_views: int = 8,
 
 
 def _scene_render_program(cfg: Config, cam_key, n_bins: int, n_obj: int,
-                          with_bg: bool, chunk: int):
+                          with_bg: bool, chunk: int, device_mesh=None):
     """ONE jitted program for the whole-scene composite: world-frame ray
     grid from the pose, a lax.map over point tiles where every object field
     is evaluated (vmapped over the stacked object axis), union-reduced, and
     merged with the background INSIDE the tile (so no [n_obj, N] tensor is
     ever materialized), then composited. One dispatch per request; the host
-    uploads a pose + stacked codes/frames, downloads one image."""
+    uploads a pose + stacked codes/frames, downloads one image.
+
+    device_mesh (optional jax.sharding.Mesh): shard the tile axis over all
+    its devices via shard_map — per-point work is embarrassingly parallel,
+    so each device maps its own tiles and only the final (tiny) image
+    assembly crosses chips. Output is identical to the single-device path
+    (tests/test_parallel.py)."""
+    mesh_key = (tuple(d.id for d in device_mesh.devices.flat)
+                if device_mesh is not None else None)
     key = ("scene", cam_key, n_bins, n_obj, with_bg, chunk,
-           cfg.obj_scale, cfg.bg_scale, cfg.n_unidir_funcs)
+           cfg.obj_scale, cfg.bg_scale, cfg.n_unidir_funcs, mesh_key)
     if key in _PROGRAM_CACHE:
         return _PROGRAM_CACHE[key]
     width, height, fx, fy, cx, cy = cam_key
     dirs_c = jnp.asarray(ray_dirs_cache(width, height, fx, fy, cx, cy))
     max_deg = cfg.n_unidir_funcs
+    n_dev = device_mesh.devices.size if device_mesh is not None else 1
 
     @jax.jit
     def run(pe_s, fc_s, sc_s, tc_s, A_s, b_s, Am_s, bm_s, half_s,
@@ -274,7 +283,7 @@ def _scene_render_program(cfg: Config, cam_key, n_bins: int, n_obj: int,
         pts, z = _ray_grid(dirs_c, T, near, far, n_bins)
         flat = pts.reshape(-1, 3)
         n = flat.shape[0]
-        pad = (-n) % chunk
+        pad = (-n) % (chunk * n_dev)
         if pad:
             flat = jnp.concatenate([flat, jnp.zeros((pad, 3), flat.dtype)])
 
@@ -306,7 +315,20 @@ def _scene_render_program(cfg: Config, cam_key, n_bins: int, n_obj: int,
             rgb_u = csum / jnp.maximum(wsum[:, None], 1e-8)
             return occ_u, rgb_u
 
-        occ, rgb = jax.lax.map(tile_fn, flat.reshape(-1, chunk, 3))
+        tiles = flat.reshape(-1, chunk, 3)
+        if device_mesh is None:
+            occ, rgb = jax.lax.map(tile_fn, tiles)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            from catnerf_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            spec = P((DATA_AXIS, MODEL_AXIS))
+            # tile_fn closes over the (replicated) field params; shard_map
+            # only partitions the explicit tile argument
+            occ, rgb = jax.shard_map(
+                lambda t: jax.lax.map(tile_fn, t), mesh=device_mesh,
+                in_specs=spec, out_specs=(spec, spec))(tiles)
         occ = occ.reshape(-1)[:n].reshape(width, height, n_bins)
         rgb = rgb.reshape(-1, 3)[:n].reshape(width, height, n_bins, 3)
         return _composite_device(occ, rgb, z)
@@ -317,7 +339,8 @@ def _scene_render_program(cfg: Config, cam_key, n_bins: int, n_obj: int,
 
 def render_scene_view(session, T: np.ndarray, cam: CameraInfo, *,
                       near: float, far: float, n_bins: int = 64,
-                      margin: float = 1.3, chunk: int = 131072):
+                      margin: float = 1.3, chunk: int = 131072,
+                      device_mesh=None):
     """Composite ALL trained fields (every object + background) along shared
     world-frame rays into one RGB-D image.
 
@@ -375,7 +398,8 @@ def render_scene_view(session, T: np.ndarray, cam: CameraInfo, *,
                            is_background=True, n_bins=n_bins, chunk=chunk)
     cam_key = (cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy)
     run = _scene_render_program(cfg, cam_key, n_bins, len(pes),
-                                bg_params is not None, chunk)
+                                bg_params is not None, chunk,
+                                device_mesh=device_mesh)
     stack = lambda xs: jax.tree_util.tree_map(  # noqa: E731
         lambda *ls: jnp.stack([jnp.asarray(x) for x in ls]), *xs)
     dummy = jnp.zeros(())
@@ -392,7 +416,7 @@ def render_scene_view(session, T: np.ndarray, cam: CameraInfo, *,
 
 def render_scene_views(session, out_dir: str, *, n_views: int = 4,
                        width: int = 320, height: int = 240,
-                       n_bins: int = 64) -> list[str]:
+                       n_bins: int = 64, device_mesh=None) -> list[str]:
     """Composited whole-scene renders from up to n_views dataset poses."""
     if not getattr(session, "sample_dict", None):
         return []
@@ -409,7 +433,8 @@ def render_scene_views(session, out_dir: str, *, n_views: int = 4,
     for v, fr in enumerate(frames[::step][:n_views]):
         T = np.asarray(session.sample_dict[fr]["T"], np.float32)
         img, depth, alpha = render_scene_view(
-            session, T, cam, near=0.05, far=far, n_bins=n_bins)
+            session, T, cam, near=0.05, far=far, n_bins=n_bins,
+            device_mesh=device_mesh)
         name = f"scene_frame{fr}_view{v:02d}"
         _save(out_dir, name, img, depth, alpha)
         written.append(name)
@@ -435,6 +460,9 @@ def main() -> None:
     parser.add_argument("--scene", action="store_true",
                         help="also render composited whole-scene views "
                              "(all objects + background) from dataset poses")
+    parser.add_argument("--sharded", action="store_true",
+                        help="shard --scene composite tiles over ALL "
+                             "visible devices (identical pixels)")
     args = parser.parse_args()
 
     enable_compilation_cache()
@@ -455,9 +483,18 @@ def main() -> None:
         session, out, n_views=args.n_views, width=args.width,
         height=args.height, n_bins=args.n_bins)
     if args.scene:
+        device_mesh = None
+        if args.sharded:
+            import jax
+
+            from catnerf_tpu.parallel.mesh import make_mesh
+
+            if len(jax.devices()) > 1:
+                device_mesh = make_mesh(n_model=1)
         written += render_scene_views(
             session, out, n_views=args.n_views, width=args.width,
-            height=args.height, n_bins=min(args.n_bins, 64))
+            height=args.height, n_bins=min(args.n_bins, 64),
+            device_mesh=device_mesh)
     print(f"wrote {len(written)} views to {out}")
 
 

@@ -61,9 +61,12 @@ class SceneServer:
     """Render dispatch for one trained session (serial; not thread-safe —
     pair with a single-threaded HTTPServer)."""
 
-    def __init__(self, session):
+    def __init__(self, session, device_mesh=None):
         self.session = session
         self.cfg = session.cfg
+        # scene composites shard their point tiles over this mesh
+        # (render_views._scene_render_program; identical pixels)
+        self.device_mesh = device_mesh
         self._objects = {}
         for cls_id, cat in zip(session.cls_ids, session.categories):
             for obj_id in cat.obj_ids:
@@ -113,7 +116,8 @@ class SceneServer:
         f = 0.9 * max(width, height)
         cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
         img, _, _ = render_scene_view(self.session, T, cam, near=0.05,
-                                      far=self._scene_far(), n_bins=n_bins)
+                                      far=self._scene_far(), n_bins=n_bins,
+                                      device_mesh=self.device_mesh)
         return img
 
     def render_scene_orbit(self, az_deg: float, el_deg: float, radius: float,
@@ -124,7 +128,8 @@ class SceneServer:
         f = 0.9 * max(width, height)
         cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
         img, _, _ = render_scene_view(self.session, T, cam, near=0.05,
-                                      far=self._scene_far(), n_bins=n_bins)
+                                      far=self._scene_far(), n_bins=n_bins,
+                                      device_mesh=self.device_mesh)
         return img
 
 
@@ -232,6 +237,9 @@ def main() -> None:
     parser.add_argument("--warmup", action="store_true",
                         help="compile the default-size render programs "
                              "before accepting requests")
+    parser.add_argument("--sharded", action="store_true",
+                        help="shard scene-composite tiles over ALL visible "
+                             "devices (identical pixels; multi-chip only)")
     args = parser.parse_args()
 
     enable_compilation_cache()
@@ -248,7 +256,19 @@ def main() -> None:
         raise SystemExit(f"no checkpoint under {args.logdir}/ckpt")
     session.state = load_checkpoint(ckpt, session.state)
 
-    scene_server = SceneServer(session)
+    device_mesh = None
+    if args.sharded:
+        import jax
+
+        from catnerf_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) > 1:
+            device_mesh = make_mesh(n_model=1)
+            print(f"scene renders sharded over "
+                  f"{device_mesh.devices.size} devices")
+        else:
+            print("--sharded: single device visible, running unsharded")
+    scene_server = SceneServer(session, device_mesh=device_mesh)
     if args.warmup:
         import time as _time
 

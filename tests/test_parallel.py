@@ -340,3 +340,30 @@ def test_mesh_scene_sharded_matches_unsharded(tmp_path):
     for k in w1:
         assert (d1 / os.path.basename(w1[k])).read_bytes() == \
                (d2 / os.path.basename(w2[k])).read_bytes(), f"obj {k} differs"
+
+
+def test_scene_render_sharded_matches_unsharded():
+    """The whole-scene composite with its tile axis sharded over the mesh
+    (serving fast path, render_views._scene_render_program) is
+    pixel-identical to the single-device program."""
+    from catnerf_tpu.data.camera import CameraInfo
+    from catnerf_tpu.render_views import render_scene_view
+
+    cfg = _cfg()
+    scene = make_scene(n_frames=3, width=48, height=36, n_categories=2,
+                       insts_per_cat=2, seed=3)
+    sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
+                           cam=scene.cam)
+    for _ in range(2):
+        sess.step_once()
+    cam = CameraInfo(40, 30, 35.0, 35.0, 20.0, 15.0)
+    T = np.asarray(scene.sample_dict[sorted(scene.sample_dict)[0]]["T"],
+                   np.float32)
+    img1, d1, a1 = render_scene_view(sess, T, cam, near=0.05, far=6.0,
+                                     n_bins=8, chunk=512)
+    m = mesh_mod.make_mesh(n_data=4, n_model=2)
+    img2, d2, a2 = render_scene_view(sess, T, cam, near=0.05, far=6.0,
+                                     n_bins=8, chunk=512, device_mesh=m)
+    np.testing.assert_array_equal(img1, img2)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(a1, a2)

@@ -101,3 +101,23 @@ def test_orbit_frame_and_eye():
     np.testing.assert_allclose(eye, [0.0, 2.0, 0.0], atol=1e-12)
     eye = orbit_eye(0.0, np.pi / 2, 2.0)
     np.testing.assert_allclose(eye, [0.0, 0.0, 2.0], atol=1e-12)
+
+
+def test_scene_server_sharded_matches_unsharded():
+    """SceneServer(device_mesh=...) serves pixel-identical scene composites
+    (the tile axis shards over the mesh; only image assembly crosses
+    devices)."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from catnerf_tpu.parallel.mesh import make_mesh
+    from catnerf_tpu.serve import SceneServer
+
+    sess = _session()
+    s1 = SceneServer(sess)
+    s2 = SceneServer(sess, device_mesh=make_mesh(n_model=1))
+    img1 = s1.render_scene_frame(0, 160, 120, 16)
+    img2 = s2.render_scene_frame(0, 160, 120, 16)
+    np.testing.assert_array_equal(img1, img2)
