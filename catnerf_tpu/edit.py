@@ -7,9 +7,13 @@ src/model.py:56-84). That factorization is what makes editing possible:
 swapping an instance's texture code repaints it with another instance's
 appearance on its own geometry, swapping the shape code does the inverse,
 and interpolating codes morphs smoothly between instances — all without
-touching the trained MLP. The reference repo carries a compiled `editing`
-module (`src/__pycache__/editing.cpython-38.pyc`, no source shipped); this
-is the capability, built on this framework's renderer and mesher.
+touching the trained MLP. The mean code over a category's instances renders
+the learned category PRIOR (the "average shape"). The reference repo
+carries compiled `editing`/`reconstruct` modules
+(`src/__pycache__/{editing,reconstruct}.cpython-38.pyc`, no source shipped)
+whose symbol tables show exactly these tasks (shape/texture interpolation
+meshes, average-shape meshes, mean/zero-code meshing); this is the
+capability, built on this framework's renderer and mesher.
 
 Edits are only defined WITHIN a category: codes are coordinates in that
 category's own latent space (each category trains its own MLP), so
@@ -76,6 +80,19 @@ def interpolate_codes(session, cls_id: int, obj_a: int, obj_b: int,
     sc = (1.0 - t) * sa + t * sb if what in ("shape", "both") else sa
     tc = (1.0 - t) * ta + t * tb if what in ("texture", "both") else ta
     return sc, tc
+
+
+def mean_codes(session, cls_id: int, zero: bool = False):
+    """The category prior: mean (or zero) shape/texture code over the
+    category's instances. Meshing/rendering it shows the average shape the
+    shared MLP learned (the reference's `average_shape_or_code` /
+    `use_mean_code` / `use_zero_code` tasks)."""
+    cat = session.categories[session.cls_ids.index(cls_id)]
+    codes = [instance_codes(session, cls_id, oid) for oid in cat.obj_ids]
+    if zero:
+        return (np.zeros_like(codes[0][0]), np.zeros_like(codes[0][1]))
+    return (np.mean([c[0] for c in codes], axis=0),
+            np.mean([c[1] for c in codes], axis=0))
 
 
 def _edit_frame(session, cls_id: int, obj_ids: list[int]):
@@ -165,7 +182,15 @@ def main() -> None:
     parser.add_argument("--config", default=None)
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--cls", type=int, required=True)
-    parser.add_argument("--obj", type=int, required=True)
+    parser.add_argument("--obj", type=int, default=None,
+                        help="instance to edit (not needed with --mean/"
+                             "--zero-code)")
+    parser.add_argument("--mean", action="store_true",
+                        help="render/mesh the category prior: the MEAN "
+                             "latent code over the category's instances")
+    parser.add_argument("--zero-code", action="store_true",
+                        help="render/mesh the category field at the ZERO "
+                             "latent code")
     parser.add_argument("--shape-from", type=int, default=None,
                         help="take the shape code from this instance")
     parser.add_argument("--texture-from", type=int, default=None,
@@ -187,14 +212,20 @@ def main() -> None:
                         help="output dir (default <logdir>/edits)")
     args = parser.parse_args()
 
+    prior_mode = args.mean or args.zero_code
     if args.interp is not None and (args.shape_from is not None
                                     or args.texture_from is not None):
         raise SystemExit("--interp and --shape-from/--texture-from are "
                          "mutually exclusive")
-    if args.interp is None and args.shape_from is None \
+    if prior_mode and (args.interp is not None or args.shape_from is not None
+                       or args.texture_from is not None):
+        raise SystemExit("--mean/--zero-code take no other edit flags")
+    if not prior_mode and args.obj is None:
+        raise SystemExit("--obj is required unless --mean/--zero-code")
+    if not prior_mode and args.interp is None and args.shape_from is None \
             and args.texture_from is None:
         raise SystemExit("nothing to edit: give --shape-from, "
-                         "--texture-from, and/or --interp")
+                         "--texture-from, --interp, --mean or --zero-code")
 
     enable_compilation_cache()
     from catnerf_tpu.loaders import load_scene
@@ -209,6 +240,29 @@ def main() -> None:
     if ckpt is None:
         raise SystemExit(f"no checkpoint under {args.logdir}/ckpt")
     session.state = load_checkpoint(ckpt, session.state)
+
+    if prior_mode:
+        if args.cls not in session.cls_ids:
+            raise SystemExit(f"category {args.cls} not in scene "
+                             f"(have {session.cls_ids})")
+        cat = session.categories[session.cls_ids.index(args.cls)]
+        sc, tc = mean_codes(session, args.cls, zero=args.zero_code)
+        tag = "zerocode" if args.zero_code else "mean"
+        anchor = cat.obj_ids[0]
+        out = args.out or os.path.join(args.logdir, "edits")
+        written = render_edit(session, args.cls, anchor, sc, tc, out,
+                              f"cls{args.cls}_{tag}",
+                              donors=list(cat.obj_ids), n_views=args.views,
+                              width=args.width, height=args.height,
+                              n_bins=args.n_bins)
+        if args.mesh:
+            path = mesh_edit(
+                session, args.cls, anchor, sc, tc,
+                os.path.join(out, f"cls{args.cls}_{tag}.obj"),
+                donors=list(cat.obj_ids))
+            print(f"mesh: {path if path else 'no iso-surface'}")
+        print(f"wrote {len(written)} views to {out}")
+        return
 
     donors = []
     if args.interp is not None:

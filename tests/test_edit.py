@@ -167,3 +167,17 @@ def test_edit_cli_end_to_end(tmp_path):
     files = os.listdir(out)
     assert any("original" in f for f in files)
     assert any("tex2" in f for f in files), files
+
+
+def test_mean_codes_category_prior(session):
+    cls_id = session.cls_ids[0]
+    cat = session.categories[0]
+    a, b = cat.obj_ids[0], cat.obj_ids[1]
+    sa, ta = edit.instance_codes(session, cls_id, a)
+    sb, tb = edit.instance_codes(session, cls_id, b)
+    sm, tm = edit.mean_codes(session, cls_id)
+    np.testing.assert_allclose(sm, 0.5 * (sa + sb), rtol=1e-6)
+    np.testing.assert_allclose(tm, 0.5 * (ta + tb), rtol=1e-6)
+    sz, tz = edit.mean_codes(session, cls_id, zero=True)
+    assert not sz.any() and not tz.any()
+    assert sz.shape == sa.shape and tz.shape == ta.shape
