@@ -1,0 +1,299 @@
+"""Test-time reconstruction of a new instance from a trained category prior.
+
+The payoff of category-level fields (the paper's motivation, ref:
+src/model.py:22-84 + README.md:8): once a category's CodeNeRF MLP is
+trained, a NEW, partially observed instance of that category can be
+reconstructed WITHOUT retraining — freeze the MLP and positional encoding
+and optimize only a fresh pair of shape/texture latent codes (a few hundred
+Adam steps over the instance's own rays, initialised at the category-mean
+code). The shared MLP supplies the category prior, so unobserved parts of
+the new object complete plausibly. The reference has no such entry point
+(its ghost `reconstruct` module re-meshes trained checkpoints); this is a
+capability beyond it, built from the same step math (ops/sampling.py,
+ops/losses.py — ref: src/scene_cateogries.py:453-546, src/loss.py:18-74).
+
+Only meaningful for multi-instance categories: their fields live in the
+registered canonical frame, where any instance maps through its sim(3)
+`T_obj`. Single-instance categories train in world frame at the original
+object's location, so there is no reusable prior to fit against.
+
+CLI:
+  python -m catnerf_tpu.fit --logdir <dir> [--synthetic | --config <json>]
+      --cls <cls_id> --obj <inst_id> [--steps 600] [--mesh] [--views N]
+fits codes for the named instance's observations against the checkpoint's
+frozen MLP (the instance may or may not have been in the training set) and
+writes metrics, orbit renders, and optionally a mesh.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from catnerf_tpu.data.camera import CameraInfo
+from catnerf_tpu.models import codenerf, embedding
+from catnerf_tpu.ops import losses, sampling
+
+
+class FitResult(NamedTuple):
+    shape_code: np.ndarray
+    texture_code: np.ndarray
+    final_loss: float          # NOTE: the total is not monotone in fit
+                               # quality (the depth term's 1/sqrt(var)
+                               # weighting grows as depth sharpens,
+                               # ref: src/loss.py:46,54) — compare PSNRs
+    final_psnr: float          # L1-PSNR proxy on the fit rays
+    init_loss: float           # loss at the init codes (first ray draw)
+    init_psnr: float           # L1-PSNR at the init codes
+    extent: np.ndarray         # metric extent for meshing/framing
+    steps: int
+
+
+def build_canonical_rays(frame_info: list, sample_dict: dict,
+                         cam: CameraInfo, T_obj: np.ndarray,
+                         this_id: int) -> dict:
+    """Canonical-object-frame ray arrays for one instance's bbox crops —
+    the multi-instance branch of CategoryScene._build_buffer
+    (data/scene.py; ref: src/scene_cateogries.py:24-35,235-238): rays go
+    through inv(T_obj) @ T_WC, inheriting the 1/s sim(3) factor, while
+    depth stays metric (the scaled dir norm maps metric z to canonical)."""
+    from catnerf_tpu.data.scene import _pixel_states
+
+    origins, dirs_l, rgb_l, state_l, depth_l = [], [], [], [], []
+    T_obj_inv = np.linalg.inv(np.asarray(T_obj, np.float64))
+    for fi in frame_info:
+        sample = sample_dict[fi["frame"]]
+        w0, w1, h0, h1 = (int(v) for v in fi["bbox"])
+        T_oc = T_obj_inv @ np.asarray(sample["T"], np.float64)
+        R, t = T_oc[:3, :3], T_oc[:3, 3]
+        crop_dirs = cam.rays_dir_cache[w0:w1, h0:h1].reshape(-1, 3)
+        d = (crop_dirs @ R.T).astype(np.float32)
+        n_px = d.shape[0]
+        origins.append(np.broadcast_to(t.astype(np.float32), (n_px, 3)))
+        dirs_l.append(d)
+        rgb_l.append(sample["image"][w0:w1, h0:h1].reshape(-1, 3)
+                     .astype(np.uint8))
+        state_l.append(_pixel_states(sample["obj_mask"][w0:w1, h0:h1],
+                                     this_id).reshape(-1))
+        depth_l.append(sample["depth"][w0:w1, h0:h1].reshape(-1)
+                       .astype(np.float32))
+    return {
+        "origins": np.concatenate(origins),
+        "dirs": np.concatenate(dirs_l),
+        "rgb": np.concatenate(rgb_l),
+        "state": np.concatenate(state_l),
+        "depth": np.concatenate(depth_l),
+    }
+
+
+def fit_instance(session, cls_id: int, frame_info: list, sample_dict: dict,
+                 cam: CameraInfo, T_obj: np.ndarray, inst_id: int, *,
+                 extent=None, steps: int = 600, n_rays: int = 360,
+                 lr: float = 5e-3, init: str = "mean",
+                 key: jax.Array | None = None, n_inner: int = 100,
+                 max_rays: int = 200_000) -> FitResult:
+    """Optimize shape/texture codes for a new instance against the frozen
+    category MLP. init: 'mean' (category-mean code — the prior) or 'zero'.
+
+    extent: metric OBB extent for the returned framing/meshing hint;
+    derived from the observed depths if omitted."""
+    from catnerf_tpu.edit import mean_codes
+
+    cfg = session.cfg
+    cat = session.categories[session.cls_ids.index(cls_id)]
+    if cat.n_obj <= 1:
+        raise ValueError(
+            f"category {cls_id} trained single-instance (world frame); "
+            "there is no canonical-frame prior to fit a new instance into")
+    params = session.category_params(cls_id)
+    pe, fc = params["pe"], params["fc"]
+
+    arrays = build_canonical_rays(frame_info, sample_dict, cam, T_obj,
+                                  inst_id)
+    n = arrays["depth"].shape[0]
+    rng = np.random.default_rng(cfg.seed)
+    if n > max_rays:
+        sel = rng.choice(n, max_rays, replace=False)
+        arrays = {k: v[sel] for k, v in arrays.items()}
+        n = max_rays
+    if n == 0:
+        raise ValueError(f"instance {inst_id}: no rays in frame_info crops")
+
+    if init not in ("mean", "zero"):
+        raise ValueError(f"init must be mean|zero, got {init!r}")
+    sc0, tc0 = mean_codes(session, cls_id, zero=(init == "zero"))
+    codes = {"shape": jnp.asarray(sc0), "texture": jnp.asarray(tc0)}
+
+    origins_d = jnp.asarray(arrays["origins"])
+    dirs_d = jnp.asarray(arrays["dirs"])
+    rgb_d = jnp.asarray(arrays["rgb"], jnp.float32) / 255.0
+    state_d = jnp.asarray(arrays["state"], jnp.int32)
+    depth_d = jnp.asarray(arrays["depth"])
+
+    sample_fn = partial(
+        sampling.sample_3d_points,
+        n_bins_cam2surface=cfg.n_bins_cam2surface, n_bins=cfg.n_bins,
+        min_depth=cfg.min_depth, surface_eps=cfg.surface_eps,
+        stop_eps=cfg.stop_eps)
+
+    def loss_fn(codes, k):
+        k_draw, k_sample = jax.random.split(k)
+        idx = jax.random.randint(k_draw, (n_rays,), 0, n)
+        rays = sample_fn(
+            k_sample, jnp.take(rgb_d, idx, axis=0),
+            jnp.take(state_d, idx), jnp.take(depth_d, idx),
+            jnp.take(origins_d, idx, axis=0), jnp.take(dirs_d, idx, axis=0))
+        emb = embedding.apply(pe, rays.input_pcs, scale=cfg.obj_scale,
+                              max_deg=cfg.n_unidir_funcs)
+        sigma, color = codenerf.apply(fc, emb, codes["shape"],
+                                      codes["texture"])
+        lb = losses.step_batch_loss(
+            sigma[None, ..., 0], color[None], rays.gt_depth[None],
+            rays.gt_rgb[None], rays.obj_labels[None],
+            rays.valid_depth_mask[None], rays.z_vals[None],
+            color_scaling=cfg.color_scaling,
+            opacity_scaling=cfg.opacity_scaling)
+        return lb.total, losses.psnr_from_l1(lb.psnr_color[0])
+
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    tx = optax.adam(lr)
+    opt_state = tx.init(codes)
+
+    def one_step(carry, k):
+        codes, opt_state = carry
+        (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            codes, k)
+        updates, opt_state = tx.update(grads, opt_state, codes)
+        codes = optax.apply_updates(codes, updates)
+        return (codes, opt_state), (loss, psnr)
+
+    @jax.jit
+    def superstep(carry, k):
+        keys = jax.random.split(k, n_inner)
+        return jax.lax.scan(one_step, carry, keys)
+
+    init_loss, init_psnr = (float(x) for x in
+                            loss_fn(codes, jax.random.fold_in(key, 0)))
+    carry = (codes, opt_state)
+    n_chunks = max(1, -(-steps // n_inner))
+    for _ in range(n_chunks):
+        key, k = jax.random.split(key)
+        carry, (loss_hist, psnr_hist) = superstep(carry, k)
+    codes = carry[0]
+
+    if extent is None:
+        # observed canonical surface extent, metric-scaled back by s(T_obj)
+        s = abs(np.linalg.det(np.asarray(T_obj)[:3, :3])) ** (1 / 3)
+        d = arrays["depth"]
+        ok = (arrays["state"] == 1) & (d > 0)
+        if ok.any():
+            pts_c = (arrays["origins"][ok]
+                     + arrays["dirs"][ok] * d[ok, None])
+            extent = (pts_c.max(0) - pts_c.min(0)) * s
+        else:
+            extent = np.full(3, 2.0 * s)
+
+    return FitResult(
+        shape_code=np.asarray(codes["shape"]),
+        texture_code=np.asarray(codes["texture"]),
+        final_loss=float(loss_hist[-1]), final_psnr=float(psnr_hist[-1]),
+        init_loss=init_loss, init_psnr=init_psnr,
+        extent=np.asarray(extent, np.float64),
+        steps=n_chunks * n_inner)
+
+
+def main() -> None:
+    import argparse
+
+    from catnerf_tpu.utils import enable_compilation_cache
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--logdir", required=True)
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--cls", type=int, required=True)
+    parser.add_argument("--obj", type=int, required=True,
+                        help="instance id to fit (its observations come "
+                             "from the dataset; its codes are fit fresh)")
+    parser.add_argument("--steps", type=int, default=600)
+    parser.add_argument("--n-rays", type=int, default=360)
+    parser.add_argument("--lr", type=float, default=5e-3)
+    parser.add_argument("--init", default="mean", choices=("mean", "zero"))
+    parser.add_argument("--views", type=int, default=0,
+                        help="orbit renders of the fitted instance")
+    parser.add_argument("--mesh", action="store_true")
+    parser.add_argument("--out", default=None,
+                        help="output dir (default <logdir>/fits)")
+    args = parser.parse_args()
+
+    enable_compilation_cache()
+    from catnerf_tpu.loaders import load_scene
+    from catnerf_tpu.train.checkpoint import (latest_checkpoint,
+                                              load_checkpoint)
+    from catnerf_tpu.train.loop import TrainingSession
+
+    cfg, inst_dict, sample_dict, cam = load_scene(args.config,
+                                                  synthetic=args.synthetic)
+    session = TrainingSession(cfg, inst_dict, sample_dict, cam=cam)
+    ckpt = latest_checkpoint(os.path.join(args.logdir, "ckpt"))
+    if ckpt is None:
+        raise SystemExit(f"no checkpoint under {args.logdir}/ckpt")
+    session.state = load_checkpoint(ckpt, session.state)
+
+    if args.cls not in inst_dict or args.obj not in inst_dict[args.cls]:
+        raise SystemExit(f"instance {args.obj} of category {args.cls} "
+                         "not in the dataset")
+    info = inst_dict[args.cls][args.obj]
+    if info.get("T_obj") is None:
+        raise SystemExit(f"instance {args.obj} has no registered T_obj; "
+                         "run registration first")
+
+    res = fit_instance(session, args.cls, info["frame_info"], sample_dict,
+                       cam, info["T_obj"], args.obj, steps=args.steps,
+                       n_rays=args.n_rays, lr=args.lr, init=args.init)
+    print(f"fit obj {args.obj} (cls {args.cls}): {res.steps} steps, "
+          f"psnr {res.init_psnr:.2f} -> {res.final_psnr:.2f} "
+          f"(loss {res.init_loss:.3f} -> {res.final_loss:.3f})")
+
+    out = args.out or os.path.join(args.logdir, "fits")
+    if args.views > 0:
+        from catnerf_tpu.render_views import (_save, orbit_frame,
+                                              orbit_poses, render_view)
+
+        params = session.category_params(args.cls)
+        s = abs(np.linalg.det(np.asarray(info["T_obj"])[:3, :3])) ** (1 / 3)
+        radius, near, far = orbit_frame(res.extent / max(s, 1e-9))
+        for v, T in enumerate(orbit_poses(args.views, radius)):
+            img, depth, alpha = render_view(
+                params, cfg, T, cam=CameraInfo(320, 240, 288.0, 288.0,
+                                               160.0, 120.0),
+                near=near, far=far, shape_code=res.shape_code,
+                texture_code=res.texture_code, n_bins=96)
+            _save(out, f"obj{args.obj}_fit_view{v:02d}", img, depth, alpha)
+        print(f"wrote {args.views} views to {out}")
+    if args.mesh:
+        from catnerf_tpu.mesher.meshing import adaptive_grid_dim, mesh_field
+
+        dim = adaptive_grid_dim(res.extent, cfg.live_voxel_size,
+                                cfg.grid_dim)
+        params = session.category_params(args.cls)
+        mesh = mesh_field(params, cfg, grid_dim=dim, is_background=False,
+                          shape_code=res.shape_code,
+                          texture_code=res.texture_code, extent=res.extent)
+        if mesh is None:
+            print("mesh: no iso-surface")
+        else:
+            os.makedirs(out, exist_ok=True)
+            path = os.path.join(out, f"obj{args.obj}_fit.obj")
+            mesh.export(path)
+            print(f"mesh: {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Test-time reconstruction of a held-out instance (catnerf_tpu/fit.py):
+train a category on two instances, fit only latent codes for a third
+unseen one against the frozen MLP, and check the fit improves on the
+category-prior init and lands geometry in the right place."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from catnerf_tpu import fit
+from catnerf_tpu.config import Config
+from catnerf_tpu.data.synthetic import make_scene
+from catnerf_tpu.train.loop import TrainingSession
+
+
+@pytest.fixture(scope="module")
+def holdout_setup():
+    cfg = Config()
+    cfg.net_hyperparams.latent_dim = 16
+    cfg.hidden_feature_size_bg = 64
+    cfg.n_per_optim = 120
+    cfg.n_per_optim_bg = 600
+    scene = make_scene(n_frames=6, width=80, height=60, n_categories=1,
+                       insts_per_cat=3, seed=6)
+    cls_id = [c for c in scene.inst_dict if c != 0][0]
+    held_out = sorted(scene.inst_dict[cls_id])[-1]
+    inst_dict_train = copy.deepcopy(scene.inst_dict)
+    del inst_dict_train[cls_id][held_out]
+    sess = TrainingSession(cfg, inst_dict_train, scene.sample_dict,
+                           cam=scene.cam)
+    sess.run(600, callback_every=200)
+    return sess, scene, cls_id, held_out
+
+
+def test_fit_heldout_instance(holdout_setup):
+    sess, scene, cls_id, held_out = holdout_setup
+    info = scene.inst_dict[cls_id][held_out]
+    res = fit.fit_instance(sess, cls_id, info["frame_info"],
+                           scene.sample_dict, sess.cam, info["T_obj"],
+                           held_out, steps=300, n_rays=120, n_inner=50)
+    # optimizing codes against the frozen MLP must beat the mean-code
+    # prior on the color PSNR (the raw total is not monotone: the depth
+    # term's 1/sqrt(var) weighting grows as depth sharpens)
+    assert res.final_psnr > res.init_psnr + 0.5, (res.init_psnr,
+                                                  res.final_psnr)
+    assert np.isfinite(res.shape_code).all()
+    assert res.steps >= 300
+
+    # the frozen-MLP fit reconstructs the unseen sphere in roughly the
+    # right place/size (same coarse bound as the trained-instance meshes
+    # in test_mesher on this CPU training budget)
+    from catnerf_tpu.mesher.meshing import mesh_field
+    from catnerf_tpu.metrics import metrics3d
+    from tests.test_mesher import _unit_sphere_mesh
+
+    params = sess.category_params(cls_id)
+    mesh = mesh_field(params, sess.cfg, grid_dim=48, is_background=False,
+                      shape_code=res.shape_code,
+                      texture_code=res.texture_code, extent=res.extent)
+    assert mesh is not None, "fitted field has no iso-surface"
+    sp = next(s for s in scene.spheres if s.inst_id == held_out)
+    # canonical -> world: sim(3) scale + rigid from the GT T_obj
+    T = np.asarray(info["T_obj"], np.float64)
+    s = abs(np.linalg.det(T[:3, :3])) ** (1 / 3)
+    mesh.apply_scale(s)
+    R = T[:3, :3] / s
+    T_rigid = np.eye(4)
+    T_rigid[:3, :3], T_rigid[:3, 3] = R, T[:3, 3]
+    mesh.apply_transform(T_rigid)
+    gt = _unit_sphere_mesh(sp.radius, sp.center)
+    m = metrics3d.calc_3d_metric(mesh, gt, n_samples=3000)
+    assert m["accuracy"] < 15.0, m
+    assert m["completion"] < 15.0, m
+
+
+def test_fit_rejects_single_instance_category():
+    cfg = Config()
+    cfg.net_hyperparams.latent_dim = 16
+    cfg.hidden_feature_size_bg = 32
+    scene = make_scene(n_frames=3, width=48, height=36, n_categories=1,
+                       insts_per_cat=1, seed=8)
+    cls_id = [c for c in scene.inst_dict if c != 0][0]
+    inst = sorted(scene.inst_dict[cls_id])[0]
+    sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
+                           cam=scene.cam)
+    info = scene.inst_dict[cls_id][inst]
+    with pytest.raises(ValueError, match="single-instance"):
+        fit.fit_instance(sess, cls_id, info["frame_info"],
+                         scene.sample_dict, sess.cam, info["T_obj"], inst,
+                         steps=10, n_inner=5)
+
+
+def test_build_canonical_rays_matches_scene_buffer():
+    """fit.build_canonical_rays must produce the same canonical-frame rays
+    as CategoryScene._build_buffer does for a trained instance."""
+    from catnerf_tpu.data.scene import CategoryScene
+
+    cfg = Config()
+    scene = make_scene(n_frames=3, width=48, height=36, n_categories=1,
+                       insts_per_cat=2, seed=9)
+    cls_id = [c for c in scene.inst_dict if c != 0][0]
+    cat = CategoryScene(cfg, cls_id, scene.inst_dict[cls_id],
+                        scene.sample_dict, scene.cam)
+    inst = cat.obj_ids[0]
+    info = scene.inst_dict[cls_id][inst]
+    arrays = fit.build_canonical_rays(info["frame_info"], scene.sample_dict,
+                                      scene.cam, info["T_obj"], inst)
+    k = cat.inst_id_to_index[inst]
+    sel = cat.buffer.arrays["obj_idx"] == k
+    assert arrays["dirs"].shape[0] == int(sel.sum())
+
+    # RayBuffer shuffles at build; compare as sorted row sets
+    def rows(origins, dirs, state, depth):
+        r = np.concatenate([origins, dirs, state[:, None].astype(np.float32),
+                            depth[:, None]], axis=1)
+        return r[np.lexsort(r.T[::-1])]
+
+    got = rows(arrays["origins"], arrays["dirs"], arrays["state"],
+               arrays["depth"])
+    want = rows(cat.buffer.arrays["origins"][sel],
+                cat.buffer.arrays["dirs"][sel],
+                cat.buffer.arrays["state"][sel],
+                cat.buffer.arrays["depth"][sel])
+    np.testing.assert_allclose(got, want, atol=1e-6)
