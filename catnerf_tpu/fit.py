@@ -53,6 +53,7 @@ class FitResult(NamedTuple):
     init_psnr: float           # L1-PSNR at the init codes
     extent: np.ndarray         # metric extent for meshing/framing
     steps: int
+    T_obj: np.ndarray          # the (possibly refined) sim(3) object pose
 
 
 def build_canonical_rays(frame_info: list, sample_dict: dict,
@@ -92,17 +93,36 @@ def build_canonical_rays(frame_info: list, sample_dict: dict,
     }
 
 
+def _so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues' rotation from an axis-angle vector (differentiable,
+    guarded at w -> 0)."""
+    th2 = (w * w).sum()
+    th = jnp.sqrt(th2 + 1e-12)
+    K = jnp.array([[0.0, -w[2], w[1]],
+                   [w[2], 0.0, -w[0]],
+                   [-w[1], w[0], 0.0]])
+    return (jnp.eye(3) + jnp.sin(th) / th * K
+            + (1.0 - jnp.cos(th)) / (th2 + 1e-12) * (K @ K))
+
+
 def fit_instance(session, cls_id: int, frame_info: list, sample_dict: dict,
                  cam: CameraInfo, T_obj: np.ndarray, inst_id: int, *,
                  extent=None, steps: int = 600, n_rays: int = 360,
                  lr: float = 5e-3, init: str = "mean",
                  key: jax.Array | None = None, n_inner: int = 100,
-                 max_rays: int = 200_000) -> FitResult:
+                 max_rays: int = 200_000,
+                 optimize_pose: bool = False) -> FitResult:
     """Optimize shape/texture codes for a new instance against the frozen
     category MLP. init: 'mean' (category-mean code — the prior) or 'zero'.
 
     extent: metric OBB extent for the returned framing/meshing hint;
-    derived from the observed depths if omitted."""
+    derived from the observed depths if omitted.
+
+    optimize_pose: jointly optimize a sim(3) correction D (log-scale +
+    axis-angle + translation, init identity) applied in the canonical
+    frame — the effective pose becomes T_obj @ D, and the returned
+    FitResult.T_obj carries it. Makes the fit robust to registration
+    error in the initial T_obj."""
     from catnerf_tpu.edit import mean_codes
 
     cfg = session.cfg
@@ -128,7 +148,11 @@ def fit_instance(session, cls_id: int, frame_info: list, sample_dict: dict,
     if init not in ("mean", "zero"):
         raise ValueError(f"init must be mean|zero, got {init!r}")
     sc0, tc0 = mean_codes(session, cls_id, zero=(init == "zero"))
-    codes = {"shape": jnp.asarray(sc0), "texture": jnp.asarray(tc0)}
+    fit_params = {"codes": {"shape": jnp.asarray(sc0),
+                            "texture": jnp.asarray(tc0)}}
+    if optimize_pose:
+        fit_params["pose"] = {"log_s": jnp.zeros(()),
+                              "w": jnp.zeros(3), "t": jnp.zeros(3)}
 
     origins_d = jnp.asarray(arrays["origins"])
     dirs_d = jnp.asarray(arrays["dirs"])
@@ -142,13 +166,23 @@ def fit_instance(session, cls_id: int, frame_info: list, sample_dict: dict,
         min_depth=cfg.min_depth, surface_eps=cfg.surface_eps,
         stop_eps=cfg.stop_eps)
 
-    def loss_fn(codes, k):
+    def loss_fn(fp, k):
+        codes = fp["codes"]
         k_draw, k_sample = jax.random.split(k)
         idx = jax.random.randint(k_draw, (n_rays,), 0, n)
+        o = jnp.take(origins_d, idx, axis=0)
+        d = jnp.take(dirs_d, idx, axis=0)
+        if optimize_pose:
+            # effective pose T_obj @ D => rays get inv(D):
+            # o' = R^T (o - t) / s, d' = R^T d / s
+            pose = fp["pose"]
+            Rt = _so3_exp(pose["w"]).T
+            inv_s = jnp.exp(-pose["log_s"])
+            o = (o - pose["t"]) @ Rt.T * inv_s
+            d = d @ Rt.T * inv_s
         rays = sample_fn(
             k_sample, jnp.take(rgb_d, idx, axis=0),
-            jnp.take(state_d, idx), jnp.take(depth_d, idx),
-            jnp.take(origins_d, idx, axis=0), jnp.take(dirs_d, idx, axis=0))
+            jnp.take(state_d, idx), jnp.take(depth_d, idx), o, d)
         emb = embedding.apply(pe, rays.input_pcs, scale=cfg.obj_scale,
                               max_deg=cfg.n_unidir_funcs)
         sigma, color = codenerf.apply(fc, emb, codes["shape"],
@@ -163,15 +197,15 @@ def fit_instance(session, cls_id: int, frame_info: list, sample_dict: dict,
 
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
     tx = optax.adam(lr)
-    opt_state = tx.init(codes)
+    opt_state = tx.init(fit_params)
 
     def one_step(carry, k):
-        codes, opt_state = carry
+        fp, opt_state = carry
         (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            codes, k)
-        updates, opt_state = tx.update(grads, opt_state, codes)
-        codes = optax.apply_updates(codes, updates)
-        return (codes, opt_state), (loss, psnr)
+            fp, k)
+        updates, opt_state = tx.update(grads, opt_state, fp)
+        fp = optax.apply_updates(fp, updates)
+        return (fp, opt_state), (loss, psnr)
 
     @jax.jit
     def superstep(carry, k):
@@ -179,22 +213,37 @@ def fit_instance(session, cls_id: int, frame_info: list, sample_dict: dict,
         return jax.lax.scan(one_step, carry, keys)
 
     init_loss, init_psnr = (float(x) for x in
-                            loss_fn(codes, jax.random.fold_in(key, 0)))
-    carry = (codes, opt_state)
+                            loss_fn(fit_params, jax.random.fold_in(key, 0)))
+    carry = (fit_params, opt_state)
     n_chunks = max(1, -(-steps // n_inner))
     for _ in range(n_chunks):
         key, k = jax.random.split(key)
         carry, (loss_hist, psnr_hist) = superstep(carry, k)
-    codes = carry[0]
+    fit_params = carry[0]
+    codes = fit_params["codes"]
+
+    T_eff = np.asarray(T_obj, np.float64).copy()
+    if optimize_pose:
+        pose = fit_params["pose"]
+        D = np.eye(4)
+        D[:3, :3] = (np.exp(float(pose["log_s"]))
+                     * np.asarray(_so3_exp(pose["w"])))
+        D[:3, 3] = np.asarray(pose["t"])
+        T_eff = T_eff @ D
 
     if extent is None:
-        # observed canonical surface extent, metric-scaled back by s(T_obj)
-        s = abs(np.linalg.det(np.asarray(T_obj)[:3, :3])) ** (1 / 3)
+        # observed canonical surface extent, metric-scaled back by s(T_eff)
+        s = abs(np.linalg.det(T_eff[:3, :3])) ** (1 / 3)
         d = arrays["depth"]
         ok = (arrays["state"] == 1) & (d > 0)
         if ok.any():
             pts_c = (arrays["origins"][ok]
                      + arrays["dirs"][ok] * d[ok, None])
+            if optimize_pose:
+                # map into the refined canonical frame: x' = inv(D) x
+                sD = abs(np.linalg.det(D[:3, :3])) ** (1 / 3)
+                RD = D[:3, :3] / sD
+                pts_c = (pts_c - D[:3, 3]) @ RD / sD
             extent = (pts_c.max(0) - pts_c.min(0)) * s
         else:
             extent = np.full(3, 2.0 * s)
@@ -205,7 +254,7 @@ def fit_instance(session, cls_id: int, frame_info: list, sample_dict: dict,
         final_loss=float(loss_hist[-1]), final_psnr=float(psnr_hist[-1]),
         init_loss=init_loss, init_psnr=init_psnr,
         extent=np.asarray(extent, np.float64),
-        steps=n_chunks * n_inner)
+        steps=n_chunks * n_inner, T_obj=T_eff)
 
 
 def main() -> None:
@@ -225,6 +274,9 @@ def main() -> None:
     parser.add_argument("--n-rays", type=int, default=360)
     parser.add_argument("--lr", type=float, default=5e-3)
     parser.add_argument("--init", default="mean", choices=("mean", "zero"))
+    parser.add_argument("--optimize-pose", action="store_true",
+                        help="jointly refine a sim(3) pose correction "
+                             "(robust to registration error in T_obj)")
     parser.add_argument("--views", type=int, default=0,
                         help="orbit renders of the fitted instance")
     parser.add_argument("--mesh", action="store_true")
@@ -256,7 +308,8 @@ def main() -> None:
 
     res = fit_instance(session, args.cls, info["frame_info"], sample_dict,
                        cam, info["T_obj"], args.obj, steps=args.steps,
-                       n_rays=args.n_rays, lr=args.lr, init=args.init)
+                       n_rays=args.n_rays, lr=args.lr, init=args.init,
+                       optimize_pose=args.optimize_pose)
     print(f"fit obj {args.obj} (cls {args.cls}): {res.steps} steps, "
           f"psnr {res.init_psnr:.2f} -> {res.final_psnr:.2f} "
           f"(loss {res.init_loss:.3f} -> {res.final_loss:.3f})")
@@ -267,7 +320,7 @@ def main() -> None:
                                               orbit_poses, render_view)
 
         params = session.category_params(args.cls)
-        s = abs(np.linalg.det(np.asarray(info["T_obj"])[:3, :3])) ** (1 / 3)
+        s = abs(np.linalg.det(res.T_obj[:3, :3])) ** (1 / 3)
         radius, near, far = orbit_frame(res.extent / max(s, 1e-9))
         for v, T in enumerate(orbit_poses(args.views, radius)):
             img, depth, alpha = render_view(
