@@ -302,12 +302,33 @@ def main() -> None:
         raise SystemExit(f"instance {args.obj} of category {args.cls} "
                          "not in the dataset")
     info = inst_dict[args.cls][args.obj]
-    if info.get("T_obj") is None:
-        raise SystemExit(f"instance {args.obj} has no registered T_obj; "
-                         "run registration first")
+    T_obj = info.get("T_obj")
+    if T_obj is None:
+        # unregistered instance: register its observed cloud against the
+        # union of the category's registered canonical clouds
+        from catnerf_tpu.geometry.pointcloud import accumulate_pointcloud
+        from catnerf_tpu.geometry.registration import register_new_instance
+
+        registered = []
+        for oid, oinfo in inst_dict[args.cls].items():
+            if oid == args.obj or oinfo.get("T_obj") is None:
+                continue
+            pcs = oinfo.get("pcs")
+            if pcs is None:
+                pcs = accumulate_pointcloud(oid, oinfo["frame_info"],
+                                            sample_dict, cam)
+            registered.append((pcs, oinfo["T_obj"]))
+        if not registered:
+            raise SystemExit(f"instance {args.obj} has no T_obj and no "
+                             "registered sibling instances to align to")
+        pcs_new = accumulate_pointcloud(args.obj, info["frame_info"],
+                                        sample_dict, cam)
+        T_obj, cd = register_new_instance(registered, pcs_new)
+        print(f"registered new instance {args.obj} to the category "
+              f"canonical frame (chamfer {cd:.4f})")
 
     res = fit_instance(session, args.cls, info["frame_info"], sample_dict,
-                       cam, info["T_obj"], args.obj, steps=args.steps,
+                       cam, T_obj, args.obj, steps=args.steps,
                        n_rays=args.n_rays, lr=args.lr, init=args.init,
                        optimize_pose=args.optimize_pose)
     print(f"fit obj {args.obj} (cls {args.cls}): {res.steps} steps, "

@@ -721,3 +721,73 @@ def run_registration(inst_dict: dict, sample_dict: dict, cam: CameraInfo,
                 multi_init_pose=cfg.multi_init_pose, eta1=cfg.eta1,
                 eta2=cfg.eta2, eta3=cfg.eta3,
                 scale_aware=cfg.scale_aware_registration)
+
+
+def register_new_instance(registered: list[tuple[np.ndarray, np.ndarray]],
+                          new_pcs: np.ndarray, *,
+                          multi_init_pose: bool = True):
+    """sim(3) pose for a NEW instance of an already-registered category.
+
+    registered: [(pcs_world, T_obj), ...] for instances already in the
+    category's canonical frame. The target is the UNION of their canonical
+    clouds — denser than any single template and exactly the geometry the
+    trained field was supervised in — so this composes with test-time code
+    fitting (catnerf_tpu/fit.py) into observations -> pose -> codes without
+    re-running the full category registration (align_poses re-derives the
+    template pose from its OBB, which after the post-alignment recentering
+    would land in a DIFFERENT canonical frame than the trained one).
+
+    Returns (T_obj_new, cd): the canonical->world sim(3) pose and the
+    normalized unidirectional Chamfer of the aligned cloud to the target
+    (the same acceptance score align_poses thresholds with eta1).
+    """
+    from catnerf_tpu.native.lib import geomlib
+    from catnerf_tpu.geometry.obb import get_possible_transform_from_bbox
+    from catnerf_tpu.geometry.teaser import teaser_fpfh_icp
+
+    canon = []
+    for pcs, T in registered:
+        T = np.asarray(T, np.float64)
+        s = abs(np.linalg.det(T[:3, :3])) ** (1.0 / 3.0)
+        R = T[:3, :3] / s
+        canon.append(((np.asarray(pcs, np.float64) - T[:3, 3]) @ R) / s)
+    target = np.concatenate(canon)
+
+    src = np.asarray(new_pcs, np.float64)
+    if src.size < 9:
+        raise ValueError("new instance cloud has fewer than 3 points")
+    c_src = (src.max(0) + src.min(0)) / 2.0
+    s_src = float(np.max(src.max(0) - src.min(0)) / 2.0)
+    src_n = (src - c_src) / s_src
+
+    c_tgt = (target.max(0) + target.min(0)) / 2.0
+    s_tgt = float(np.max(target.max(0) - target.min(0)) / 2.0)
+
+    inits = (get_possible_transform_from_bbox() if multi_init_pose
+             else [np.eye(4)])
+    kd = geomlib.KDTree(np.asarray(target, np.float32))
+
+    best = None
+    for T_init in inits:
+        # rotate the canonical target through the bbox symmetry (canonical
+        # frame = bbox frame, so the 24 inits apply directly), register the
+        # normalized source onto it, undo the init — the same scale-aware
+        # composition as align_poses' solve_one
+        tgt_rot = target @ T_init[:3, :3].T + T_init[:3, 3]
+        ct = (tgt_rot.max(0) + tgt_rot.min(0)) / 2.0
+        st = float(np.max(tgt_rot.max(0) - tgt_rot.min(0)) / 2.0)
+        tgt_n = (tgt_rot - ct) / st
+        R_rel, t_rel = teaser_fpfh_icp(src_n, tgt_n, voxel_size=0.1,
+                                       spc=True)
+        T_cand = np.eye(4)
+        T_cand[:3, :3] = (st / s_src) * R_rel
+        T_cand[:3, 3] = (st * (t_rel[:, 0] - (R_rel @ c_src) / s_src) + ct)
+        T_rel = np.linalg.inv(T_init) @ T_cand  # world -> canonical
+        src_tf = transform_pointcloud_np(src, T_rel)
+        d, _ = kd.query(np.asarray(src_tf, np.float32))
+        cd = float(d.mean()) / s_tgt
+        if best is None or cd < best[0]:
+            best = (cd, T_rel)
+
+    cd, T_rel = best
+    return np.linalg.inv(T_rel), cd

@@ -164,3 +164,41 @@ def test_fit_pose_refinement_recovers_corrupted_pose(holdout_setup):
     # from geometry; only require it did not blow up
     assert rot1 < rot0 + 10.0, (rot0, rot1)
     assert res.final_psnr > res.init_psnr, (res.init_psnr, res.final_psnr)
+
+
+def test_register_new_instance_recovers_pose(holdout_setup):
+    """observations -> cloud -> register_new_instance against the trained
+    category's canonical union -> sim(3) pose close to GT -> code fit works
+    from the ESTIMATED pose (the full new-instance path, no GT pose)."""
+    from catnerf_tpu.geometry.pointcloud import accumulate_pointcloud
+    from catnerf_tpu.geometry.registration import register_new_instance
+
+    sess, scene, cls_id, held_out = holdout_setup
+    trained_ids = sorted(i for i in scene.inst_dict[cls_id]
+                         if i != held_out)
+    registered = []
+    for i in trained_ids:
+        info = scene.inst_dict[cls_id][i]
+        pcs = accumulate_pointcloud(i, info["frame_info"],
+                                    scene.sample_dict, scene.cam)
+        registered.append((pcs, info["T_obj"]))
+    info_new = scene.inst_dict[cls_id][held_out]
+    pcs_new = accumulate_pointcloud(held_out, info_new["frame_info"],
+                                    scene.sample_dict, scene.cam)
+
+    T_est, cd = register_new_instance(registered, pcs_new)
+    T_gt = np.asarray(info_new["T_obj"], np.float64)
+    s_gt = abs(np.linalg.det(T_gt[:3, :3])) ** (1 / 3)
+    s_est = abs(np.linalg.det(T_est[:3, :3])) ** (1 / 3)
+    # spheres: rotation unobservable; center within 10% of radius, scale
+    # within 15%, and the acceptance score is accept-grade (eta1=0.06)
+    assert np.linalg.norm(T_est[:3, 3] - T_gt[:3, 3]) < 0.10 * s_gt, (
+        T_est[:3, 3], T_gt[:3, 3])
+    assert abs(s_est - s_gt) / s_gt < 0.15, (s_est, s_gt)
+    assert cd < 0.06, cd
+
+    res = fit.fit_instance(sess, cls_id, info_new["frame_info"],
+                           scene.sample_dict, sess.cam, T_est, held_out,
+                           steps=200, n_rays=120, n_inner=50,
+                           optimize_pose=True)
+    assert res.final_psnr > res.init_psnr, (res.init_psnr, res.final_psnr)
