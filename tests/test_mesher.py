@@ -163,7 +163,7 @@ def test_mesh_adaptive_bounds_recovers_clipped_surface(monkeypatch):
     sphere_r = 0.5
 
     def fake_eval(points, params, cfg, sc=None, tc=None, *, is_background,
-                  chunk=262144, want_color=True):
+                  chunk=262144, want_color=True, device_mesh=None):
         d = np.linalg.norm(np.asarray(points) - sphere_c, axis=-1)
         occ = 1.0 / (1.0 + np.exp((d - sphere_r) * 60.0))
         return occ.astype(np.float32), np.zeros((len(points), 3), np.float32)
@@ -203,7 +203,7 @@ def test_mesh_adaptive_bounds_canonical_frame(monkeypatch):
     sphere_r = 0.8
 
     def fake_eval(points, params, cfg, sc=None, tc=None, *, is_background,
-                  chunk=262144, want_color=True):
+                  chunk=262144, want_color=True, device_mesh=None):
         d = np.linalg.norm(np.asarray(points) - sphere_c, axis=-1)
         occ = 1.0 / (1.0 + np.exp((d - sphere_r) * 60.0))
         return occ.astype(np.float32), np.zeros((len(points), 3), np.float32)
