@@ -21,6 +21,9 @@ Endpoints (all GET, images as PNG):
   /scene?az=<deg>&el=<deg>&radius=R[&cx=&cy=&cz=]
                                    -> composited render from a free camera
                                       orbiting the scene center
+  /edit?id=<obj_id>[&shape_from=B][&texture_from=B][&interp=B&t=0.5]
+       [&mean=1][orbit params]     -> live latent-code edit of one object
+                                      (swap/interp/category-prior codes)
 
 CLI: python -m catnerf_tpu.serve --logdir <dir> [--synthetic | --config
 <json>] [--port 8765]
@@ -103,6 +106,47 @@ class SceneServer:
                                 shape_code=sc, texture_code=tc, n_bins=n_bins)
         return img
 
+    def render_object_edit(self, obj_id: int, az_deg: float, el_deg: float,
+                           radius: float | None, width: int, height: int,
+                           n_bins: int, *, shape_from: int | None = None,
+                           texture_from: int | None = None,
+                           interp: int | None = None, t: float = 0.5,
+                           mean: bool = False) -> np.ndarray:
+        """Live latent-code editing (catnerf_tpu/edit.py) over HTTP: the
+        edited codes are plain inputs to the cached render program, so an
+        edit request costs the same as a normal /object render."""
+        from catnerf_tpu import edit as edit_mod
+
+        cls_id, cat = self._objects[obj_id]
+        if mean:
+            sc, tc = edit_mod.mean_codes(self.session, cls_id)
+            donors = list(cat.obj_ids)
+        elif interp is not None:
+            sc, tc = edit_mod.interpolate_codes(self.session, cls_id,
+                                                obj_id, interp, t)
+            donors = [interp]
+        else:
+            if shape_from is None and texture_from is None:
+                raise ValueError("give shape_from, texture_from, interp, "
+                                 "or mean=1")
+            sc, tc = edit_mod.edit_codes(self.session, cls_id, obj_id,
+                                         shape_from=shape_from,
+                                         texture_from=texture_from)
+            donors = [x for x in (shape_from, texture_from)
+                      if x is not None]
+        extent, center = edit_mod._edit_frame(self.session, cls_id,
+                                              [obj_id] + donors)
+        r, near, far = orbit_frame(extent, radius)
+        T = look_at(orbit_eye(np.deg2rad(az_deg), np.deg2rad(el_deg),
+                              r, center), center)
+        f = 0.9 * max(width, height)
+        cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
+        params = self.session.category_params(cls_id)
+        img, _, _ = render_view(params, self.cfg, T, cam, near=near,
+                                far=far, shape_code=np.asarray(sc),
+                                texture_code=np.asarray(tc), n_bins=n_bins)
+        return img
+
     def _scene_far(self) -> float:
         bound = (self.session.background.bound
                  if self.session.background is not None else None)
@@ -180,6 +224,20 @@ def make_handler(server: SceneServer):
                         float(q.get("el", 25.0)),
                         float(q["radius"]) if "radius" in q else None,
                         w, h, bins)
+                    self._reply(200, _png(img), "image/png")
+                elif u.path == "/edit":
+                    img = server.render_object_edit(
+                        int(q["id"]), float(q.get("az", 0.0)),
+                        float(q.get("el", 25.0)),
+                        float(q["radius"]) if "radius" in q else None,
+                        w, h, bins,
+                        shape_from=(int(q["shape_from"])
+                                    if "shape_from" in q else None),
+                        texture_from=(int(q["texture_from"])
+                                      if "texture_from" in q else None),
+                        interp=int(q["interp"]) if "interp" in q else None,
+                        t=float(q.get("t", 0.5)),
+                        mean=q.get("mean", "0") not in ("0", "", "false"))
                     self._reply(200, _png(img), "image/png")
                 elif u.path == "/scene":
                     if "frame" in q:
@@ -279,7 +337,7 @@ def main() -> None:
                   scene_server=scene_server)
     print(f"serving {len(session.cls_ids)} categories on "
           f"http://{args.host}:{args.port} "
-          f"(endpoints: /health /object /scene)")
+          f"(endpoints: /health /object /scene /edit)")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -121,3 +121,41 @@ def test_scene_server_sharded_matches_unsharded():
     img1 = s1.render_scene_frame(0, 160, 120, 16)
     img2 = s2.render_scene_frame(0, 160, 120, 16)
     np.testing.assert_array_equal(img1, img2)
+
+
+def test_edit_endpoint():
+    """/edit: live latent-code editing over HTTP — texture transfer,
+    interpolation, category prior; bad requests 400."""
+    import urllib.error
+
+    sess = _session()
+    httpd = serve(sess, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/health", timeout=30) as r:
+            objs = json.loads(r.read())["objects"]
+        # find two instances of the same category
+        cat = sess.categories[0]
+        a, b = cat.obj_ids[0], cat.obj_ids[1]
+        for params in (f"texture_from={b}", f"interp={b}&t=0.5", "mean=1"):
+            url = (f"{base}/edit?id={a}&{params}&az=30&el=20"
+                   "&w=160&h=120&bins=16")
+            with urllib.request.urlopen(url, timeout=300) as r:
+                assert r.headers["Content-Type"] == "image/png"
+                assert r.read()[:8] == b"\x89PNG\r\n\x1a\n", params
+
+        # no edit given -> 400; cross-category donor -> 400
+        for bad in (f"{base}/edit?id={a}&w=160&h=120&bins=16",
+                    f"{base}/edit?id={a}&texture_from=99999"
+                    "&w=160&h=120&bins=16"):
+            try:
+                urllib.request.urlopen(bad, timeout=300)
+                raise AssertionError(f"{bad} should 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        del objs
+    finally:
+        httpd.shutdown()
