@@ -94,6 +94,44 @@ def _pixel_states(obj_mask_crop: np.ndarray, this_id: int) -> np.ndarray:
     return state
 
 
+def build_instance_ray_arrays(frame_info: list, sample_dict: dict, cam,
+                              this_id: int, pose_fn) -> dict:
+    """Flattened bbox-crop ray arrays for ONE instance — the single copy of
+    the crop/pixel-state/ray-rotation recipe (ref:
+    src/scene_cateogries.py:24-35,141-216) shared by the category buffer
+    build, per-object field pretraining (geometry/field_pretrain.py), and
+    test-time instance fitting (catnerf_tpu/fit.py).
+
+    pose_fn maps a frame's T_WC (4,4 float64) to the (R, t) that carries
+    cached camera-frame dirs into the target frame: world (R, t straight
+    from T_WC), cloud-centered world (t shifted), or canonical object
+    (inv(T_obj) @ T_WC — R then carries the 1/s sim(3) factor while depth
+    stays metric)."""
+    origins, dirs_l, rgb_l, state_l, depth_l = [], [], [], [], []
+    for fi in frame_info:
+        sample = sample_dict[fi["frame"]]
+        w0, w1, h0, h1 = (int(v) for v in fi["bbox"])
+        R, t = pose_fn(np.asarray(sample["T"], dtype=np.float64))
+        crop_dirs = cam.rays_dir_cache[w0:w1, h0:h1].reshape(-1, 3)
+        dirs = (crop_dirs @ R.T).astype(np.float32)
+        n_px = dirs.shape[0]
+        origins.append(np.broadcast_to(t.astype(np.float32), (n_px, 3)))
+        dirs_l.append(dirs)
+        rgb_l.append(sample["image"][w0:w1, h0:h1].reshape(-1, 3)
+                     .astype(np.uint8))
+        state_l.append(_pixel_states(sample["obj_mask"][w0:w1, h0:h1],
+                                     this_id).reshape(-1))
+        depth_l.append(sample["depth"][w0:w1, h0:h1].reshape(-1)
+                       .astype(np.float32))
+    return {
+        "origins": np.concatenate(origins),
+        "dirs": np.concatenate(dirs_l),
+        "rgb": np.concatenate(rgb_l),
+        "state": np.concatenate(state_l),
+        "depth": np.concatenate(depth_l),
+    }
+
+
 class CategoryScene:
     """One category's ray buffer + static metadata (ref: sceneCategory)."""
 
@@ -140,55 +178,31 @@ class CategoryScene:
 
     def _build_buffer(self, instances: dict[int, InstanceInfo], sample_dict: dict,
                       cam: CameraInfo, rng: np.random.Generator) -> RayBuffer:
-        origins_all, dirs_all = [], []
-        rgb_all, state_all, depth_all, idx_all = [], [], [], []
-
+        per_inst, idx_all = [], []
         for iid, info in instances.items():
-            obj_index = self.inst_id_to_index[iid]
-            T_obj = info.T_obj
-            for fi in info.frame_info:
-                sample = sample_dict[fi["frame"]]
-                w0, w1, h0, h1 = (int(v) for v in fi["bbox"])
-                T_wc = np.asarray(sample["T"], dtype=np.float64)
+            if self.world_frame:
+                pose_fn = lambda T_wc: (T_wc[:3, :3], T_wc[:3, 3])  # noqa: E731
+            else:
+                # T_CO = inv(T_WC) @ T_obj; rays go through inv(T_CO)
+                # = inv(T_obj) @ T_WC (ref: src/scene_cateogries.py:24-35,
+                # 235-238). inv(T_obj) carries the 1/s sim(3) factor.
+                T_obj_inv = np.linalg.inv(info.T_obj)
 
-                if self.world_frame:
-                    R, t = T_wc[:3, :3], T_wc[:3, 3]
-                else:
-                    # T_CO = inv(T_WC) @ T_obj; rays go through inv(T_CO)
-                    # = inv(T_obj) @ T_WC (ref: src/scene_cateogries.py:24-35,
-                    # 235-238). inv(T_obj) carries the 1/s sim(3) factor.
-                    T_oc = np.linalg.inv(T_obj) @ T_wc
-                    R, t = T_oc[:3, :3], T_oc[:3, 3]
+                def pose_fn(T_wc, T_obj_inv=T_obj_inv):
+                    T_oc = T_obj_inv @ T_wc
+                    return T_oc[:3, :3], T_oc[:3, 3]
 
-                crop_dirs = cam.rays_dir_cache[w0:w1, h0:h1].reshape(-1, 3)
-                dirs = crop_dirs @ R.T
-                n_px = dirs.shape[0]
+            this_id = iid if not self.is_background else 0
+            arrays_i = build_instance_ray_arrays(
+                info.frame_info, sample_dict, cam, this_id, pose_fn)
+            per_inst.append(arrays_i)
+            idx_all.append(np.full((arrays_i["depth"].shape[0],),
+                                   self.inst_id_to_index[iid],
+                                   dtype=np.int32))
 
-                mask_crop = sample["obj_mask"][w0:w1, h0:h1]
-                this_id = iid if not self.is_background else 0
-                state = _pixel_states(mask_crop, this_id).reshape(-1)
-
-                origins_all.append(
-                    np.broadcast_to(t.astype(np.float32), (n_px, 3))
-                )
-                dirs_all.append(dirs.astype(np.float32))
-                rgb_all.append(
-                    sample["image"][w0:w1, h0:h1].reshape(-1, 3).astype(np.uint8)
-                )
-                state_all.append(state)
-                depth_all.append(
-                    sample["depth"][w0:w1, h0:h1].reshape(-1).astype(np.float32)
-                )
-                idx_all.append(np.full((n_px,), obj_index, dtype=np.int32))
-
-        arrays = {
-            "origins": np.concatenate(origins_all),
-            "dirs": np.concatenate(dirs_all),
-            "rgb": np.concatenate(rgb_all),
-            "state": np.concatenate(state_all),
-            "depth": np.concatenate(depth_all),
-            "obj_idx": np.concatenate(idx_all),
-        }
+        arrays = {k: np.concatenate([a[k] for a in per_inst])
+                  for k in per_inst[0]}
+        arrays["obj_idx"] = np.concatenate(idx_all)
         return RayBuffer(arrays, rng)
 
     def sample(self, n: int) -> dict[str, np.ndarray]:

@@ -96,19 +96,18 @@ def mean_codes(session, cls_id: int, zero: bool = False):
 
 
 def _edit_frame(session, cls_id: int, obj_ids: list[int]):
-    """(extent, center) framing every involved instance: editing renders in
-    the CANONICAL category frame, where all instances of a category are
-    registered, so a swapped-in shape is framed by the max extent of the
-    instances it mixes (a donor larger than the target must not clip)."""
-    cat = session.categories[session.cls_ids.index(cls_id)]
-    if cat.n_obj > 1:
-        extents = []
-        for oid in obj_ids:
-            s = float(cat.object_tensor_dict[oid][0])
-            extents.append(np.asarray(cat.extent_dict[oid]) / max(s, 1e-9))
-        return np.max(np.stack(extents), axis=0), np.zeros(3)
-    bound = cat.bound_dict[obj_ids[0]]
-    return np.asarray(bound.extent), np.asarray(bound.center)
+    """(extent, center) framing every involved instance (the shared recipe,
+    render_views.instance_frame): editing renders in the CANONICAL category
+    frame, where all instances of a category are registered, so a
+    swapped-in shape is framed by the max extent of the instances it mixes
+    (a donor larger than the target must not clip)."""
+    from catnerf_tpu.render_views import instance_frame
+
+    fr = instance_frame(session, cls_id, obj_ids)
+    if fr is None:  # degenerate hull at dataset build (see serve.py)
+        raise ValueError(f"object {obj_ids[0]} has no bound; "
+                         "cannot frame the edit")
+    return fr
 
 
 def render_edit(session, cls_id: int, obj_id: int, shape_code, texture_code,
@@ -151,7 +150,14 @@ def mesh_edit(session, cls_id: int, obj_id: int, shape_code, texture_code,
     if cat.n_obj > 1:
         extent, _ = _edit_frame(session, cls_id,
                                 [obj_id] + list(donors or []))
-        dim = grid_dim or adaptive_grid_dim(extent, cfg.live_voxel_size,
+        # grid resolution from the METRIC extent (live_voxel_size is
+        # metric; the canonical extent is ~2 and would pin dim at the cap),
+        # widest over the involved instances so a larger donor still fits
+        metric_extent = np.max(np.stack(
+            [np.asarray(cat.extent_dict[oid])
+             for oid in [obj_id] + list(donors or [])]), axis=0)
+        dim = grid_dim or adaptive_grid_dim(metric_extent,
+                                            cfg.live_voxel_size,
                                             cfg.grid_dim)
         mesh = mesh_field(params, cfg, grid_dim=dim, is_background=False,
                           shape_code=shape_code, texture_code=texture_code,

@@ -60,37 +60,20 @@ def build_canonical_rays(frame_info: list, sample_dict: dict,
                          cam: CameraInfo, T_obj: np.ndarray,
                          this_id: int) -> dict:
     """Canonical-object-frame ray arrays for one instance's bbox crops —
-    the multi-instance branch of CategoryScene._build_buffer
-    (data/scene.py; ref: src/scene_cateogries.py:24-35,235-238): rays go
-    through inv(T_obj) @ T_WC, inheriting the 1/s sim(3) factor, while
-    depth stays metric (the scaled dir norm maps metric z to canonical)."""
-    from catnerf_tpu.data.scene import _pixel_states
+    the same recipe the scene buffer uses (data/scene.py::
+    build_instance_ray_arrays; ref: src/scene_cateogries.py:24-35,235-238):
+    rays go through inv(T_obj) @ T_WC, inheriting the 1/s sim(3) factor,
+    while depth stays metric."""
+    from catnerf_tpu.data.scene import build_instance_ray_arrays
 
-    origins, dirs_l, rgb_l, state_l, depth_l = [], [], [], [], []
     T_obj_inv = np.linalg.inv(np.asarray(T_obj, np.float64))
-    for fi in frame_info:
-        sample = sample_dict[fi["frame"]]
-        w0, w1, h0, h1 = (int(v) for v in fi["bbox"])
-        T_oc = T_obj_inv @ np.asarray(sample["T"], np.float64)
-        R, t = T_oc[:3, :3], T_oc[:3, 3]
-        crop_dirs = cam.rays_dir_cache[w0:w1, h0:h1].reshape(-1, 3)
-        d = (crop_dirs @ R.T).astype(np.float32)
-        n_px = d.shape[0]
-        origins.append(np.broadcast_to(t.astype(np.float32), (n_px, 3)))
-        dirs_l.append(d)
-        rgb_l.append(sample["image"][w0:w1, h0:h1].reshape(-1, 3)
-                     .astype(np.uint8))
-        state_l.append(_pixel_states(sample["obj_mask"][w0:w1, h0:h1],
-                                     this_id).reshape(-1))
-        depth_l.append(sample["depth"][w0:w1, h0:h1].reshape(-1)
-                       .astype(np.float32))
-    return {
-        "origins": np.concatenate(origins),
-        "dirs": np.concatenate(dirs_l),
-        "rgb": np.concatenate(rgb_l),
-        "state": np.concatenate(state_l),
-        "depth": np.concatenate(depth_l),
-    }
+
+    def pose_fn(T_wc):
+        T_oc = T_obj_inv @ T_wc
+        return T_oc[:3, :3], T_oc[:3, 3]
+
+    return build_instance_ray_arrays(frame_info, sample_dict, cam, this_id,
+                                     pose_fn)
 
 
 def _so3_exp(w: jnp.ndarray) -> jnp.ndarray:

@@ -38,35 +38,12 @@ def build_object_ray_arrays(frame_info: list, sample_dict: dict,
                             cam: CameraInfo, this_id: int,
                             center: np.ndarray) -> dict:
     """World-frame (cloud-centered) ray arrays for one instance's bbox crops
-    (same crop/pixel-state contract as CategoryScene._build_buffer)."""
-    from catnerf_tpu.data.scene import _pixel_states
+    (the shared recipe: data/scene.py::build_instance_ray_arrays)."""
+    from catnerf_tpu.data.scene import build_instance_ray_arrays
 
-    origins, dirs_l, rgb_l, state_l, depth_l = [], [], [], [], []
-    for fi in frame_info:
-        sample = sample_dict[fi["frame"]]
-        w0, w1, h0, h1 = (int(v) for v in fi["bbox"])
-        T_wc = np.asarray(sample["T"], dtype=np.float64)
-        R, t = T_wc[:3, :3], T_wc[:3, 3] - center
-
-        crop_dirs = cam.rays_dir_cache[w0:w1, h0:h1].reshape(-1, 3)
-        d = (crop_dirs @ R.T).astype(np.float32)
-        n_px = d.shape[0]
-        state = _pixel_states(sample["obj_mask"][w0:w1, h0:h1],
-                              this_id).reshape(-1)
-        origins.append(np.broadcast_to(t.astype(np.float32), (n_px, 3)))
-        dirs_l.append(d)
-        rgb_l.append(sample["image"][w0:w1, h0:h1].reshape(-1, 3)
-                     .astype(np.uint8))
-        state_l.append(state)
-        depth_l.append(sample["depth"][w0:w1, h0:h1].reshape(-1)
-                       .astype(np.float32))
-    return {
-        "origins": np.concatenate(origins),
-        "dirs": np.concatenate(dirs_l),
-        "rgb": np.concatenate(rgb_l),
-        "state": np.concatenate(state_l),
-        "depth": np.concatenate(depth_l),
-    }
+    return build_instance_ray_arrays(
+        frame_info, sample_dict, cam, this_id,
+        lambda T_wc: (T_wc[:3, :3], T_wc[:3, 3] - center))
 
 
 def _init_field_params(key: jax.Array) -> dict:

@@ -98,13 +98,20 @@ def eval_points_sharded(points: np.ndarray, params: dict, cfg: Config,
     n_dev = mesh.devices.size
     pts = np.asarray(points, np.float32)
     n = len(pts)
+    # shrink the tile below the single-chip default when the input is small:
+    # padding to chunk*n_dev would otherwise make an 8-device eval of a
+    # 30k-point color re-query do 8x the single-chip work. Snapped to 8k
+    # multiples so only a handful of programs ever compile.
+    chunk = min(chunk, max(8192, -(-n // (n_dev * 8192)) * 8192))
     quantum = chunk * n_dev
     n_pad = (-n) % quantum
     if n_pad:
         pts = np.concatenate([pts, np.zeros((n_pad, 3), np.float32)])
-    tiles = pts.reshape(-1, chunk, 3)
+    # device_put straight from numpy: each device pulls only its 1/n_dev
+    # shard from the host (a jnp.asarray first would materialize the whole
+    # grid on device 0 and reshard device-to-device)
     tiles = jax.device_put(
-        jnp.asarray(tiles),
+        pts.reshape(-1, chunk, 3),
         NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS))))
 
     prog = make_sharded_grid_eval(cfg, mesh, is_background=is_background,

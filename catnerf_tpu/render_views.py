@@ -197,6 +197,27 @@ def _save(out_dir: str, name: str, img: np.ndarray, depth: np.ndarray,
                 (np.clip(alpha.T, 0, 1) * 255).astype(np.uint8))
 
 
+def instance_frame(session, cls_id: int, obj_ids: list[int]):
+    """(extent, center) framing the given instances of one category in its
+    render frame — canonical (origin-centered, extent de-scaled by the
+    sim(3) s) for multi-instance categories, the world-frame OBB otherwise.
+    The single copy of the framing recipe for orbits, edits, and fits; the
+    extent is the per-axis max over obj_ids so jointly framed instances
+    (code donors) are not clipped. Returns None when a single-instance
+    object has no bound (degenerate hull at dataset build)."""
+    cat = session.categories[session.cls_ids.index(cls_id)]
+    if cat.n_obj > 1:
+        extents = []
+        for oid in obj_ids:
+            s = float(cat.object_tensor_dict[oid][0])
+            extents.append(np.asarray(cat.extent_dict[oid]) / max(s, 1e-9))
+        return np.max(np.stack(extents), axis=0), np.zeros(3)
+    bound = cat.bound_dict.get(obj_ids[0])
+    if bound is None:
+        return None
+    return np.asarray(bound.extent), np.asarray(bound.center)
+
+
 def render_session_orbits(session, out_dir: str, *, n_views: int = 8,
                           width: int = 320, height: int = 240,
                           n_bins: int = 96) -> list[str]:
@@ -209,21 +230,14 @@ def render_session_orbits(session, out_dir: str, *, n_views: int = 8,
 
     for cls_id, cat in zip(session.cls_ids, session.categories):
         params = session.category_params(cls_id)
-        multi = cat.n_obj > 1
         for obj_id in cat.obj_ids:
             k = cat.inst_id_to_index[obj_id]
             sc = np.asarray(params["shape_codes"][k])
             tc = np.asarray(params["texture_codes"][k])
-            if multi:
-                s = float(cat.object_tensor_dict[obj_id][0])
-                extent = np.asarray(cat.extent_dict[obj_id]) / max(s, 1e-9)
-                center = np.zeros(3)
-            else:
-                bound = cat.bound_dict.get(obj_id)
-                if bound is None:
-                    continue
-                extent = np.asarray(bound.extent)
-                center = np.asarray(bound.center)
+            fr = instance_frame(session, cls_id, [obj_id])
+            if fr is None:
+                continue
+            extent, center = fr
             radius, near, far = orbit_frame(extent)
             for v, T in enumerate(orbit_poses(n_views, radius, center)):
                 img, depth, alpha = render_view(
