@@ -47,6 +47,15 @@ def main():
     ap.add_argument("--no-refined-mask", action="store_true",
                     help="scannet only: skip the geometric-segmentation "
                          "mask refinement (raw instance masks)")
+    ap.add_argument("--fit-holdout", action="store_true",
+                    help="hold one instance OUT of training, then run the "
+                         "full new-instance path on it: register its cloud "
+                         "to the trained category's canonical union "
+                         "(registration.register_new_instance), fit only "
+                         "latent codes (+ sim(3) pose) against the frozen "
+                         "MLP (catnerf_tpu/fit.py), and score its mesh with "
+                         "the standard protocol. Uses 3 instances/category "
+                         "so the held-out category stays multi-instance.")
     ap.add_argument("--dataset", choices=("replica", "scannet"),
                     default="replica",
                     help="on-disk layout + loader for --registered: replica "
@@ -80,8 +89,25 @@ def main():
     cfg.net_hyperparams.latent_dim = 32
     cfg.grid_dim = args.grid_dim  # live_voxel_size stays 5 mm; the cap rules
 
+    if args.fit_holdout and args.registered:
+        raise SystemExit("--fit-holdout runs on the GT-pose path "
+                         "(the held-out pose itself is ESTIMATED by "
+                         "register_new_instance)")
+
     scene = make_scene(n_frames=24, width=160, height=120, n_categories=3,
-                       insts_per_cat=2, seed=args.seed)
+                       insts_per_cat=3 if args.fit_holdout else 2,
+                       seed=args.seed)
+
+    held_out = None
+    if args.fit_holdout:
+        import copy
+
+        held_cls = sorted(c for c in scene.inst_dict if c != 0)[0]
+        held_out = sorted(scene.inst_dict[held_cls])[-1]
+        inst_dict_train = copy.deepcopy(scene.inst_dict)
+        del inst_dict_train[held_cls][held_out]
+        print(f"holding out instance {held_out} of category {held_cls}",
+              file=sys.stderr)
 
     if args.registered:
         sys.path.insert(0, os.path.join(
@@ -124,8 +150,9 @@ def main():
         inst_dict, sample_dict = data.inst_dict, data.sample_dict
         sess = TrainingSession(cfg, inst_dict, sample_dict)
     else:
-        sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
-                               cam=scene.cam)
+        sess = TrainingSession(
+            cfg, inst_dict_train if held_out is not None else scene.inst_dict,
+            scene.sample_dict, cam=scene.cam)
     import time as _time
 
     iters = max(100, args.iters // 100 * 100)  # superstep granularity
@@ -158,6 +185,8 @@ def main():
     per_obj = {}
     accs, comps, ratios = [], [], []
     for s in scene.spheres:
+        if held_out is not None and s.inst_id == held_out:
+            continue  # scored separately through the fit path below
         path = written.get(s.inst_id)
         if path is None:
             per_obj[s.inst_id] = None
@@ -197,10 +226,79 @@ def main():
         mse = float(np.mean((img - gt) ** 2))
         render_psnrs.append(round(-10.0 * np.log10(max(mse, 1e-10)), 2))
 
+    fit_result = None
+    if held_out is not None:
+        from catnerf_tpu.fit import fit_instance
+        from catnerf_tpu.geometry.pointcloud import accumulate_pointcloud
+        from catnerf_tpu.geometry.registration import register_new_instance
+        from catnerf_tpu.mesher.meshing import adaptive_grid_dim, mesh_field
+
+        t_fit = _time.time()
+        registered = []
+        for oid in sorted(scene.inst_dict[held_cls]):
+            if oid == held_out:
+                continue
+            info_o = scene.inst_dict[held_cls][oid]
+            registered.append((accumulate_pointcloud(
+                oid, info_o["frame_info"], scene.sample_dict, sess.cam),
+                info_o["T_obj"]))
+        info_new = scene.inst_dict[held_cls][held_out]
+        pcs_new = accumulate_pointcloud(held_out, info_new["frame_info"],
+                                        scene.sample_dict, sess.cam)
+        T_est, reg_cd = register_new_instance(registered, pcs_new)
+        T_gt = np.asarray(info_new["T_obj"], np.float64)
+        s_gt = abs(np.linalg.det(T_gt[:3, :3])) ** (1 / 3)
+
+        res = fit_instance(sess, held_cls, info_new["frame_info"],
+                           scene.sample_dict, sess.cam, T_est, held_out,
+                           steps=1000, optimize_pose=True)
+        params = sess.category_params(held_cls)
+        dim = adaptive_grid_dim(res.extent, cfg.live_voxel_size,
+                                cfg.grid_dim)
+        fmesh = mesh_field(params, cfg, grid_dim=dim, is_background=False,
+                           shape_code=res.shape_code,
+                           texture_code=res.texture_code, extent=res.extent)
+        fit_metrics = None
+        if fmesh is not None:
+            T_eff = res.T_obj
+            s_eff = abs(np.linalg.det(T_eff[:3, :3])) ** (1 / 3)
+            fmesh.apply_scale(s_eff)
+            T_rigid = np.eye(4)
+            T_rigid[:3, :3] = T_eff[:3, :3] / s_eff
+            T_rigid[:3, 3] = T_eff[:3, 3]
+            fmesh.apply_transform(T_rigid)
+            sp = next(s for s in scene.spheres if s.inst_id == held_out)
+            obb = OrientedBBox(center=np.asarray(sp.center, np.float64),
+                               R=np.eye(3),
+                               extent=np.full(3, 2.2 * sp.radius))
+            fm = calc_3d_metric(fmesh, gt_sphere_mesh(sp.center, sp.radius),
+                                ref_obb=obb)
+            fit_metrics = {"accuracy_cm": round(fm["accuracy"], 3),
+                           "completion_cm": round(fm["completion"], 3),
+                           "completion_ratio_pct":
+                               round(fm["completion_ratio"], 2)}
+        fit_result = {
+            "held_out": held_out,
+            "registration_chamfer": round(reg_cd, 4),
+            "pose_center_err_cm": round(100.0 * float(
+                np.linalg.norm(res.T_obj[:3, 3] - T_gt[:3, 3])), 3),
+            "pose_scale_err_pct": round(100.0 * abs(
+                abs(np.linalg.det(res.T_obj[:3, :3])) ** (1 / 3) - s_gt)
+                / s_gt, 2),
+            "fit_steps": res.steps,
+            "psnr_prior_init": round(res.init_psnr, 2),
+            "psnr_after_fit": round(res.final_psnr, 2),
+            "mesh": fit_metrics,
+            "wall_s": round(_time.time() - t_fit, 1),
+        }
+        print(f"fit-holdout: {fit_result}", file=sys.stderr)
+
     result = {
         "metric": (("e2e_synthetic_quality_registered"
                     + ("_scannet" if args.dataset == "scannet" else ""))
-                   if args.registered else "e2e_synthetic_quality"),
+                   if args.registered else
+                   ("e2e_fit_holdout" if held_out is not None
+                    else "e2e_synthetic_quality")),
         "iters": iters,
         "final_psnr": psnr_hist[-1] if psnr_hist else None,
         "mean_accuracy_cm": round(float(np.mean(accs)), 3) if accs else None,
@@ -215,11 +313,18 @@ def main():
         "sampling": "parity" if args.parity else "fast",
         "mesh_dir": out_dir,
     }
+    if fit_result is not None:
+        result["fit_holdout"] = fit_result
     print(json.dumps(result))
-    ok = (len(accs) == len(scene.spheres)
+    n_trained = len(scene.spheres) - (1 if held_out is not None else 0)
+    ok = (len(accs) == n_trained
           and result["mean_accuracy_cm"] < 5.0
           and result["mean_completion_cm"] < 5.0
           and result["mean_completion_ratio_pct"] > 80.0)
+    if fit_result is not None:
+        ok = (ok and fit_result["mesh"] is not None
+              and fit_result["mesh"]["accuracy_cm"] < 5.0
+              and fit_result["psnr_after_fit"] > fit_result["psnr_prior_init"])
     sys.exit(0 if ok else 1)
 
 
