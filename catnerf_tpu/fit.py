@@ -240,6 +240,83 @@ def fit_instance(session, cls_id: int, frame_info: list, sample_dict: dict,
         steps=n_chunks * n_inner, T_obj=T_eff)
 
 
+def adopt_instance(session, cls_id: int, inst_id: int,
+                   result: FitResult) -> None:
+    """Write a fitted instance into the live session, so it meshes,
+    renders, and serves exactly like a trained one (the new-scan workflow:
+    observe -> register -> fit codes -> adopt -> serve, no retraining).
+
+    Grows the padded [n_cls, max_obj, D] code tables — and the matching
+    AdamW moments inside the optimizer state, zeros at the new slot — when
+    the category is full, inserts the fitted codes, and registers the
+    instance's sim(3) pose/extent metadata. The compiled train step is
+    invalidated (the code-table shape and validity mask changed); note the
+    ray store is NOT rebuilt, so further training keeps sampling only the
+    original instances, and mesh-time space carving only knows the
+    original views (add the new observations to session.sample_dict if
+    they should carve).
+    """
+    from catnerf_tpu.models import codes as codes_mod
+    from catnerf_tpu.ops.sim3 import sim3_to_tensor_np
+    from catnerf_tpu.train.state import TrainState
+    from catnerf_tpu.train.step import make_train_step
+
+    cat = session.categories[session.cls_ids.index(cls_id)]
+    if cat.n_obj <= 1:
+        raise ValueError(f"category {cls_id} is single-instance "
+                         "(world-frame field); nothing to adopt into")
+    if inst_id in cat.inst_id_to_index:
+        raise ValueError(f"instance {inst_id} already exists in "
+                         f"category {cls_id}")
+
+    ci = session.cls_ids.index(cls_id)
+    slot = cat.n_obj
+    params = dict(session.state.params)
+    codes = dict(params["codes"])
+    n_cls, max_obj, D = codes["shape"].shape
+    opt_state = session.state.opt_state
+
+    if slot >= max_obj:
+        def grow(x):
+            return jnp.pad(x, ((0, 0), (0, 1), (0, 0)))
+
+        codes = {k: grow(v) for k, v in codes.items()}
+
+        def grow_moment(path, leaf):
+            # AdamW mu/nu mirror the param tree: the code moments are the
+            # only 3-D [n_cls, max_obj, D] arrays under a 'codes' key
+            in_codes = any(getattr(p, "key", None) == "codes" for p in path)
+            if (in_codes and getattr(leaf, "ndim", 0) == 3
+                    and leaf.shape == (n_cls, max_obj, D)):
+                return grow(leaf)  # zero moments at the new slot
+            return leaf
+
+        opt_state = jax.tree_util.tree_map_with_path(grow_moment, opt_state)
+        max_obj += 1
+
+    codes["shape"] = codes["shape"].at[ci, slot].set(
+        jnp.asarray(result.shape_code))
+    codes["texture"] = codes["texture"].at[ci, slot].set(
+        jnp.asarray(result.texture_code))
+    params["codes"] = codes
+    session.state = TrainState(params=params, opt_state=opt_state,
+                               step=session.state.step)
+
+    cat.obj_ids.append(inst_id)
+    cat.inst_id_to_index[inst_id] = slot
+    cat.n_obj += 1
+    cat.extent_dict[inst_id] = np.asarray(result.extent, np.float64)
+    cat.object_tensor_dict[inst_id] = sim3_to_tensor_np(
+        np.asarray(result.T_obj, np.float64))
+
+    session.obj_mask = codes_mod.obj_validity_mask(
+        [c.n_obj for c in session.categories], max_n_obj=max_obj)
+    session.step_fn = make_train_step(
+        session.cfg, session.obj_mask,
+        with_background=session.background is not None)
+    session._superstep = None  # shapes changed; rebuilt on next fast run
+
+
 def main() -> None:
     import argparse
 

@@ -5,6 +5,8 @@ category-prior init and lands geometry in the right place."""
 
 import copy
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -202,3 +204,63 @@ def test_register_new_instance_recovers_pose(holdout_setup):
                            steps=200, n_rays=120, n_inner=50,
                            optimize_pose=True)
     assert res.final_psnr > res.init_psnr, (res.init_psnr, res.final_psnr)
+
+
+def test_adopt_instance_serves_like_trained():
+    """fit -> adopt: the new instance joins the session (grown code tables
+    + optimizer moments), renders through the standard orbit path, and the
+    session still trains."""
+    cfg = Config()
+    cfg.net_hyperparams.latent_dim = 16
+    cfg.hidden_feature_size_bg = 32
+    scene = make_scene(n_frames=3, width=48, height=36, n_categories=1,
+                       insts_per_cat=3, seed=11)
+    cls_id = [c for c in scene.inst_dict if c != 0][0]
+    held_out = sorted(scene.inst_dict[cls_id])[-1]
+    inst_dict_train = copy.deepcopy(scene.inst_dict)
+    del inst_dict_train[cls_id][held_out]
+    sess = TrainingSession(cfg, inst_dict_train, scene.sample_dict,
+                           cam=scene.cam)
+    for _ in range(3):
+        sess.step_once()
+
+    info = scene.inst_dict[cls_id][held_out]
+    res = fit.fit_instance(sess, cls_id, info["frame_info"],
+                           scene.sample_dict, sess.cam, info["T_obj"],
+                           held_out, steps=20, n_rays=64, n_inner=10)
+
+    cat = sess.categories[0]
+    old_max = sess.state.params["codes"]["shape"].shape[1]
+    assert cat.n_obj == 2 and old_max == 2  # full: exercises the grow path
+    fit.adopt_instance(sess, cls_id, held_out, res)
+    assert cat.n_obj == 3
+    assert sess.state.params["codes"]["shape"].shape[1] == 3
+    k = cat.inst_id_to_index[held_out]
+    np.testing.assert_array_equal(
+        np.asarray(sess.state.params["codes"]["shape"][0, k]),
+        res.shape_code)
+    # optimizer moments grew in lockstep (zeros at the new slot)
+    mus = [l for p, l in jax.tree_util.tree_leaves_with_path(
+        sess.state.opt_state)
+        if getattr(l, "ndim", 0) == 3 and l.shape[0] == 1
+        and any(getattr(pp, "key", None) == "codes" for pp in p)]
+    assert mus and all(m.shape[1] == 3 for m in mus)
+    assert all(float(np.abs(np.asarray(m[0, k])).max()) == 0.0 for m in mus)
+
+    # the standard render path now includes the adopted instance
+    import tempfile
+
+    from catnerf_tpu.render_views import render_session_orbits
+
+    with tempfile.TemporaryDirectory() as d:
+        written = render_session_orbits(sess, d, n_views=1, width=24,
+                                        height=18, n_bins=6)
+    assert any(f"obj{held_out}_" in n for n in written), written
+
+    # the session still trains after the shape change (recompile)
+    m = sess.step_once()
+    assert np.isfinite(float(m.total))
+
+    with pytest.raises(ValueError, match="already exists"):
+        fit.adopt_instance(sess, cls_id, held_out, res)
+
