@@ -314,7 +314,11 @@ def adopt_instance(session, cls_id: int, inst_id: int,
     session.step_fn = make_train_step(
         session.cfg, session.obj_mask,
         with_background=session.background is not None)
-    session._superstep = None  # shapes changed; rebuilt on next fast run
+    if session._superstep is not None:
+        # shapes changed: rebuild the fast path now (run_fast asserts
+        # rather than rebuilding). The ray store keeps only the ORIGINAL
+        # instances' rays — further training never samples the adoptee.
+        session.enable_fast_path(session._n_inner)
 
 
 def main() -> None:

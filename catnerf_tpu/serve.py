@@ -40,6 +40,7 @@ import numpy as np
 
 from catnerf_tpu.data.camera import CameraInfo
 from catnerf_tpu.render_views import (
+    instance_frame,
     look_at,
     orbit_eye,
     orbit_frame,
@@ -70,10 +71,16 @@ class SceneServer:
         # scene composites shard their point tiles over this mesh
         # (render_views._scene_render_program; identical pixels)
         self.device_mesh = device_mesh
-        self._objects = {}
-        for cls_id, cat in zip(session.cls_ids, session.categories):
-            for obj_id in cat.obj_ids:
-                self._objects[int(obj_id)] = (cls_id, cat)
+
+    @property
+    def _objects(self):
+        # computed per access (cheap: a few dozen entries) so instances
+        # adopted into the live session (fit.adopt_instance) serve
+        # immediately without recreating the server
+        return {int(obj_id): (cls_id, cat)
+                for cls_id, cat in zip(self.session.cls_ids,
+                                       self.session.categories)
+                for obj_id in cat.obj_ids}
 
     def object_ids(self) -> list[int]:
         return sorted(self._objects)
@@ -86,17 +93,11 @@ class SceneServer:
         k = cat.inst_id_to_index[obj_id]
         sc = np.asarray(params["shape_codes"][k])
         tc = np.asarray(params["texture_codes"][k])
-        if cat.n_obj > 1:
-            s = float(cat.object_tensor_dict[obj_id][0])
-            extent = np.asarray(cat.extent_dict[obj_id]) / max(s, 1e-9)
-            center = np.zeros(3)
-        else:
-            bound = cat.bound_dict.get(obj_id)
-            if bound is None:  # degenerate hull at dataset build
-                raise ValueError(f"object {obj_id} has no bound; "
-                                 "cannot frame an orbit camera")
-            extent = np.asarray(bound.extent)
-            center = np.asarray(bound.center)
+        fr = instance_frame(self.session, cls_id, [obj_id])
+        if fr is None:  # degenerate hull at dataset build
+            raise ValueError(f"object {obj_id} has no bound; "
+                             "cannot frame an orbit camera")
+        extent, center = fr
         r, near, far = orbit_frame(extent, radius)
         T = look_at(orbit_eye(np.deg2rad(az_deg), np.deg2rad(el_deg),
                               r, center), center)

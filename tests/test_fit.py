@@ -223,6 +223,7 @@ def test_adopt_instance_serves_like_trained():
                            cam=scene.cam)
     for _ in range(3):
         sess.step_once()
+    sess.enable_fast_path(2)  # adopt must rebuild this (shapes change)
 
     info = scene.inst_dict[cls_id][held_out]
     res = fit.fit_instance(sess, cls_id, info["frame_info"],
@@ -232,7 +233,15 @@ def test_adopt_instance_serves_like_trained():
     cat = sess.categories[0]
     old_max = sess.state.params["codes"]["shape"].shape[1]
     assert cat.n_obj == 2 and old_max == 2  # full: exercises the grow path
+    from catnerf_tpu.serve import SceneServer
+
+    server = SceneServer(sess)  # created BEFORE the adopt
+    assert held_out not in server.object_ids()
     fit.adopt_instance(sess, cls_id, held_out, res)
+    # a live server picks up the adopted instance without recreation
+    assert held_out in server.object_ids()
+    img = server.render_object(held_out, 30.0, 20.0, None, 24, 18, 6)
+    assert img.shape == (24, 18, 3) and np.isfinite(img).all()
     assert cat.n_obj == 3
     assert sess.state.params["codes"]["shape"].shape[1] == 3
     k = cat.inst_id_to_index[held_out]
@@ -257,8 +266,11 @@ def test_adopt_instance_serves_like_trained():
                                         height=18, n_bins=6)
     assert any(f"obj{held_out}_" in n for n in written), written
 
-    # the session still trains after the shape change (recompile)
+    # the session still trains after the shape change (recompile), on
+    # both the per-step path and the rebuilt fast path
     m = sess.step_once()
+    assert np.isfinite(float(m.total))
+    m = sess.run_fast(2)
     assert np.isfinite(float(m.total))
 
     with pytest.raises(ValueError, match="already exists"):
