@@ -163,9 +163,14 @@ class CategoryScene:
         self.extent_dict: dict[int, np.ndarray] = {}
         self.object_tensor_dict: dict[int, np.ndarray] = {}
         self.bound_dict: dict[int, OrientedBBox] = {}
+        # retained so serve-time ingestion (fit.ingest_new_instance) can
+        # rebuild each trained instance's world cloud as the registration
+        # target; instances adopted later have no frame_info here
+        self.frame_info_dict: dict[int, list[dict]] = {}
         if not self.is_background:
             for iid in self.obj_ids:
                 info = instances[iid]
+                self.frame_info_dict[iid] = info.frame_info
                 if info.bbox3d is not None:
                     self.extent_dict[iid] = np.asarray(info.bbox3d.extent)
                     self.bound_dict[iid] = info.bbox3d

@@ -321,6 +321,151 @@ def adopt_instance(session, cls_id: int, inst_id: int,
         session.enable_fast_path(session._n_inner)
 
 
+def build_observation_frames(rgb: np.ndarray, depth: np.ndarray,
+                             mask: np.ndarray, T_wc: np.ndarray,
+                             cam: CameraInfo, inst_id: int, *,
+                             bbox_scale: float = 0.2):
+    """Private (frames, frame_info) for raw posed RGB-D observations of ONE
+    new instance — the serving-side mirror of the dataset loaders' per-frame
+    bbox recipe (data/replica.py:121-140; ref: src/dataset.py:135-156).
+
+    Arrays use the repo's transposed (W, H) layout:
+      rgb   [n, W, H, 3] uint8
+      depth [n, W, H] float32, meters (invalid pixels 0)
+      mask  [n, W, H] int8/bool — >0 this instance, 0 other/background,
+            <0 unknown (excluded from opacity supervision)
+      T_wc  [n, 4, 4] camera->world poses
+
+    Frames whose mask is empty or tinier than the loaders' 10-px floor are
+    skipped. Returns ({frame_idx: sample}, frame_info) shaped exactly like
+    the dataset's sample_dict/inst_dict contract, so the result feeds
+    accumulate_pointcloud and fit_instance unchanged."""
+    from catnerf_tpu.data.bbox import enlarge_bbox, mask_bbox
+
+    rgb = np.asarray(rgb)
+    depth = np.asarray(depth, np.float32)
+    mask = np.asarray(mask)
+    T_wc = np.asarray(T_wc, np.float64)
+    n = rgb.shape[0]
+    want = (cam.width, cam.height)
+    if (rgb.shape != (n, *want, 3) or depth.shape != (n, *want)
+            or mask.shape != (n, *want) or T_wc.shape != (n, 4, 4)):
+        raise ValueError(
+            f"observation shapes must be rgb [n,{want[0]},{want[1]},3], "
+            f"depth/mask [n,{want[0]},{want[1]}], T_wc [n,4,4] "
+            f"(transposed W,H layout); got rgb {rgb.shape}, depth "
+            f"{depth.shape}, mask {mask.shape}, T_wc {T_wc.shape}")
+    mask = mask.astype(np.int8) if mask.dtype == bool else mask
+
+    frames: dict[int, dict] = {}
+    frame_info: list[dict] = []
+    for i in range(n):
+        m = mask[i] > 0
+        bb = mask_bbox(m)
+        if bb is None:
+            continue
+        rmin, rmax, cmin, cmax = bb
+        if rmax - rmin <= 10 or cmax - cmin <= 10:
+            continue  # loaders' small-crop floor (ref: src/dataset.py:139-143)
+        enlarged = enlarge_bbox([cmin, rmin, cmax, rmax], bbox_scale,
+                                w=m.shape[1], h=m.shape[0])
+        if enlarged is None:
+            continue
+        # -2 is never an instance id: those pixels become pixel-state 0
+        # ("other"); <0 in the caller's mask stays -1 -> state 2 (unknown)
+        obj_mask = np.where(m, inst_id,
+                            np.where(mask[i] < 0, -1, -2)).astype(np.int32)
+        frames[i] = {"image": rgb[i].astype(np.uint8), "depth": depth[i],
+                     "obj_mask": obj_mask, "T": T_wc[i], "frame_id": i}
+        frame_info.append({"frame": i,
+                           "bbox": np.array([enlarged[1], enlarged[3],
+                                             enlarged[0], enlarged[2]])})
+    if not frame_info:
+        raise ValueError("no usable observation frames (empty or sub-10-px "
+                         "instance masks in every frame)")
+    return frames, frame_info
+
+
+def ingest_new_instance(session, cls_id: int, rgb, depth, mask, T_wc, *,
+                        inst_id: int | None = None, steps: int = 600,
+                        n_rays: int = 360, lr: float = 5e-3,
+                        accumulate: str = "direct",
+                        adopt: bool = True) -> dict:
+    """The full new-scan workflow from raw arrays: posed RGB-D observations
+    of an unseen instance -> world point cloud -> sim(3) registration
+    against the trained category's canonical union
+    (geometry/registration.py::register_new_instance) -> code-only fit with
+    joint pose refinement against the frozen category MLP -> adoption into
+    the live session (meshes, renders, serves like a trained instance).
+
+    Array layout contract: build_observation_frames. accumulate: 'direct'
+    (clean depth, ref: src/utils.py:189-210) or 'tsdf' (noisy real-world
+    depth, ref: src/utils.py:212-247). Returns a JSON-ready summary dict.
+    """
+    from catnerf_tpu.geometry.pointcloud import (accumulate_pointcloud,
+                                                 accumulate_pointcloud_tsdf)
+    from catnerf_tpu.geometry.registration import register_new_instance
+    from catnerf_tpu.ops.sim3 import tensor_to_sim3_np
+
+    if cls_id not in session.cls_ids:
+        raise ValueError(f"unknown category {cls_id} "
+                         f"(have {session.cls_ids})")
+    cat = session.categories[session.cls_ids.index(cls_id)]
+    if cat.n_obj <= 1:
+        raise ValueError(f"category {cls_id} is single-instance (world "
+                         "frame); there is no canonical prior to ingest "
+                         "into")
+    all_ids = {int(o) for c in session.categories for o in c.obj_ids}
+    if inst_id is None:
+        inst_id = max(all_ids) + 1  # object ids are a flat serving namespace
+    elif int(inst_id) in all_ids:
+        raise ValueError(f"instance id {inst_id} already exists")
+    inst_id = int(inst_id)
+
+    frames, frame_info = build_observation_frames(rgb, depth, mask, T_wc,
+                                                  session.cam, inst_id)
+    if accumulate not in ("direct", "tsdf"):
+        raise ValueError(f"accumulate must be direct|tsdf, got {accumulate!r}")
+    acc = (accumulate_pointcloud if accumulate == "direct"
+           else accumulate_pointcloud_tsdf)
+    pcs_new = acc(inst_id, frame_info, frames, session.cam)
+    if len(pcs_new) < 3:
+        raise ValueError("observations unproject to fewer than 3 points")
+
+    registered = []
+    for oid in cat.obj_ids:
+        fi = cat.frame_info_dict.get(oid)
+        tensor = cat.object_tensor_dict.get(oid)
+        if fi is None or tensor is None:
+            continue  # e.g. a previously adopted instance — no frames here
+        registered.append((accumulate_pointcloud(oid, fi,
+                                                 session.sample_dict,
+                                                 session.cam),
+                           tensor_to_sim3_np(tensor)))
+    if not registered:
+        raise ValueError(f"category {cls_id} has no trained instances with "
+                         "stored observations to register against")
+    T_est, reg_cd = register_new_instance(registered, pcs_new)
+
+    res = fit_instance(session, cls_id, frame_info, frames, session.cam,
+                       T_est, inst_id, steps=steps, n_rays=n_rays, lr=lr,
+                       optimize_pose=True)
+    if adopt:
+        adopt_instance(session, cls_id, inst_id, res)
+    return {
+        "id": inst_id,
+        "cls": cls_id,
+        "frames_used": len(frame_info),
+        "registration_chamfer": round(float(reg_cd), 4),
+        "fit_steps": res.steps,
+        "psnr_prior_init": round(res.init_psnr, 2),
+        "psnr_after_fit": round(res.final_psnr, 2),
+        "extent": [round(float(v), 4) for v in res.extent],
+        "T_obj": np.asarray(res.T_obj).tolist(),
+        "adopted": bool(adopt),
+    }
+
+
 def main() -> None:
     import argparse
 

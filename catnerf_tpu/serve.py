@@ -25,6 +25,15 @@ Endpoints (all GET, images as PNG):
        [&mean=1][orbit params]     -> live latent-code edit of one object
                                       (swap/interp/category-prior codes)
 
+POST /ingest?cls=<cls_id>[&id=N][&steps=600][&rays=360][&accumulate=direct|tsdf]
+  Body: an .npz with rgb [n,W,H,3] u8, depth [n,W,H] f32 (meters), mask
+  [n,W,H] (>0 this instance, 0 other, <0 unknown), T_wc [n,4,4] — the
+  repo's transposed (W,H) layout at the session camera's resolution.
+  Runs the full new-scan workflow (fit.ingest_new_instance): unproject ->
+  register to the category's canonical union -> fit codes + pose against
+  the frozen MLP -> adopt into the live session. Returns the summary JSON;
+  the new id serves immediately via /object, /edit, and /scene.
+
 CLI: python -m catnerf_tpu.serve --logdir <dir> [--synthetic | --config
 <json>] [--port 8765]
 """
@@ -148,6 +157,32 @@ class SceneServer:
                                 texture_code=np.asarray(tc), n_bins=n_bins)
         return img
 
+    def ingest(self, body: bytes, q: dict) -> dict:
+        """POST /ingest — decode the .npz observation payload and run the
+        register->fit->adopt workflow (fit.ingest_new_instance). Serial like
+        every other handler: the fit runs on the same device the renders
+        use, so a long ingest delays (never corrupts) concurrent reads."""
+        import io
+
+        from catnerf_tpu import fit as fit_mod
+
+        try:
+            payload = np.load(io.BytesIO(body), allow_pickle=False)
+        except Exception as e:
+            raise ValueError(f"body is not a readable .npz: {e!r}") from e
+        missing = [k for k in ("rgb", "depth", "mask", "T_wc")
+                   if k not in payload]
+        if missing:
+            raise ValueError(f".npz payload missing arrays: {missing}")
+        return fit_mod.ingest_new_instance(
+            self.session, int(q["cls"]),
+            payload["rgb"], payload["depth"], payload["mask"],
+            payload["T_wc"],
+            inst_id=int(q["id"]) if "id" in q else None,
+            steps=int(q.get("steps", 600)),
+            n_rays=int(q.get("rays", 360)),
+            accumulate=q.get("accumulate", "direct"))
+
     def _scene_far(self) -> float:
         bound = (self.session.background.bound
                  if self.session.background is not None else None)
@@ -254,6 +289,28 @@ def make_handler(server: SceneServer):
                     self._reply(200, _png(img), "image/png")
                 else:
                     self._json(404, {"error": f"unknown path {u.path}"})
+            except (KeyError, ValueError) as e:
+                self._json(400, {"error": repr(e)})
+            except Exception as e:  # pragma: no cover - defensive
+                self._json(500, {"error": repr(e)})
+
+        _MAX_INGEST_BYTES = 1 << 30  # bound host memory per request
+
+        def do_POST(self):  # noqa: N802 (http.server API)
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            try:
+                if u.path != "/ingest":
+                    self._json(404, {"error": f"unknown path {u.path}"})
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                if n <= 0:
+                    raise ValueError("POST /ingest needs an .npz body "
+                                     "(Content-Length missing or 0)")
+                if n > self._MAX_INGEST_BYTES:
+                    raise ValueError(f"body too large ({n} bytes; cap "
+                                     f"{self._MAX_INGEST_BYTES})")
+                self._json(200, server.ingest(self.rfile.read(n), q))
             except (KeyError, ValueError) as e:
                 self._json(400, {"error": repr(e)})
             except Exception as e:  # pragma: no cover - defensive

@@ -60,6 +60,10 @@ class TrainingSession:
             cfg, self.obj_mask, with_background=self.background is not None
         )
         self.n_per_cls = self.batcher.rays_per_category(cfg.n_per_optim)
+        # instances written in post-training by fit.adopt_instance, in
+        # adoption order; persisted as a checkpoint sidecar so they survive
+        # a restart (train/checkpoint.py::save/restore_session_checkpoint)
+        self.adopted_instances: list[dict] = []
         self.iteration = 0
         self._superstep = None
         self._n_inner = 0

@@ -206,6 +206,41 @@ def test_register_new_instance_recovers_pose(holdout_setup):
     assert res.final_psnr > res.init_psnr, (res.init_psnr, res.final_psnr)
 
 
+def test_build_observation_frames_contract():
+    """Payload validation + frame selection of the ingest path's frame
+    builder (mask pixel-state mapping, loaders' 10-px floor, shape checks)."""
+    from catnerf_tpu.data.camera import CameraInfo
+    from catnerf_tpu.fit import build_observation_frames
+
+    W, H = 48, 36
+    cam = CameraInfo(W, H, 40.0, 40.0, W / 2.0, H / 2.0)
+    n = 3
+    rgb = np.zeros((n, W, H, 3), np.uint8)
+    depth = np.ones((n, W, H), np.float32)
+    mask = np.zeros((n, W, H), np.int8)
+    mask[0, 10:30, 8:28] = 1          # usable
+    mask[0, 5:8, 5:8] = -1            # unknown region
+    mask[1, 0:5, 0:5] = 1             # sub-10-px: skipped
+    # frame 2 empty: skipped
+    T_wc = np.broadcast_to(np.eye(4), (n, 4, 4)).copy()
+
+    frames, frame_info = build_observation_frames(rgb, depth, mask, T_wc,
+                                                  cam, inst_id=7)
+    assert [fi["frame"] for fi in frame_info] == [0]
+    om = frames[0]["obj_mask"]
+    assert om[15, 15] == 7            # this instance
+    assert om[6, 6] == -1             # unknown survives as -1 (state 2)
+    assert om[40, 30] == -2           # other (state 0), never an inst id
+    w0, w1, h0, h1 = frame_info[0]["bbox"]
+    assert w0 <= 10 and w1 >= 30 and h0 <= 8 and h1 >= 28  # enlarged crop
+
+    with pytest.raises(ValueError, match="shapes"):
+        build_observation_frames(rgb[..., :2], depth, mask, T_wc, cam, 7)
+    with pytest.raises(ValueError, match="no usable"):
+        build_observation_frames(rgb, depth, np.zeros_like(mask), T_wc,
+                                 cam, 7)
+
+
 def test_adopt_instance_serves_like_trained():
     """fit -> adopt: the new instance joins the session (grown code tables
     + optimizer moments), renders through the standard orbit path, and the

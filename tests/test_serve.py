@@ -123,6 +123,80 @@ def test_scene_server_sharded_matches_unsharded():
     np.testing.assert_array_equal(img1, img2)
 
 
+def test_ingest_endpoint():
+    """POST /ingest: raw posed RGB-D observations of an unseen instance ->
+    register -> fit -> adopt -> served immediately on the same socket."""
+    import copy
+    import io
+    import urllib.error
+
+    from catnerf_tpu.data.synthetic import make_scene as make_scene3
+
+    cfg = Config()
+    cfg.net_hyperparams.latent_dim = 16
+    cfg.hidden_feature_size_bg = 32
+    # 64x48: at 48x36 the held-out instance's bbox sits exactly at the
+    # loaders' 10-px floor in 2 of 3 frames, so they'd be (correctly) skipped
+    scene = make_scene3(n_frames=3, width=64, height=48, n_categories=1,
+                        insts_per_cat=3, seed=11)
+    cls_id = [c for c in scene.inst_dict if c != 0][0]
+    held_out = sorted(scene.inst_dict[cls_id])[-1]
+    inst_dict_train = copy.deepcopy(scene.inst_dict)
+    del inst_dict_train[cls_id][held_out]
+    from catnerf_tpu.train.loop import TrainingSession as TS
+
+    sess = TS(cfg, inst_dict_train, scene.sample_dict, cam=scene.cam)
+    for _ in range(3):
+        sess.step_once()
+
+    frames = sorted(scene.sample_dict)
+    rgb = np.stack([scene.sample_dict[f]["image"] for f in frames])
+    depth = np.stack([scene.sample_dict[f]["depth"] for f in frames])
+    mask = np.stack([(scene.sample_dict[f]["obj_mask"] == held_out)
+                     for f in frames]).astype(np.int8)
+    T_wc = np.stack([scene.sample_dict[f]["T"] for f in frames])
+    buf = io.BytesIO()
+    np.savez(buf, rgb=rgb, depth=depth, mask=mask, T_wc=T_wc)
+    body = buf.getvalue()
+
+    httpd = serve(sess, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/ingest?cls={cls_id}&steps=20&rays=64", data=body,
+            method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = json.loads(r.read())
+        assert out["adopted"] and out["cls"] == cls_id
+        assert out["frames_used"] == len(frames)
+        new_id = out["id"]
+        assert new_id not in (1, 2)  # fresh id from the flat namespace
+
+        with urllib.request.urlopen(f"{base}/health", timeout=30) as r:
+            assert new_id in json.loads(r.read())["objects"]
+        url = f"{base}/object?id={new_id}&az=30&el=20&w=160&h=120&bins=16"
+        with urllib.request.urlopen(url, timeout=300) as r:
+            assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+
+        # malformed payloads come back as 400s, not dead sockets
+        for bad_url, bad_body in (
+                (f"{base}/ingest?cls={cls_id}", b"not an npz"),
+                (f"{base}/ingest?cls=424242", body),
+                (f"{base}/nope", body)):
+            req = urllib.request.Request(bad_url, data=bad_body,
+                                         method="POST")
+            try:
+                urllib.request.urlopen(req, timeout=300)
+                raise AssertionError(f"{bad_url} should fail")
+            except urllib.error.HTTPError as e:
+                assert e.code in (400, 404)
+    finally:
+        httpd.shutdown()
+
+
 def test_edit_endpoint():
     """/edit: live latent-code editing over HTTP — texture transfer,
     interpolation, category prior; bad requests 400."""
