@@ -236,7 +236,7 @@ def main() -> None:
     enable_compilation_cache()
     from catnerf_tpu.loaders import load_scene
     from catnerf_tpu.train.checkpoint import (latest_checkpoint,
-                                              load_checkpoint)
+                                              restore_session_checkpoint)
     from catnerf_tpu.train.loop import TrainingSession
 
     cfg, inst_dict, sample_dict, cam = load_scene(args.config,
@@ -245,7 +245,7 @@ def main() -> None:
     ckpt = latest_checkpoint(os.path.join(args.logdir, "ckpt"))
     if ckpt is None:
         raise SystemExit(f"no checkpoint under {args.logdir}/ckpt")
-    session.state = load_checkpoint(ckpt, session.state)
+    restore_session_checkpoint(ckpt, session)
 
     if prior_mode:
         if args.cls not in session.cls_ids:

@@ -255,12 +255,37 @@ def adopt_instance(session, cls_id: int, inst_id: int,
     original instances, and mesh-time space carving only knows the
     original views (add the new observations to session.sample_dict if
     they should carve).
+
+    The adoption is recorded in session.adopted_instances;
+    train/checkpoint.py::save_session_checkpoint persists the records as a
+    sidecar so adopted instances survive a restart.
     """
-    from catnerf_tpu.models import codes as codes_mod
     from catnerf_tpu.ops.sim3 import sim3_to_tensor_np
+
+    obj_tensor = sim3_to_tensor_np(np.asarray(result.T_obj, np.float64))
+    rec = {"cls": int(cls_id), "id": int(inst_id),
+           "extent": np.asarray(result.extent, np.float64).tolist(),
+           "obj_tensor": np.asarray(obj_tensor, np.float64).tolist()}
+    _adopt_slot(session, rec, result.shape_code, result.texture_code)
+
+
+def apply_adopted_record(session, rec: dict) -> None:
+    """Re-apply one persisted adoption record to a freshly built session:
+    grows the code tables/optimizer moments and registers the metadata,
+    with ZERO codes at the new slot — the real codes live in the
+    checkpointed params, which restore_session_checkpoint loads right
+    after (the grown template then matches the saved shapes)."""
+    D = session.cfg.net_hyperparams.latent_dim
+    zero = np.zeros(D, np.float32)
+    _adopt_slot(session, rec, zero, zero)
+
+
+def _adopt_slot(session, rec: dict, shape_code, texture_code) -> None:
+    from catnerf_tpu.models import codes as codes_mod
     from catnerf_tpu.train.state import TrainState
     from catnerf_tpu.train.step import make_train_step
 
+    cls_id, inst_id = rec["cls"], rec["id"]
     cat = session.categories[session.cls_ids.index(cls_id)]
     if cat.n_obj <= 1:
         raise ValueError(f"category {cls_id} is single-instance "
@@ -295,9 +320,9 @@ def adopt_instance(session, cls_id: int, inst_id: int,
         max_obj += 1
 
     codes["shape"] = codes["shape"].at[ci, slot].set(
-        jnp.asarray(result.shape_code))
+        jnp.asarray(shape_code))
     codes["texture"] = codes["texture"].at[ci, slot].set(
-        jnp.asarray(result.texture_code))
+        jnp.asarray(texture_code))
     params["codes"] = codes
     session.state = TrainState(params=params, opt_state=opt_state,
                                step=session.state.step)
@@ -305,9 +330,10 @@ def adopt_instance(session, cls_id: int, inst_id: int,
     cat.obj_ids.append(inst_id)
     cat.inst_id_to_index[inst_id] = slot
     cat.n_obj += 1
-    cat.extent_dict[inst_id] = np.asarray(result.extent, np.float64)
-    cat.object_tensor_dict[inst_id] = sim3_to_tensor_np(
-        np.asarray(result.T_obj, np.float64))
+    cat.extent_dict[inst_id] = np.asarray(rec["extent"], np.float64)
+    cat.object_tensor_dict[inst_id] = np.asarray(rec["obj_tensor"],
+                                                 np.float64)
+    session.adopted_instances.append(dict(rec))
 
     session.obj_mask = codes_mod.obj_validity_mask(
         [c.n_obj for c in session.categories], max_n_obj=max_obj)
@@ -496,7 +522,7 @@ def main() -> None:
     enable_compilation_cache()
     from catnerf_tpu.loaders import load_scene
     from catnerf_tpu.train.checkpoint import (latest_checkpoint,
-                                              load_checkpoint)
+                                              restore_session_checkpoint)
     from catnerf_tpu.train.loop import TrainingSession
 
     cfg, inst_dict, sample_dict, cam = load_scene(args.config,
@@ -505,7 +531,7 @@ def main() -> None:
     ckpt = latest_checkpoint(os.path.join(args.logdir, "ckpt"))
     if ckpt is None:
         raise SystemExit(f"no checkpoint under {args.logdir}/ckpt")
-    session.state = load_checkpoint(ckpt, session.state)
+    restore_session_checkpoint(ckpt, session)
 
     if args.cls not in inst_dict or args.obj not in inst_dict[args.cls]:
         raise SystemExit(f"instance {args.obj} of category {args.cls} "

@@ -484,14 +484,15 @@ def main() -> None:
 
     cfg, inst_dict, sample_dict, cam = load_scene(args.config,
                                                   synthetic=args.synthetic)
-    from catnerf_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+    from catnerf_tpu.train.checkpoint import (latest_checkpoint,
+                                              restore_session_checkpoint)
     from catnerf_tpu.train.loop import TrainingSession
 
     session = TrainingSession(cfg, inst_dict, sample_dict, cam=cam)
     ckpt = latest_checkpoint(os.path.join(args.logdir, "ckpt"))
     if ckpt is None:
         raise SystemExit(f"no checkpoint under {args.logdir}/ckpt")
-    session.state = load_checkpoint(ckpt, session.state)
+    restore_session_checkpoint(ckpt, session)
     out = args.out or os.path.join(args.logdir, "renders")
     written = render_session_orbits(
         session, out, n_views=args.n_views, width=args.width,

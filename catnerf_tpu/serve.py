@@ -26,13 +26,16 @@ Endpoints (all GET, images as PNG):
                                       (swap/interp/category-prior codes)
 
 POST /ingest?cls=<cls_id>[&id=N][&steps=600][&rays=360][&accumulate=direct|tsdf]
+            [&save=0]
   Body: an .npz with rgb [n,W,H,3] u8, depth [n,W,H] f32 (meters), mask
   [n,W,H] (>0 this instance, 0 other, <0 unknown), T_wc [n,4,4] — the
   repo's transposed (W,H) layout at the session camera's resolution.
   Runs the full new-scan workflow (fit.ingest_new_instance): unproject ->
   register to the category's canonical union -> fit codes + pose against
   the frozen MLP -> adopt into the live session. Returns the summary JSON;
-  the new id serves immediately via /object, /edit, and /scene.
+  the new id serves immediately via /object, /edit, and /scene. The
+  adoption is persisted as a new checkpoint iteration + adopted-sidecar
+  (survives a server restart) unless save=0.
 
 CLI: python -m catnerf_tpu.serve --logdir <dir> [--synthetic | --config
 <json>] [--port 8765]
@@ -74,12 +77,15 @@ class SceneServer:
     """Render dispatch for one trained session (serial; not thread-safe —
     pair with a single-threaded HTTPServer)."""
 
-    def __init__(self, session, device_mesh=None):
+    def __init__(self, session, device_mesh=None, ckpt_dir=None):
         self.session = session
         self.cfg = session.cfg
         # scene composites shard their point tiles over this mesh
         # (render_views._scene_render_program; identical pixels)
         self.device_mesh = device_mesh
+        # when set, /ingest persists the adopted session as a NEW
+        # checkpoint iteration here (adoptees then survive a restart)
+        self.ckpt_dir = ckpt_dir
 
     @property
     def _objects(self):
@@ -174,7 +180,7 @@ class SceneServer:
                    if k not in payload]
         if missing:
             raise ValueError(f".npz payload missing arrays: {missing}")
-        return fit_mod.ingest_new_instance(
+        out = fit_mod.ingest_new_instance(
             self.session, int(q["cls"]),
             payload["rgb"], payload["depth"], payload["mask"],
             payload["T_wc"],
@@ -182,6 +188,18 @@ class SceneServer:
             steps=int(q.get("steps", 600)),
             n_rays=int(q.get("rays", 360)),
             accumulate=q.get("accumulate", "direct"))
+        # persist the adoption (save=0 opts out): a NEW checkpoint
+        # iteration + adopted-sidecar, so a restarted server (which
+        # restores via restore_session_checkpoint) still has the instance
+        if self.ckpt_dir is not None and q.get("save", "1") != "0":
+            from catnerf_tpu.train.checkpoint import (
+                latest_checkpoint, save_session_checkpoint)
+
+            latest = latest_checkpoint(self.ckpt_dir)
+            it = (int(os.path.basename(latest)) if latest else 0) + 1
+            out["checkpoint"] = save_session_checkpoint(
+                self.ckpt_dir, self.session, it)
+        return out
 
     def _scene_far(self) -> float:
         bound = (self.session.background.bound
@@ -363,14 +381,15 @@ def main() -> None:
 
     cfg, inst_dict, sample_dict, cam = load_scene(args.config,
                                                   synthetic=args.synthetic)
-    from catnerf_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+    from catnerf_tpu.train.checkpoint import (latest_checkpoint,
+                                              restore_session_checkpoint)
     from catnerf_tpu.train.loop import TrainingSession
 
     session = TrainingSession(cfg, inst_dict, sample_dict, cam=cam)
     ckpt = latest_checkpoint(os.path.join(args.logdir, "ckpt"))
     if ckpt is None:
         raise SystemExit(f"no checkpoint under {args.logdir}/ckpt")
-    session.state = load_checkpoint(ckpt, session.state)
+    restore_session_checkpoint(ckpt, session)
 
     device_mesh = None
     if args.sharded:
@@ -384,7 +403,8 @@ def main() -> None:
                   f"{device_mesh.devices.size} devices")
         else:
             print("--sharded: single device visible, running unsharded")
-    scene_server = SceneServer(session, device_mesh=device_mesh)
+    scene_server = SceneServer(session, device_mesh=device_mesh,
+                               ckpt_dir=os.path.join(args.logdir, "ckpt"))
     if args.warmup:
         import time as _time
 

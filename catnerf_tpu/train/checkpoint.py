@@ -55,6 +55,40 @@ def latest_checkpoint(ckpt_dir: str) -> str | None:
     return os.path.join(ckpt_dir, max(steps, key=int))
 
 
+def save_session_checkpoint(ckpt_dir: str, session, iteration: int) -> str:
+    """save_checkpoint + an `<iteration>.adopted.json` sidecar recording
+    instances written post-training by fit.adopt_instance, in adoption
+    order. Without the sidecar a restart loses adoptees entirely: the
+    fresh session's code tables have neither their (possibly grown) shape
+    nor their sim(3)/extent metadata."""
+    import json
+
+    path = save_checkpoint(ckpt_dir, session.state, iteration)
+    adopted = getattr(session, "adopted_instances", [])
+    if adopted:
+        with open(f"{path}.adopted.json", "w") as f:
+            json.dump(adopted, f)
+    return path
+
+
+def restore_session_checkpoint(path: str, session) -> None:
+    """Restore a session from a checkpoint saved by save_session_checkpoint
+    (or plain save_checkpoint): re-applies any persisted adoption records
+    to the freshly built session FIRST — growing its code tables and
+    registering pose/extent metadata so the template's shapes match the
+    saved state — then loads the train state in place."""
+    import json
+
+    sidecar = f"{path}.adopted.json"
+    if os.path.exists(sidecar):
+        from catnerf_tpu.fit import apply_adopted_record
+
+        with open(sidecar) as f:
+            for rec in json.load(f):
+                apply_adopted_record(session, rec)
+    session.state = load_checkpoint(path, session.state)
+
+
 # ---------------------------------------------------------------------------
 # Reference-format conversion
 # ---------------------------------------------------------------------------

@@ -105,7 +105,7 @@ def main():
     if args.resume:
         latest = ckpt_mod.latest_checkpoint(ckpt_dir)
         if latest is not None:
-            session.state = ckpt_mod.load_checkpoint(latest, session.state)
+            ckpt_mod.restore_session_checkpoint(latest, session)
             start = int(session.state.step)
             session.iteration = start
             print(f"resumed from {latest} at iteration {start}")
@@ -173,8 +173,8 @@ def main():
             # absorbed up to two further (possibly NaN-poisoned) updates —
             # label the snapshot with its true iteration and say so.
             it_state = session.iteration
-            path = ckpt_mod.save_checkpoint(ckpt_dir, session.state,
-                                            it_state)
+            path = ckpt_mod.save_session_checkpoint(ckpt_dir, session,
+                                                    it_state)
             writer.close()
             raise SystemExit(
                 f"loss explosion detected at iteration {it0} "
@@ -192,7 +192,7 @@ def main():
             print(f"iter {it}: loss={float(metrics.total):.3f} "
                   f"psnr={psnr:.2f}{bg}")
         if it % cfg.save_iter == 0:
-            path = ckpt_mod.save_checkpoint(ckpt_dir, session.state, it)
+            path = ckpt_mod.save_session_checkpoint(ckpt_dir, session, it)
             print(f"saved checkpoint {path}")
         if it % cfg.mesh_it == 0:
             written = mesh_scene(session, mesh_dir, it,
