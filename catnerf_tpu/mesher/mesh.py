@@ -105,16 +105,27 @@ class TriMesh:
 
     def export_obj(self, path: str) -> None:
         with open(path, "w") as f:
-            f.write("# catnerf_tpu mesh\n")
-            if self.vertex_colors is not None:
-                c = self.vertex_colors.astype(np.float64) / 255.0
-                for v, col in zip(self.vertices, c):
-                    f.write(f"v {v[0]} {v[1]} {v[2]} {col[0]} {col[1]} {col[2]}\n")
-            else:
-                for v in self.vertices:
-                    f.write(f"v {v[0]} {v[1]} {v[2]}\n")
-            for tri in self.faces + 1:
-                f.write(f"f {tri[0]} {tri[1]} {tri[2]}\n")
+            self._write_obj(f)
+
+    def obj_bytes(self) -> bytes:
+        """The .obj file as bytes (for serving without touching disk)."""
+        import io
+
+        s = io.StringIO()
+        self._write_obj(s)
+        return s.getvalue().encode()
+
+    def _write_obj(self, f) -> None:
+        f.write("# catnerf_tpu mesh\n")
+        if self.vertex_colors is not None:
+            c = self.vertex_colors.astype(np.float64) / 255.0
+            for v, col in zip(self.vertices, c):
+                f.write(f"v {v[0]} {v[1]} {v[2]} {col[0]} {col[1]} {col[2]}\n")
+        else:
+            for v in self.vertices:
+                f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for tri in self.faces + 1:
+            f.write(f"f {tri[0]} {tri[1]} {tri[2]}\n")
 
     def export_ply(self, path: str) -> None:
         n_v, n_f = len(self.vertices), len(self.faces)

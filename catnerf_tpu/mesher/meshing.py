@@ -338,6 +338,81 @@ def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
     return mesh
 
 
+def build_carve_views(session):
+    """Carve-view tuple (depths, T_wc, cam) from the session's training
+    views, or None when cfg.mesh_space_carving is off / no views exist."""
+    cfg = session.cfg
+    if not (cfg.mesh_space_carving and getattr(session, "sample_dict", None)):
+        return None
+    frames = sorted(session.sample_dict.keys())
+    # subsample views: carving converges quickly with a handful
+    frames = frames[:: max(1, len(frames) // 12)]
+    depths = np.stack(
+        [np.asarray(session.sample_dict[f]["depth"]) for f in frames])
+    T_wc = np.stack(
+        [np.asarray(session.sample_dict[f]["T"]) for f in frames])
+    return (depths, T_wc, session.cam)
+
+
+def mesh_object(session, obj_id: int, *, carve="auto",
+                device_mesh=None):
+    """Mesh ONE object (obj_id 0 = background) in SCENE frame — the
+    per-object body of mesh_scene, exposed so serving (/mesh) can extract
+    a single object without meshing the whole scene. Returns a TriMesh or
+    None (marching failure / missing bound). carve='auto' derives the
+    space-carving views from the session; pass a prebuilt tuple (or None)
+    when meshing many objects."""
+    cfg = session.cfg
+    if carve == "auto":
+        carve = build_carve_views(session)
+
+    if obj_id == 0:
+        if session.background is None or session.background.bound is None:
+            return None
+        bound = session.background.bound
+        dim = adaptive_grid_dim(bound.extent, cfg.live_voxel_size,
+                                cfg.grid_dim)
+        return mesh_field(session.background_params(), cfg, grid_dim=dim,
+                          is_background=True, bound=bound,
+                          device_mesh=device_mesh)
+
+    for cls_id, cat in zip(session.cls_ids, session.categories):
+        if obj_id in cat.inst_id_to_index:
+            break
+    else:
+        raise KeyError(f"unknown object id {obj_id}")
+    params = session.category_params(cls_id)
+    multi = cat.n_obj > 1
+    k = cat.inst_id_to_index[obj_id]
+    sc = np.asarray(params["shape_codes"][k])
+    tc = np.asarray(params["texture_codes"][k])
+    if multi:
+        extent = cat.extent_dict[obj_id]
+        dim = adaptive_grid_dim(extent, cfg.live_voxel_size, cfg.grid_dim)
+        obj_tensor = cat.object_tensor_dict[obj_id]
+        T_world = tensor_to_se3_np(obj_tensor[1:])
+        T_world = T_world.copy()
+        T_world[:3, :3] *= float(obj_tensor[0])  # sim(3) scale
+        mesh = mesh_field(params, cfg, grid_dim=dim,
+                          is_background=False, shape_code=sc,
+                          texture_code=tc, extent=extent,
+                          carve=carve, world_transform=T_world,
+                          device_mesh=device_mesh)
+        if mesh is not None:
+            # canonical -> scene: sim(3) scale then rigid transform
+            # (ref: train.py:233-243)
+            mesh.apply_scale(float(obj_tensor[0]))
+            mesh.apply_transform(tensor_to_se3_np(obj_tensor[1:]))
+        return mesh
+    bound = cat.bound_dict.get(obj_id)
+    if bound is None:
+        return None
+    dim = adaptive_grid_dim(bound.extent, cfg.live_voxel_size, cfg.grid_dim)
+    return mesh_field(params, cfg, grid_dim=dim, is_background=False,
+                      shape_code=sc, texture_code=tc, bound=bound,
+                      carve=carve, device_mesh=device_mesh)
+
+
 def mesh_scene(session, out_dir: str, iteration: int,
                device_mesh=None) -> dict[int, str]:
     """Mesh every object + background and export .obj files in scene frame
@@ -347,72 +422,20 @@ def mesh_scene(session, out_dir: str, iteration: int,
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    cfg = session.cfg
     written: dict[int, str] = {}
+    carve = build_carve_views(session)
 
-    carve = None
-    if cfg.mesh_space_carving and getattr(session, "sample_dict", None):
-        frames = sorted(session.sample_dict.keys())
-        # subsample views: carving converges quickly with a handful
-        frames = frames[:: max(1, len(frames) // 12)]
-        depths = np.stack(
-            [np.asarray(session.sample_dict[f]["depth"]) for f in frames])
-        T_wc = np.stack(
-            [np.asarray(session.sample_dict[f]["T"]) for f in frames])
-        carve = (depths, T_wc, session.cam)
-
-    if session.background is not None and session.background.bound is not None:
-        bound = session.background.bound
-        dim = adaptive_grid_dim(bound.extent, cfg.live_voxel_size, cfg.grid_dim)
-        mesh = mesh_field(session.background_params(), cfg, grid_dim=dim,
-                          is_background=True, bound=bound,
-                          device_mesh=device_mesh)
-        if mesh is not None:
-            path = os.path.join(out_dir, f"iteration_{iteration}_obj0.obj")
-            mesh.export(path)
-            written[0] = path
-
-    for cls_id in session.cls_ids:
-        cat = session.categories[session.cls_ids.index(cls_id)]
-        params = session.category_params(cls_id)
-        multi = cat.n_obj > 1
-        for obj_id in cat.obj_ids:
-            k = cat.inst_id_to_index[obj_id]
-            sc = np.asarray(params["shape_codes"][k])
-            tc = np.asarray(params["texture_codes"][k])
-            if multi:
-                extent = cat.extent_dict[obj_id]
-                dim = adaptive_grid_dim(extent, cfg.live_voxel_size, cfg.grid_dim)
-                obj_tensor = cat.object_tensor_dict[obj_id]
-                T_world = tensor_to_se3_np(obj_tensor[1:])
-                T_world = T_world.copy()
-                T_world[:3, :3] *= float(obj_tensor[0])  # sim(3) scale
-                mesh = mesh_field(params, cfg, grid_dim=dim,
-                                  is_background=False, shape_code=sc,
-                                  texture_code=tc, extent=extent,
-                                  carve=carve, world_transform=T_world,
-                                  device_mesh=device_mesh)
-            else:
-                bound = cat.bound_dict.get(obj_id)
-                if bound is None:
-                    continue
-                dim = adaptive_grid_dim(bound.extent, cfg.live_voxel_size,
-                                        cfg.grid_dim)
-                mesh = mesh_field(params, cfg, grid_dim=dim,
-                                  is_background=False, shape_code=sc,
-                                  texture_code=tc, bound=bound, carve=carve,
-                                  device_mesh=device_mesh)
-            if mesh is None:
+    obj_ids = [0] + [obj_id for cat in session.categories
+                     for obj_id in cat.obj_ids]
+    for obj_id in obj_ids:
+        mesh = mesh_object(session, obj_id, carve=carve,
+                           device_mesh=device_mesh)
+        if mesh is None:
+            if obj_id != 0:
                 print(f"mesh failed obj {obj_id}")
-                continue
-            if multi:
-                # canonical -> scene: sim(3) scale then rigid transform
-                # (ref: train.py:233-243)
-                obj_tensor = cat.object_tensor_dict[obj_id]
-                mesh.apply_scale(float(obj_tensor[0]))
-                mesh.apply_transform(tensor_to_se3_np(obj_tensor[1:]))
-            path = os.path.join(out_dir,
-                                f"iteration_{iteration}_obj{obj_id}.obj")
-            mesh.export(path)
-            written[obj_id] = path
+            continue
+        path = os.path.join(out_dir,
+                            f"iteration_{iteration}_obj{obj_id}.obj")
+        mesh.export(path)
+        written[obj_id] = path
     return written

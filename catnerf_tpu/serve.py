@@ -2,10 +2,11 @@
 
 Serves novel-view renders of a trained checkpoint over HTTP — the
 deployment surface the reference lacks entirely (its only outputs are
-offline mesh files, ref: src/trainer.py:62-123, train.py:214-243). Requests are handled serially (one device, one compiled
-render program), so the server is a thin stateless façade over
-catnerf_tpu.render_views; renders of a given size reuse the same compiled
-XLA programs after the first request.
+offline mesh files, ref: src/trainer.py:62-123, train.py:214-243).
+The server is threaded, but device work (renders, mesh extraction,
+ingest) serializes on one lock — one device, one session — while
+/health stays lock-free and responsive; renders of a given size reuse
+the same compiled XLA programs after the first request.
 
 Requested w/h/bins snap to a whitelist (160x120..1280x960; 16..192 bins):
 each distinct shape compiles one cached XLA program, so free-form sizes
@@ -24,6 +25,9 @@ Endpoints (all GET, images as PNG):
   /edit?id=<obj_id>[&shape_from=B][&texture_from=B][&interp=B&t=0.5]
        [&mean=1][orbit params]     -> live latent-code edit of one object
                                       (swap/interp/category-prior codes)
+  /mesh?id=<obj_id>                -> scene-frame colored .obj extracted
+                                      live from the field (0 = background;
+                                      cached per state version)
 
 POST /ingest?cls=<cls_id>[&id=N][&steps=600][&rays=360][&accumulate=direct|tsdf]
             [&save=0]
@@ -45,7 +49,9 @@ from __future__ import annotations
 
 import json
 import os
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import threading
+from http.server import (BaseHTTPRequestHandler, HTTPServer,
+                         ThreadingHTTPServer)
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
@@ -74,8 +80,11 @@ def _png(img: np.ndarray) -> bytes:
 
 
 class SceneServer:
-    """Render dispatch for one trained session (serial; not thread-safe —
-    pair with a single-threaded HTTPServer)."""
+    """Render dispatch for one trained session. Device work (renders,
+    mesh extraction, ingest) serializes on self.lock — one device, one
+    session — while metadata reads (/health) stay lock-free, so a
+    100-second ingest never blocks a liveness probe. The handler takes
+    the lock; calling methods directly (tests, warmup) needs none."""
 
     def __init__(self, session, device_mesh=None, ckpt_dir=None):
         self.session = session
@@ -86,6 +95,11 @@ class SceneServer:
         # when set, /ingest persists the adopted session as a NEW
         # checkpoint iteration here (adoptees then survive a restart)
         self.ckpt_dir = ckpt_dir
+        # /mesh results keyed by (obj_id, state version): extraction costs
+        # seconds, the fields only change on ingest (serving never trains)
+        self._mesh_cache: dict = {}
+        # serializes device work across handler threads (see class doc)
+        self.lock = threading.RLock()
 
     @property
     def _objects(self):
@@ -201,6 +215,36 @@ class SceneServer:
                 self.ckpt_dir, self.session, it)
         return out
 
+    def mesh_obj(self, obj_id: int) -> bytes:
+        """GET /mesh — scene-frame colored .obj of one object (0 =
+        background), extracted live from the field (mesher/meshing.py::
+        mesh_object: adaptive grid, space carving, sim(3) scene
+        transform). Cached per (object, state version) — the fields only
+        change via /ingest, so repeat requests are free."""
+        if obj_id != 0 and obj_id not in self._objects:
+            raise ValueError(f"unknown object id {obj_id}")
+        ver = (int(self.session.state.step),
+               len(getattr(self.session, "adopted_instances", [])))
+        key = (obj_id, ver)
+        data = self._mesh_cache.get(key)
+        if data is None:
+            from catnerf_tpu.mesher.meshing import mesh_object
+
+            mesh = mesh_object(self.session, obj_id,
+                               device_mesh=self.device_mesh)
+            if mesh is None:
+                raise ValueError(f"object {obj_id} produced no surface")
+            data = mesh.obj_bytes()
+            # bound host memory by BYTES, not entries: a background mesh
+            # at 5 mm voxels serializes to hundreds of MB
+            budget = 512 << 20
+            while (self._mesh_cache and sum(
+                    len(v) for v in self._mesh_cache.values())
+                    + len(data) > budget):
+                self._mesh_cache.pop(next(iter(self._mesh_cache)))
+            self._mesh_cache[key] = data
+        return data
+
     def _scene_far(self) -> float:
         bound = (self.session.background.bound
                  if self.session.background is not None else None)
@@ -270,41 +314,53 @@ def make_handler(server: SceneServer):
                              _SIZES)
                 bins = _snap(int(q.get("bins", 64)), _BINS)
                 if u.path == "/health":
+                    # lock-free: stays responsive during long device work
                     self._json(200, {"ok": True,
                                      "objects": server.object_ids()})
                 elif u.path == "/object":
-                    img = server.render_object(
-                        int(q["id"]), float(q.get("az", 0.0)),
-                        float(q.get("el", 25.0)),
-                        float(q["radius"]) if "radius" in q else None,
-                        w, h, bins)
+                    with server.lock:
+                        img = server.render_object(
+                            int(q["id"]), float(q.get("az", 0.0)),
+                            float(q.get("el", 25.0)),
+                            float(q["radius"]) if "radius" in q else None,
+                            w, h, bins)
                     self._reply(200, _png(img), "image/png")
                 elif u.path == "/edit":
-                    img = server.render_object_edit(
-                        int(q["id"]), float(q.get("az", 0.0)),
-                        float(q.get("el", 25.0)),
-                        float(q["radius"]) if "radius" in q else None,
-                        w, h, bins,
-                        shape_from=(int(q["shape_from"])
-                                    if "shape_from" in q else None),
-                        texture_from=(int(q["texture_from"])
-                                      if "texture_from" in q else None),
-                        interp=int(q["interp"]) if "interp" in q else None,
-                        t=float(q.get("t", 0.5)),
-                        mean=q.get("mean", "0") not in ("0", "", "false"))
+                    with server.lock:
+                        img = server.render_object_edit(
+                            int(q["id"]), float(q.get("az", 0.0)),
+                            float(q.get("el", 25.0)),
+                            float(q["radius"]) if "radius" in q else None,
+                            w, h, bins,
+                            shape_from=(int(q["shape_from"])
+                                        if "shape_from" in q else None),
+                            texture_from=(int(q["texture_from"])
+                                          if "texture_from" in q else None),
+                            interp=(int(q["interp"])
+                                    if "interp" in q else None),
+                            t=float(q.get("t", 0.5)),
+                            mean=q.get("mean", "0") not in ("0", "",
+                                                            "false"))
                     self._reply(200, _png(img), "image/png")
                 elif u.path == "/scene":
-                    if "frame" in q:
-                        img = server.render_scene_frame(int(q["frame"]),
-                                                        w, h, bins)
-                    else:
-                        center = (float(q.get("cx", 0.0)),
-                                  float(q.get("cy", 0.0)),
-                                  float(q.get("cz", 0.0)))
-                        img = server.render_scene_orbit(
-                            float(q.get("az", 0.0)), float(q.get("el", 25.0)),
-                            float(q.get("radius", 4.0)), center, w, h, bins)
+                    with server.lock:
+                        if "frame" in q:
+                            img = server.render_scene_frame(
+                                int(q["frame"]), w, h, bins)
+                        else:
+                            center = (float(q.get("cx", 0.0)),
+                                      float(q.get("cy", 0.0)),
+                                      float(q.get("cz", 0.0)))
+                            img = server.render_scene_orbit(
+                                float(q.get("az", 0.0)),
+                                float(q.get("el", 25.0)),
+                                float(q.get("radius", 4.0)), center,
+                                w, h, bins)
                     self._reply(200, _png(img), "image/png")
+                elif u.path == "/mesh":
+                    with server.lock:
+                        data = server.mesh_obj(int(q["id"]))
+                    self._reply(200, data, "model/obj")
                 else:
                     self._json(404, {"error": f"unknown path {u.path}"})
             except (KeyError, ValueError) as e:
@@ -328,7 +384,10 @@ def make_handler(server: SceneServer):
                 if n > self._MAX_INGEST_BYTES:
                     raise ValueError(f"body too large ({n} bytes; cap "
                                      f"{self._MAX_INGEST_BYTES})")
-                self._json(200, server.ingest(self.rfile.read(n), q))
+                body = self.rfile.read(n)
+                with server.lock:  # ingest mutates the session
+                    out = server.ingest(body, q)
+                self._json(200, out)
             except (KeyError, ValueError) as e:
                 self._json(400, {"error": repr(e)})
             except Exception as e:  # pragma: no cover - defensive
@@ -351,9 +410,13 @@ def warmup(server: SceneServer, width: int = 320, height: int = 240,
 
 def serve(session, port: int = 8765, host: str = "127.0.0.1",
           scene_server: SceneServer | None = None) -> HTTPServer:
-    """Build the (not-yet-running) single-threaded HTTP server."""
+    """Build the (not-yet-running) HTTP server. Threaded: device work
+    serializes on the SceneServer lock, but /health (and reading request
+    bodies) proceed concurrently, so liveness probes are never starved by
+    a long render or ingest."""
     scene_server = scene_server or SceneServer(session)
-    httpd = HTTPServer((host, port), make_handler(scene_server))
+    httpd = ThreadingHTTPServer((host, port), make_handler(scene_server))
+    httpd.daemon_threads = True
     return httpd
 
 

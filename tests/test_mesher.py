@@ -116,6 +116,47 @@ def test_mesh_field_and_eval(trained_session, tmp_path):
         assert res["completion"] < 15.0, res
 
 
+def test_mesh_object_matches_mesh_scene_and_serves(trained_session,
+                                                   tmp_path):
+    """mesh_object (the per-object extraction /mesh serves) produces
+    byte-identical .obj content to the mesh_scene export, over HTTP too."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from catnerf_tpu.serve import SceneServer, serve
+
+    sess, scene = trained_session
+    written = meshing.mesh_scene(sess, str(tmp_path), iteration=601)
+    assert written
+
+    server = SceneServer(sess)
+    httpd = serve(sess, port=0, scene_server=server)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        for obj_id, path in written.items():
+            with open(path, "rb") as f:
+                on_disk = f.read()
+            url = f"http://127.0.0.1:{port}/mesh?id={obj_id}"
+            with urllib.request.urlopen(url, timeout=300) as r:
+                assert r.headers["Content-Type"] == "model/obj"
+                assert r.read() == on_disk
+            # second request is a cache hit (same bytes object)
+            assert server.mesh_obj(obj_id) is server.mesh_obj(obj_id)
+
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/mesh?id=424242", timeout=60)
+            raise AssertionError("unknown id should 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "unknown object" in json.loads(e.read())["error"]
+    finally:
+        httpd.shutdown()
+
+
 def test_adaptive_grid_dim():
     # 1.0 // 0.005 = 199 in binary float (the reference's formula has the
     # same behavior, train.py:220)

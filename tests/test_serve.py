@@ -123,6 +123,55 @@ def test_scene_server_sharded_matches_unsharded():
     np.testing.assert_array_equal(img1, img2)
 
 
+def test_threaded_serving_health_never_blocks():
+    """The server is threaded with device work serialized on server.lock:
+    /health answers while the lock is held (a long render/ingest in
+    flight), and concurrent device requests all succeed, serialized."""
+    import concurrent.futures as cf
+    import time
+
+    from catnerf_tpu.serve import SceneServer
+
+    sess = _session()
+    server = SceneServer(sess)
+    httpd = serve(sess, port=0, scene_server=server)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        obj = server.object_ids()[0]
+        url = f"{base}/object?id={obj}&az=10&el=20&w=160&h=120&bins=16"
+        with urllib.request.urlopen(url, timeout=300) as r:
+            r.read()  # compile the program before the timed phase
+
+        # hold the device lock (simulating a long ingest): /health still
+        # answers within a tight timeout, /object queues behind the lock
+        with server.lock:
+            t0 = time.time()
+            with urllib.request.urlopen(f"{base}/health", timeout=10) as r:
+                assert json.loads(r.read())["ok"]
+            assert time.time() - t0 < 10.0
+            pool = cf.ThreadPoolExecutor(2)
+            fut = pool.submit(
+                lambda: urllib.request.urlopen(url, timeout=300).read())
+            time.sleep(0.3)
+            assert not fut.done()  # blocked on the held lock
+        png = fut.result(timeout=300)  # lock released -> completes
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+        # concurrent device requests: all succeed
+        urls = [f"{base}/object?id={obj}&az={a}&el=20&w=160&h=120&bins=16"
+                for a in (0, 40, 80, 120)]
+        with cf.ThreadPoolExecutor(4) as ex:
+            outs = list(ex.map(
+                lambda u: urllib.request.urlopen(u, timeout=300).read(),
+                urls))
+        assert all(o[:8] == b"\x89PNG\r\n\x1a\n" for o in outs)
+    finally:
+        httpd.shutdown()
+
+
 def test_ingest_endpoint():
     """POST /ingest: raw posed RGB-D observations of an unseen instance ->
     register -> fit -> adopt -> served immediately on the same socket."""
