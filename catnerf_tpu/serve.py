@@ -13,6 +13,9 @@ each distinct shape compiles one cached XLA program, so free-form sizes
 would grow compile stalls and program memory without bound.
 
 Endpoints (all GET, images as PNG):
+  /  (or /viewer)                  -> built-in browser viewer: orbit
+                                      sliders driving /object and /scene
+                                      (inline HTML/JS, no external assets)
   /health                          -> {"ok": true, "objects": [...]}
   /object?id=<obj_id>&az=<deg>&el=<deg>[&radius=R][&w=W&h=H][&bins=B]
                                    -> orbit render of one object
@@ -278,6 +281,94 @@ class SceneServer:
 _SIZES = ((160, 120), (320, 240), (640, 480), (1280, 960))
 _BINS = (16, 32, 64, 96, 128, 192)
 
+# Zero-dependency browser viewer served at "/": orbit sliders driving the
+# /object, /edit and /scene endpoints (images re-requested on input; the
+# server's program cache makes repeat sizes cheap). Plain inline HTML/JS —
+# no external assets, works with zero egress.
+_VIEWER_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>catnerf_tpu viewer</title><style>
+body{font-family:system-ui,sans-serif;margin:1.2rem;background:#16181d;
+color:#dfe3ea}
+fieldset{border:1px solid #394050;border-radius:6px;margin-bottom:.8rem}
+label{margin-right:1rem;white-space:nowrap}
+select,input{margin-left:.25rem}
+#view{border:1px solid #394050;border-radius:4px;margin-top:.4rem;
+image-rendering:auto;max-width:95vw}
+#status{color:#8b93a7;font-size:.85rem;margin-left:.6rem}
+a{color:#7aa2f7}
+</style></head><body>
+<h3 style="margin-top:0">catnerf_tpu live viewer</h3>
+<fieldset><legend>target</legend>
+<label>mode <select id="mode">
+  <option value="object">object orbit</option>
+  <option value="scene">scene orbit</option>
+  <option value="frame">scene from dataset pose</option>
+</select></label>
+<label id="l_obj">object <select id="obj"></select></label>
+<label id="l_frame" hidden>frame <input id="frame" type="number" value="0"
+ min="0" style="width:4rem"></label>
+<label>size <select id="size">
+  <option>160x120</option><option selected>320x240</option>
+  <option>640x480</option><option>1280x960</option></select></label>
+<label>bins <select id="bins"><option>16</option><option>32</option>
+  <option selected>64</option><option>96</option><option>128</option>
+  <option>192</option></select></label>
+</fieldset>
+<fieldset><legend>camera</legend>
+<label>az <input id="az" type="range" min="0" max="360" value="30"></label>
+<label>el <input id="el" type="range" min="-80" max="80" value="25"></label>
+<label>radius <input id="radius" type="number" step="0.1" min="0"
+ placeholder="auto" style="width:4.5rem"></label>
+<span id="status"></span>
+</fieldset>
+<img id="view" alt="render">
+<p>endpoints: <a href="/health">/health</a> /object /scene /edit /mesh
+ (GET /mesh?id=N downloads the colored .obj) — POST /ingest adds a new
+ instance from posed RGB-D observations.</p>
+<script>
+const $=id=>document.getElementById(id);
+let inflight=false, dirty=false;
+function url(){
+  const [w,h]=$("size").value.split("x"), b=$("bins").value;
+  const az=$("az").value, el=$("el").value, r=$("radius").value;
+  const rq=r?`&radius=${r}`:"";
+  if($("mode").value==="frame")
+    return `/scene?frame=${$("frame").value}&w=${w}&h=${h}&bins=${b}`;
+  if($("mode").value==="scene")
+    return `/scene?az=${az}&el=${el}${r?`&radius=${r}`:"&radius=4"}`+
+           `&w=${w}&h=${h}&bins=${b}`;
+  return `/object?id=${$("obj").value}&az=${az}&el=${el}${rq}`+
+         `&w=${w}&h=${h}&bins=${b}`;
+}
+function refresh(){
+  if(inflight){dirty=true;return}
+  inflight=true; $("status").textContent="rendering...";
+  const t0=performance.now(), u=url();
+  const img=new Image();
+  img.onload=()=>{$("view").src=img.src;
+    $("status").textContent=`${((performance.now()-t0)/1000).toFixed(2)} s`;
+    inflight=false; if(dirty){dirty=false;refresh()}};
+  img.onerror=()=>{$("status").textContent="error (see server log)";
+    inflight=false};
+  img.src=u+`&_=${Date.now()}`;
+}
+function modeChanged(){
+  $("l_obj").hidden=$("mode").value!=="object";
+  $("l_frame").hidden=$("mode").value!=="frame";
+  refresh();
+}
+for(const id of ["obj","frame","size","bins","az","el","radius"])
+  $(id).addEventListener("change",refresh);
+$("mode").addEventListener("change",modeChanged);
+fetch("/health").then(r=>r.json()).then(h=>{
+  for(const o of h.objects){
+    const e=document.createElement("option");e.textContent=o;
+    $("obj").appendChild(e);}
+  refresh();
+});
+</script></body></html>
+"""
+
 
 def _snap(value, allowed):
     """Nearest allowed value (tuples compare by their first element)."""
@@ -313,7 +404,12 @@ def make_handler(server: SceneServer):
                 w, h = _snap((int(q.get("w", 320)), int(q.get("h", 240))),
                              _SIZES)
                 bins = _snap(int(q.get("bins", 64)), _BINS)
-                if u.path == "/health":
+                if u.path in ("/", "/viewer"):
+                    # lock-free static page; the images it requests go
+                    # through the normal locked endpoints
+                    self._reply(200, _VIEWER_HTML.encode(),
+                                "text/html; charset=utf-8")
+                elif u.path == "/health":
                     # lock-free: stays responsive during long device work
                     self._json(200, {"ok": True,
                                      "objects": server.object_ids()})
@@ -478,7 +574,7 @@ def main() -> None:
                   scene_server=scene_server)
     print(f"serving {len(session.cls_ids)} categories on "
           f"http://{args.host}:{args.port} "
-          f"(endpoints: /health /object /scene /edit)")
+          f"(endpoints: /health /object /scene /edit /mesh /ingest)")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

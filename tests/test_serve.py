@@ -71,6 +71,26 @@ def test_serve_endpoints():
         httpd.shutdown()
 
 
+def test_viewer_page():
+    """GET / (and /viewer) serves the built-in HTML viewer, lock-free."""
+    sess = _session()
+    httpd = serve(sess, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        for path in ("/", "/viewer"):
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}", timeout=30) as r:
+                assert r.headers["Content-Type"].startswith("text/html")
+                page = r.read().decode()
+            # the page drives the real endpoints
+            for ep in ("/health", "/object", "/scene"):
+                assert ep in page
+    finally:
+        httpd.shutdown()
+
+
 def test_size_snapping_whitelist():
     from catnerf_tpu.serve import _BINS, _SIZES, _snap
 
