@@ -88,6 +88,84 @@ def _so3_exp(w: jnp.ndarray) -> jnp.ndarray:
             + (1.0 - jnp.cos(th)) / (th2 + 1e-12) * (K @ K))
 
 
+class _FitStatics(NamedTuple):
+    """Hashable scalar config for the module-level jitted fit superstep.
+    Everything data-like (ray arrays, frozen PE/MLP params, valid-row
+    count) is a traced ARGUMENT instead of a Python closure: a closure
+    would bake the arrays into the lowered module as dense constants, so
+    neither the in-process jit cache nor the persistent compilation cache
+    could ever hit across fits — every /ingest request would pay a full
+    fresh XLA compile (20-45 s, or minutes on an axon stall)."""
+    n_rays: int
+    n_inner: int
+    optimize_pose: bool
+    lr: float
+    n_bins_cam2surface: int
+    n_bins: int
+    min_depth: float
+    surface_eps: float
+    stop_eps: float
+    obj_scale: float
+    max_deg: int
+    color_scaling: float
+    opacity_scaling: float
+
+
+def _fit_loss(fp: dict, k: jax.Array, data: dict, n_valid: jnp.ndarray,
+              pe: dict, fc: dict, st: _FitStatics):
+    """One ray-batch loss draw against the frozen (pe, fc). data rows at
+    index >= n_valid are padding and are never drawn."""
+    codes = fp["codes"]
+    k_draw, k_sample = jax.random.split(k)
+    idx = jax.random.randint(k_draw, (st.n_rays,), 0, n_valid)
+    o = jnp.take(data["origins"], idx, axis=0)
+    d = jnp.take(data["dirs"], idx, axis=0)
+    if st.optimize_pose:
+        # effective pose T_obj @ D => rays get inv(D):
+        # o' = R^T (o - t) / s, d' = R^T d / s
+        pose = fp["pose"]
+        Rt = _so3_exp(pose["w"]).T
+        inv_s = jnp.exp(-pose["log_s"])
+        o = (o - pose["t"]) @ Rt.T * inv_s
+        d = d @ Rt.T * inv_s
+    rays = sampling.sample_3d_points(
+        k_sample, jnp.take(data["rgb"], idx, axis=0),
+        jnp.take(data["state"], idx), jnp.take(data["depth"], idx), o, d,
+        n_bins_cam2surface=st.n_bins_cam2surface, n_bins=st.n_bins,
+        min_depth=st.min_depth, surface_eps=st.surface_eps,
+        stop_eps=st.stop_eps)
+    emb = embedding.apply(pe, rays.input_pcs, scale=st.obj_scale,
+                          max_deg=st.max_deg)
+    sigma, color = codenerf.apply(fc, emb, codes["shape"], codes["texture"])
+    lb = losses.step_batch_loss(
+        sigma[None, ..., 0], color[None], rays.gt_depth[None],
+        rays.gt_rgb[None], rays.obj_labels[None],
+        rays.valid_depth_mask[None], rays.z_vals[None],
+        color_scaling=st.color_scaling,
+        opacity_scaling=st.opacity_scaling)
+    return lb.total, losses.psnr_from_l1(lb.psnr_color[0])
+
+
+@partial(jax.jit, static_argnames=("st",))
+def _fit_superstep(carry, k: jax.Array, data: dict, n_valid: jnp.ndarray,
+                   pe: dict, fc: dict, st: _FitStatics):
+    """st.n_inner Adam steps in one dispatch (lax.scan). Module-level so
+    repeat fits reuse the in-process jit cache, and keyed only on shapes +
+    statics so the persistent compilation cache hits across runs."""
+    tx = optax.adam(st.lr)
+
+    def one_step(c, kk):
+        fp, opt_state = c
+        (loss, psnr), grads = jax.value_and_grad(
+            _fit_loss, has_aux=True)(fp, kk, data, n_valid, pe, fc, st)
+        updates, opt_state = tx.update(grads, opt_state, fp)
+        fp = optax.apply_updates(fp, updates)
+        return (fp, opt_state), (loss, psnr)
+
+    keys = jax.random.split(k, st.n_inner)
+    return jax.lax.scan(one_step, carry, keys)
+
+
 def fit_instance(session, cls_id: int, frame_info: list, sample_dict: dict,
                  cam: CameraInfo, T_obj: np.ndarray, inst_id: int, *,
                  extent=None, steps: int = 600, n_rays: int = 360,
@@ -117,6 +195,8 @@ def fit_instance(session, cls_id: int, frame_info: list, sample_dict: dict,
     params = session.category_params(cls_id)
     pe, fc = params["pe"], params["fc"]
 
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
     arrays = build_canonical_rays(frame_info, sample_dict, cam, T_obj,
                                   inst_id)
     n = arrays["depth"].shape[0]
@@ -137,71 +217,54 @@ def fit_instance(session, cls_id: int, frame_info: list, sample_dict: dict,
         fit_params["pose"] = {"log_s": jnp.zeros(()),
                               "w": jnp.zeros(3), "t": jnp.zeros(3)}
 
-    origins_d = jnp.asarray(arrays["origins"])
-    dirs_d = jnp.asarray(arrays["dirs"])
-    rgb_d = jnp.asarray(arrays["rgb"], jnp.float32) / 255.0
-    state_d = jnp.asarray(arrays["state"], jnp.int32)
-    depth_d = jnp.asarray(arrays["depth"])
+    # pad the ray rows to the next power of two (floor 1024): the superstep
+    # program then depends only on the BUCKET size, so instances with
+    # different ray counts in the same bucket share one compile (in-process
+    # and in the persistent cache); rows >= n are never drawn
+    n_pad = max(1024, 1 << (n - 1).bit_length())
 
-    sample_fn = partial(
-        sampling.sample_3d_points,
-        n_bins_cam2surface=cfg.n_bins_cam2surface, n_bins=cfg.n_bins,
-        min_depth=cfg.min_depth, surface_eps=cfg.surface_eps,
-        stop_eps=cfg.stop_eps)
+    def _pad(v):
+        if n_pad == n:
+            return v
+        return np.concatenate(
+            [v, np.zeros((n_pad - n, *v.shape[1:]), v.dtype)])
 
-    def loss_fn(fp, k):
-        codes = fp["codes"]
-        k_draw, k_sample = jax.random.split(k)
-        idx = jax.random.randint(k_draw, (n_rays,), 0, n)
-        o = jnp.take(origins_d, idx, axis=0)
-        d = jnp.take(dirs_d, idx, axis=0)
-        if optimize_pose:
-            # effective pose T_obj @ D => rays get inv(D):
-            # o' = R^T (o - t) / s, d' = R^T d / s
-            pose = fp["pose"]
-            Rt = _so3_exp(pose["w"]).T
-            inv_s = jnp.exp(-pose["log_s"])
-            o = (o - pose["t"]) @ Rt.T * inv_s
-            d = d @ Rt.T * inv_s
-        rays = sample_fn(
-            k_sample, jnp.take(rgb_d, idx, axis=0),
-            jnp.take(state_d, idx), jnp.take(depth_d, idx), o, d)
-        emb = embedding.apply(pe, rays.input_pcs, scale=cfg.obj_scale,
-                              max_deg=cfg.n_unidir_funcs)
-        sigma, color = codenerf.apply(fc, emb, codes["shape"],
-                                      codes["texture"])
-        lb = losses.step_batch_loss(
-            sigma[None, ..., 0], color[None], rays.gt_depth[None],
-            rays.gt_rgb[None], rays.obj_labels[None],
-            rays.valid_depth_mask[None], rays.z_vals[None],
+    data = {
+        "origins": jnp.asarray(_pad(arrays["origins"])),
+        "dirs": jnp.asarray(_pad(arrays["dirs"])),
+        "rgb": jnp.asarray(_pad(arrays["rgb"]), jnp.float32) / 255.0,
+        "state": jnp.asarray(_pad(arrays["state"]), jnp.int32),
+        "depth": jnp.asarray(_pad(arrays["depth"])),
+    }
+    n_valid = jnp.asarray(n, jnp.int32)
+
+    def statics(inner: int) -> _FitStatics:
+        return _FitStatics(
+            n_rays=n_rays, n_inner=inner, optimize_pose=optimize_pose,
+            lr=lr, n_bins_cam2surface=cfg.n_bins_cam2surface,
+            n_bins=cfg.n_bins, min_depth=cfg.min_depth,
+            surface_eps=cfg.surface_eps, stop_eps=cfg.stop_eps,
+            obj_scale=cfg.obj_scale, max_deg=cfg.n_unidir_funcs,
             color_scaling=cfg.color_scaling,
             opacity_scaling=cfg.opacity_scaling)
-        return lb.total, losses.psnr_from_l1(lb.psnr_color[0])
 
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
-    tx = optax.adam(lr)
-    opt_state = tx.init(fit_params)
+    opt_state = optax.adam(lr).init(fit_params)
 
-    def one_step(carry, k):
-        fp, opt_state = carry
-        (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            fp, k)
-        updates, opt_state = tx.update(grads, opt_state, fp)
-        fp = optax.apply_updates(fp, updates)
-        return (fp, opt_state), (loss, psnr)
-
-    @jax.jit
-    def superstep(carry, k):
-        keys = jax.random.split(k, n_inner)
-        return jax.lax.scan(one_step, carry, keys)
-
-    init_loss, init_psnr = (float(x) for x in
-                            loss_fn(fit_params, jax.random.fold_in(key, 0)))
+    init_loss, init_psnr = (float(x) for x in _fit_loss(
+        fit_params, jax.random.fold_in(key, 0), data, n_valid, pe, fc,
+        statics(n_inner)))
     carry = (fit_params, opt_state)
-    n_chunks = max(1, -(-steps // n_inner))
-    for _ in range(n_chunks):
+    # run exactly `steps` optimizer steps: full n_inner-sized dispatches
+    # plus one remainder-sized dispatch (each size compiles once, cached)
+    inner = min(n_inner, steps)
+    chunks = [inner] * (steps // inner)
+    if steps % inner:
+        chunks.append(steps % inner)
+    for sz in chunks:
         key, k = jax.random.split(key)
-        carry, (loss_hist, psnr_hist) = superstep(carry, k)
+        carry, (loss_hist, psnr_hist) = _fit_superstep(
+            carry, k, data, n_valid, pe, fc, statics(sz))
     fit_params = carry[0]
     codes = fit_params["codes"]
 
@@ -237,7 +300,7 @@ def fit_instance(session, cls_id: int, frame_info: list, sample_dict: dict,
         final_loss=float(loss_hist[-1]), final_psnr=float(psnr_hist[-1]),
         init_loss=init_loss, init_psnr=init_psnr,
         extent=np.asarray(extent, np.float64),
-        steps=n_chunks * n_inner, T_obj=T_eff)
+        steps=steps, T_obj=T_eff)
 
 
 def adopt_instance(session, cls_id: int, inst_id: int,
@@ -293,6 +356,9 @@ def _adopt_slot(session, rec: dict, shape_code, texture_code) -> None:
     if inst_id in cat.inst_id_to_index:
         raise ValueError(f"instance {inst_id} already exists in "
                          f"category {cls_id}")
+    if inst_id <= 0:
+        raise ValueError(f"instance id must be > 0 (0 = background), "
+                         f"got {inst_id}")
 
     ci = session.cls_ids.index(cls_id)
     slot = cat.n_obj
@@ -443,9 +509,14 @@ def ingest_new_instance(session, cls_id: int, rgb, depth, mask, T_wc, *,
                          "into")
     all_ids = {int(o) for c in session.categories for o in c.obj_ids}
     if inst_id is None:
-        inst_id = max(all_ids) + 1  # object ids are a flat serving namespace
+        inst_id = max(all_ids, default=0) + 1  # flat serving namespace
     elif int(inst_id) in all_ids:
         raise ValueError(f"instance id {inst_id} already exists")
+    elif int(inst_id) <= 0:
+        # 0 is the background sentinel (/mesh?id=0 would shadow it) and
+        # negative ids collide with the pixel-state sentinels (-1 unknown,
+        # -2 other) in build_observation_frames
+        raise ValueError(f"instance id must be > 0, got {inst_id}")
     inst_id = int(inst_id)
 
     frames, frame_info = build_observation_frames(rgb, depth, mask, T_wc,

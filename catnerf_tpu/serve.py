@@ -117,27 +117,35 @@ class SceneServer:
     def object_ids(self) -> list[int]:
         return sorted(self._objects)
 
-    def render_object(self, obj_id: int, az_deg: float, el_deg: float,
-                      radius: float | None, width: int, height: int,
-                      n_bins: int) -> np.ndarray:
-        cls_id, cat = self._objects[obj_id]
-        params = self.session.category_params(cls_id)
-        k = cat.inst_id_to_index[obj_id]
-        sc = np.asarray(params["shape_codes"][k])
-        tc = np.asarray(params["texture_codes"][k])
-        fr = instance_frame(self.session, cls_id, [obj_id])
-        if fr is None:  # degenerate hull at dataset build
-            raise ValueError(f"object {obj_id} has no bound; "
-                             "cannot frame an orbit camera")
-        extent, center = fr
+    def _orbit_render(self, params, sc, tc, extent, center, az_deg, el_deg,
+                      radius, width, height, n_bins) -> np.ndarray:
+        """Shared framing/camera/render tail of /object and /edit — one
+        place for the orbit recipe so the two endpoints cannot diverge."""
         r, near, far = orbit_frame(extent, radius)
         T = look_at(orbit_eye(np.deg2rad(az_deg), np.deg2rad(el_deg),
                               r, center), center)
         f = 0.9 * max(width, height)
         cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
         img, _, _ = render_view(params, self.cfg, T, cam, near=near, far=far,
-                                shape_code=sc, texture_code=tc, n_bins=n_bins)
+                                shape_code=np.asarray(sc),
+                                texture_code=np.asarray(tc), n_bins=n_bins)
         return img
+
+    def render_object(self, obj_id: int, az_deg: float, el_deg: float,
+                      radius: float | None, width: int, height: int,
+                      n_bins: int) -> np.ndarray:
+        cls_id, cat = self._objects[obj_id]
+        params = self.session.category_params(cls_id)
+        k = cat.inst_id_to_index[obj_id]
+        sc = params["shape_codes"][k]
+        tc = params["texture_codes"][k]
+        fr = instance_frame(self.session, cls_id, [obj_id])
+        if fr is None:  # degenerate hull at dataset build
+            raise ValueError(f"object {obj_id} has no bound; "
+                             "cannot frame an orbit camera")
+        extent, center = fr
+        return self._orbit_render(params, sc, tc, extent, center, az_deg,
+                                  el_deg, radius, width, height, n_bins)
 
     def render_object_edit(self, obj_id: int, az_deg: float, el_deg: float,
                            radius: float | None, width: int, height: int,
@@ -169,16 +177,9 @@ class SceneServer:
                       if x is not None]
         extent, center = edit_mod._edit_frame(self.session, cls_id,
                                               [obj_id] + donors)
-        r, near, far = orbit_frame(extent, radius)
-        T = look_at(orbit_eye(np.deg2rad(az_deg), np.deg2rad(el_deg),
-                              r, center), center)
-        f = 0.9 * max(width, height)
-        cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
         params = self.session.category_params(cls_id)
-        img, _, _ = render_view(params, self.cfg, T, cam, near=near,
-                                far=far, shape_code=np.asarray(sc),
-                                texture_code=np.asarray(tc), n_bins=n_bins)
-        return img
+        return self._orbit_render(params, sc, tc, extent, center, az_deg,
+                                  el_deg, radius, width, height, n_bins)
 
     def ingest(self, body: bytes, q: dict) -> dict:
         """POST /ingest — decode the .npz observation payload and run the
@@ -239,13 +240,16 @@ class SceneServer:
                 raise ValueError(f"object {obj_id} produced no surface")
             data = mesh.obj_bytes()
             # bound host memory by BYTES, not entries: a background mesh
-            # at 5 mm voxels serializes to hundreds of MB
+            # at 5 mm voxels serializes to hundreds of MB. An entry larger
+            # than the whole budget is returned but never cached (caching
+            # it would pin > budget after the loop empties the cache).
             budget = 512 << 20
-            while (self._mesh_cache and sum(
-                    len(v) for v in self._mesh_cache.values())
-                    + len(data) > budget):
-                self._mesh_cache.pop(next(iter(self._mesh_cache)))
-            self._mesh_cache[key] = data
+            if len(data) <= budget:
+                while (self._mesh_cache and sum(
+                        len(v) for v in self._mesh_cache.values())
+                        + len(data) > budget):
+                    self._mesh_cache.pop(next(iter(self._mesh_cache)))
+                self._mesh_cache[key] = data
         return data
 
     def _scene_far(self) -> float:
@@ -392,18 +396,22 @@ def make_handler(server: SceneServer):
         def _json(self, code: int, obj) -> None:
             self._reply(code, json.dumps(obj).encode(), "application/json")
 
+        @staticmethod
+        def _size(q):
+            """Snap w/h/bins to the whitelist: every distinct (w, h, bins)
+            compiles and caches a new XLA program (20-45 s first compile),
+            so free-form sizes would let a client grow the program cache
+            and stall the server without bound; the whitelist caps it at
+            24 programs. Called only by the branches that render — a junk
+            ?w= on /health must not fail the liveness probe."""
+            w, h = _snap((int(q.get("w", 320)), int(q.get("h", 240))),
+                         _SIZES)
+            return w, h, _snap(int(q.get("bins", 64)), _BINS)
+
         def do_GET(self):  # noqa: N802 (http.server API)
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             try:
-                # snap sizes to a small whitelist: every distinct
-                # (w, h, bins) compiles and caches a new XLA program
-                # (20-45 s first compile), so free-form sizes would let a
-                # client grow the program cache and stall the server
-                # without bound; the whitelist caps it at 24 programs
-                w, h = _snap((int(q.get("w", 320)), int(q.get("h", 240))),
-                             _SIZES)
-                bins = _snap(int(q.get("bins", 64)), _BINS)
                 if u.path in ("/", "/viewer"):
                     # lock-free static page; the images it requests go
                     # through the normal locked endpoints
@@ -414,6 +422,7 @@ def make_handler(server: SceneServer):
                     self._json(200, {"ok": True,
                                      "objects": server.object_ids()})
                 elif u.path == "/object":
+                    w, h, bins = self._size(q)
                     with server.lock:
                         img = server.render_object(
                             int(q["id"]), float(q.get("az", 0.0)),
@@ -422,6 +431,7 @@ def make_handler(server: SceneServer):
                             w, h, bins)
                     self._reply(200, _png(img), "image/png")
                 elif u.path == "/edit":
+                    w, h, bins = self._size(q)
                     with server.lock:
                         img = server.render_object_edit(
                             int(q["id"]), float(q.get("az", 0.0)),
@@ -439,6 +449,7 @@ def make_handler(server: SceneServer):
                                                             "false"))
                     self._reply(200, _png(img), "image/png")
                 elif u.path == "/scene":
+                    w, h, bins = self._size(q)
                     with server.lock:
                         if "frame" in q:
                             img = server.render_scene_frame(
@@ -459,21 +470,48 @@ def make_handler(server: SceneServer):
                     self._reply(200, data, "model/obj")
                 else:
                     self._json(404, {"error": f"unknown path {u.path}"})
+            except (BrokenPipeError, ConnectionResetError):
+                # client went away mid-reply (canceled image load, curl
+                # timeout): nothing to send, and writing a 500 onto the
+                # dead socket would raise again and dump a traceback per
+                # dropped connection
+                return
             except (KeyError, ValueError) as e:
                 self._json(400, {"error": repr(e)})
             except Exception as e:  # pragma: no cover - defensive
                 self._json(500, {"error": repr(e)})
 
         _MAX_INGEST_BYTES = 1 << 30  # bound host memory per request
+        _MAX_DRAIN_BYTES = 64 << 20  # error-path body drain cap
+
+        def _drain(self, n: int) -> None:
+            """Read and discard up to _MAX_DRAIN_BYTES of a request body
+            before an error reply: closing the socket while the client is
+            still streaming resets the connection and the client never
+            sees the diagnostic JSON written for exactly that case."""
+            try:
+                left = min(n, self._MAX_DRAIN_BYTES)
+                while left > 0:
+                    chunk = self.rfile.read(min(1 << 16, left))
+                    if not chunk:
+                        break
+                    left -= len(chunk)
+            except OSError:
+                pass
 
         def do_POST(self):  # noqa: N802 (http.server API)
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             try:
+                n = max(0, int(self.headers.get("Content-Length", 0) or 0))
+            except ValueError:
+                n = 0
+            body_read = False
+            try:
                 if u.path != "/ingest":
+                    self._drain(n)
                     self._json(404, {"error": f"unknown path {u.path}"})
                     return
-                n = int(self.headers.get("Content-Length", 0))
                 if n <= 0:
                     raise ValueError("POST /ingest needs an .npz body "
                                      "(Content-Length missing or 0)")
@@ -481,10 +519,15 @@ def make_handler(server: SceneServer):
                     raise ValueError(f"body too large ({n} bytes; cap "
                                      f"{self._MAX_INGEST_BYTES})")
                 body = self.rfile.read(n)
+                body_read = True
                 with server.lock:  # ingest mutates the session
                     out = server.ingest(body, q)
                 self._json(200, out)
+            except (BrokenPipeError, ConnectionResetError):
+                return  # client went away; see do_GET
             except (KeyError, ValueError) as e:
+                if not body_read:
+                    self._drain(n)
                 self._json(400, {"error": repr(e)})
             except Exception as e:  # pragma: no cover - defensive
                 self._json(500, {"error": repr(e)})

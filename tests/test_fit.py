@@ -383,3 +383,52 @@ def test_adopted_instance_survives_restart(tmp_path):
     restore_session_checkpoint(path3, sess3)
     assert sess3.adopted_instances == []
 
+
+
+def test_fit_exact_steps_and_compile_reuse(holdout_setup):
+    """fit_instance runs EXACTLY the requested number of optimizer steps
+    (full chunks + a remainder chunk; no silent round-up to n_inner), and
+    a second fit with different ray data but the same shapes reuses the
+    compiled superstep (the data is a jit ARGUMENT, not a baked closure
+    constant — a closure would force a fresh 20-45 s XLA compile on every
+    /ingest request)."""
+    sess, scene, cls_id, held_out = holdout_setup
+    info = scene.inst_dict[cls_id][held_out]
+
+    res = fit.fit_instance(sess, cls_id, info["frame_info"],
+                           scene.sample_dict, sess.cam, info["T_obj"],
+                           held_out, steps=17, n_rays=32, n_inner=10)
+    assert res.steps == 17
+    size_after_first = fit._fit_superstep._cache_size()
+
+    # different data (perturbed pose -> different canonical rays), same
+    # shapes/statics: must NOT add a cache entry
+    T2 = np.asarray(info["T_obj"], np.float64).copy()
+    T2[:3, 3] += 0.01
+    res2 = fit.fit_instance(sess, cls_id, info["frame_info"],
+                            scene.sample_dict, sess.cam, T2,
+                            held_out, steps=17, n_rays=32, n_inner=10)
+    assert res2.steps == 17
+    assert fit._fit_superstep._cache_size() == size_after_first, \
+        "re-fit at identical shapes recompiled the superstep"
+
+    with pytest.raises(ValueError, match="steps"):
+        fit.fit_instance(sess, cls_id, info["frame_info"],
+                         scene.sample_dict, sess.cam, info["T_obj"],
+                         held_out, steps=0, n_rays=32, n_inner=10)
+
+
+def test_ingest_rejects_nonpositive_ids(holdout_setup):
+    """inst_id=0 would shadow the background sentinel in the serving
+    namespace (/mesh?id=0) and negative ids collide with the pixel-state
+    sentinels (-1 unknown, -2 other) in build_observation_frames."""
+    sess, scene, cls_id, held_out = holdout_setup
+    W, H = sess.cam.width, sess.cam.height
+    rgb = np.zeros((1, W, H, 3), np.uint8)
+    depth = np.zeros((1, W, H), np.float32)
+    mask = np.zeros((1, W, H), np.int8)
+    T_wc = np.eye(4)[None]
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="must be > 0"):
+            fit.ingest_new_instance(sess, cls_id, rgb, depth, mask, T_wc,
+                                    inst_id=bad)

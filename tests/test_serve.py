@@ -87,6 +87,12 @@ def test_viewer_page():
             # the page drives the real endpoints
             for ep in ("/health", "/object", "/scene"):
                 assert ep in page
+        # junk size params must not fail the liveness probe or the page:
+        # w/h/bins are only parsed by the branches that render
+        for path in ("/health?w=abc&bins=zzz", "/?w=abc"):
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}", timeout=30) as r:
+                assert r.status == 200
     finally:
         httpd.shutdown()
 
