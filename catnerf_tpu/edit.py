@@ -36,8 +36,9 @@ import os
 
 import numpy as np
 
-from catnerf_tpu.render_views import (_save, orbit_frame, orbit_poses,
-                                      render_view)
+from catnerf_tpu.render_views import (_save, default_orbit_cam,
+                                      instance_frame, instance_mask_box,
+                                      orbit_frame, orbit_poses, render_view)
 
 
 def instance_codes(session, cls_id: int, obj_id: int):
@@ -88,9 +89,10 @@ def mean_codes(session, cls_id: int, zero: bool = False):
     shared MLP learned (the reference's `average_shape_or_code` /
     `use_mean_code` / `use_zero_code` tasks)."""
     cat = session.categories[session.cls_ids.index(cls_id)]
-    codes = [instance_codes(session, cls_id, oid) for oid in cat.obj_ids]
     if zero:
-        return (np.zeros_like(codes[0][0]), np.zeros_like(codes[0][1]))
+        D = session.cfg.net_hyperparams.latent_dim
+        return np.zeros(D, np.float32), np.zeros(D, np.float32)
+    codes = [instance_codes(session, cls_id, oid) for oid in cat.obj_ids]
     return (np.mean([c[0] for c in codes], axis=0),
             np.mean([c[1] for c in codes], axis=0))
 
@@ -101,8 +103,6 @@ def _edit_frame(session, cls_id: int, obj_ids: list[int]):
     frame, where all instances of a category are registered, so a
     swapped-in shape is framed by the max extent of the instances it mixes
     (a donor larger than the target must not clip)."""
-    from catnerf_tpu.render_views import instance_frame
-
     fr = instance_frame(session, cls_id, obj_ids)
     if fr is None:  # degenerate hull at dataset build (see serve.py)
         raise ValueError(f"object {obj_ids[0]} has no bound; "
@@ -115,21 +115,20 @@ def render_edit(session, cls_id: int, obj_id: int, shape_code, texture_code,
                 n_views: int = 4, width: int = 320, height: int = 240,
                 n_bins: int = 96) -> list[str]:
     """Orbit renders of `obj_id`'s category field under the given codes."""
-    from catnerf_tpu.data.camera import CameraInfo
-
     cfg = session.cfg
-    f = 0.9 * max(width, height)
-    cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
+    cam = default_orbit_cam(width, height)
     params = session.category_params(cls_id)
-    extent, center = _edit_frame(session, cls_id,
-                                 [obj_id] + list(donors or []))
+    involved = [obj_id] + list(donors or [])
+    extent, center = _edit_frame(session, cls_id, involved)
+    mask = instance_mask_box(session, cls_id, involved)
     radius, near, far = orbit_frame(extent)
     written = []
     for v, T in enumerate(orbit_poses(n_views, radius, center)):
         img, depth, alpha = render_view(
             params, cfg, T, cam, near=near, far=far,
             shape_code=np.asarray(shape_code),
-            texture_code=np.asarray(texture_code), n_bins=n_bins)
+            texture_code=np.asarray(texture_code), n_bins=n_bins,
+            mask_box=mask)
         name = f"obj{obj_id}_{tag}_view{v:02d}"
         _save(out_dir, name, img, depth, alpha)
         written.append(name)
@@ -254,7 +253,12 @@ def main() -> None:
         cat = session.categories[session.cls_ids.index(args.cls)]
         sc, tc = mean_codes(session, args.cls, zero=args.zero_code)
         tag = "zerocode" if args.zero_code else "mean"
-        anchor = cat.obj_ids[0]
+        # --obj anchors the output naming/framing when given (it must be
+        # a category member); default: the first instance
+        if args.obj is not None and args.obj not in cat.inst_id_to_index:
+            raise SystemExit(f"--obj {args.obj} not in category "
+                             f"{args.cls} (have {cat.obj_ids})")
+        anchor = args.obj if args.obj is not None else cat.obj_ids[0]
         out = args.out or os.path.join(args.logdir, "edits")
         written = render_edit(session, args.cls, anchor, sc, tc, out,
                               f"cls{args.cls}_{tag}",

@@ -643,18 +643,23 @@ def main() -> None:
 
     out = args.out or os.path.join(args.logdir, "fits")
     if args.views > 0:
-        from catnerf_tpu.render_views import (_save, orbit_frame,
-                                              orbit_poses, render_view)
+        from catnerf_tpu.render_views import (_save, default_orbit_cam,
+                                              orbit_frame, orbit_poses,
+                                              render_view)
 
         params = session.category_params(args.cls)
         s = abs(np.linalg.det(res.T_obj[:3, :3])) ** (1 / 3)
-        radius, near, far = orbit_frame(res.extent / max(s, 1e-9))
+        ext_c = np.asarray(res.extent) / max(s, 1e-9)  # canonical extent
+        radius, near, far = orbit_frame(ext_c)
+        # mask to the fitted instance's canonical box (1.3x margin, the
+        # shared rule): the category field is untrained outside it
+        mask = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                (1.3 * ext_c / 2).astype(np.float32))
         for v, T in enumerate(orbit_poses(args.views, radius)):
             img, depth, alpha = render_view(
-                params, cfg, T, cam=CameraInfo(320, 240, 288.0, 288.0,
-                                               160.0, 120.0),
+                params, cfg, T, cam=default_orbit_cam(320, 240),
                 near=near, far=far, shape_code=res.shape_code,
-                texture_code=res.texture_code, n_bins=96)
+                texture_code=res.texture_code, n_bins=96, mask_box=mask)
             _save(out, f"obj{args.obj}_fit_view{v:02d}", img, depth, alpha)
         print(f"wrote {args.views} views to {out}")
     if args.mesh:

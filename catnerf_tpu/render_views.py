@@ -81,6 +81,31 @@ def orbit_poses(n: int, radius: float, center=(0.0, 0.0, 0.0),
                     center) for i in range(n)]
 
 
+def default_orbit_cam(width: int, height: int) -> CameraInfo:
+    """The synthetic orbit camera: f = 0.9*max(w, h), centered principal
+    point — the single copy of the recipe for the render CLIs, the edit
+    CLI, and the HTTP server."""
+    f = 0.9 * max(width, height)
+    return CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
+
+
+def scene_far(session) -> float:
+    """Far plane covering the whole scene: 1.2x the background OBB
+    diagonal, or 8 m when there is no background bound (single copy of the
+    heuristic for the CLIs and the server)."""
+    bound = (session.background.bound if session.background is not None
+             else None)
+    if bound is None:
+        return 8.0
+    return 1.2 * float(np.linalg.norm(np.asarray(bound.extent)))
+
+
+def spread_frames(frames: list, n: int) -> list:
+    """Up to n frames spread evenly over a sorted frame list."""
+    step = max(1, len(frames) // max(1, n))
+    return frames[::step][:n]
+
+
 def _composite(occ: np.ndarray, rgb: np.ndarray, z: np.ndarray):
     """UniSurf occupancy -> termination -> composite (numpy mirror of
     ops/render.py, ref: src/render_rays.py:25-50). occ [..., B],
@@ -142,7 +167,7 @@ def _field_render_program(cam_key, cfg: Config, is_background: bool,
     max_deg = cfg.n_unidir_funcs
 
     @jax.jit
-    def run(pe, fc, sc, tc, T, near, far):
+    def run(pe, fc, sc, tc, T, near, far, mask_A, mask_b, mask_half):
         pts, z = _ray_grid(dirs_c, T, near, far, n_bins)
 
         def chunk_fn(p):
@@ -151,7 +176,13 @@ def _field_render_program(cam_key, cfg: Config, is_background: bool,
                 sigma, rgb = occupancy.apply(fc, emb)
             else:
                 sigma, rgb = codenerf.apply(fc, emb, sc, tc)
-            return render_ops.occupancy_activation(sigma[..., 0]), rgb
+            occ = render_ops.occupancy_activation(sigma[..., 0])
+            # OBB/extent mask (same rule as the scene composite and the
+            # mesh grid): object fields are untrained garbage outside
+            # their box; unmasked callers pass half=+big
+            x_m = p @ mask_A.T + mask_b
+            occ = occ * (jnp.abs(x_m) <= mask_half).all(-1)
+            return occ, rgb
 
         occ, rgb = _chunked_field(chunk_fn, pts.reshape(-1, 3), chunk)
         occ = occ.reshape(width, height, n_bins)
@@ -165,9 +196,14 @@ def _field_render_program(cam_key, cfg: Config, is_background: bool,
 def render_view(params: dict, cfg: Config, T: np.ndarray, cam: CameraInfo,
                 *, near: float, far: float, shape_code=None,
                 texture_code=None, is_background: bool = False,
-                n_bins: int = 96, chunk: int = 262144):
+                n_bins: int = 96, chunk: int = 262144, mask_box=None):
     """Render one view. T: camera-to-field-frame pose (field frame =
     canonical object frame, or world for background/single-instance).
+
+    mask_box: optional (A_m [3,3], b_m [3], half [3]) — occupancy is
+    zeroed where |A_m x + b_m| > half in the FIELD frame (the same
+    OBB/extent rule the scene composite and the mesh grid apply; object
+    fields are untrained outside their box). None = no mask.
 
     Returns (rgb [W, H, 3] in [0,1], depth [W, H], alpha [W, H]) in the
     pipeline's transposed (W, H) layout."""
@@ -175,10 +211,41 @@ def render_view(params: dict, cfg: Config, T: np.ndarray, cam: CameraInfo,
     run = _field_render_program(cam_key, cfg, is_background, n_bins, chunk)
     sc = jnp.zeros((0,)) if shape_code is None else jnp.asarray(shape_code)
     tc = jnp.zeros((0,)) if texture_code is None else jnp.asarray(texture_code)
+    if mask_box is None:
+        mA, mb = jnp.eye(3), jnp.zeros(3)
+        mh = jnp.full(3, jnp.finfo(jnp.float32).max)
+    else:
+        mA, mb, mh = (jnp.asarray(v, jnp.float32) for v in mask_box)
     img, depth, alpha = run(params["pe"], params["fc"], sc, tc,
                             jnp.asarray(T, jnp.float32),
-                            jnp.float32(near), jnp.float32(far))
+                            jnp.float32(near), jnp.float32(far),
+                            mA, mb, mh)
     return np.asarray(img), np.asarray(depth), np.asarray(alpha)
+
+
+def instance_mask_box(session, cls_id: int, obj_ids: list[int],
+                      margin: float = 1.3):
+    """(A_m, b_m, half) for render_view's field-frame OBB/extent mask,
+    covering every instance in obj_ids (donors of an edit must not be
+    clipped): canonical axis-aligned box for multi-instance categories,
+    the world-frame OBB otherwise. None when a single-instance object has
+    no bound. Mirrors the per-object mask of the scene composite
+    (render_scene_view)."""
+    cat = session.categories[session.cls_ids.index(cls_id)]
+    eye3 = np.eye(3, dtype=np.float32)
+    zero3 = np.zeros(3, np.float32)
+    if cat.n_obj > 1:
+        halfs = []
+        for oid in obj_ids:
+            s = max(float(cat.object_tensor_dict[oid][0]), 1e-9)
+            halfs.append(margin * np.asarray(cat.extent_dict[oid]) / (2 * s))
+        return eye3, zero3, np.max(np.stack(halfs), 0).astype(np.float32)
+    bound = cat.bound_dict.get(obj_ids[0])
+    if bound is None:
+        return None
+    Rb = np.asarray(bound.R, np.float32)
+    return (Rb.T, -Rb.T @ np.asarray(bound.center, np.float32),
+            (0.5 * margin * np.asarray(bound.extent)).astype(np.float32))
 
 
 def _save(out_dir: str, name: str, img: np.ndarray, depth: np.ndarray,
@@ -224,8 +291,7 @@ def render_session_orbits(session, out_dir: str, *, n_views: int = 8,
     """Orbit renders of every object + background views from up to
     `n_views` dataset poses. Returns written basenames."""
     cfg = session.cfg
-    f = 0.9 * max(width, height)
-    cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
+    cam = default_orbit_cam(width, height)
     written: list[str] = []
 
     for cls_id, cat in zip(session.cls_ids, session.categories):
@@ -238,24 +304,21 @@ def render_session_orbits(session, out_dir: str, *, n_views: int = 8,
             if fr is None:
                 continue
             extent, center = fr
+            mask = instance_mask_box(session, cls_id, [obj_id])
             radius, near, far = orbit_frame(extent)
             for v, T in enumerate(orbit_poses(n_views, radius, center)):
                 img, depth, alpha = render_view(
                     params, cfg, T, cam, near=near, far=far, shape_code=sc,
-                    texture_code=tc, n_bins=n_bins)
+                    texture_code=tc, n_bins=n_bins, mask_box=mask)
                 name = f"obj{obj_id}_view{v:02d}"
                 _save(out_dir, name, img, depth, alpha)
                 written.append(name)
 
     bg_params = session.background_params()
     if bg_params is not None and getattr(session, "sample_dict", None):
-        frames = sorted(session.sample_dict.keys())
-        step = max(1, len(frames) // max(1, n_views))
-        bound = (session.background.bound if session.background is not None
-                 else None)
-        far = (1.2 * float(np.linalg.norm(np.asarray(bound.extent)))
-               if bound is not None else 8.0)
-        for v, fr in enumerate(frames[::step][:n_views]):
+        far = scene_far(session)
+        for v, fr in enumerate(
+                spread_frames(sorted(session.sample_dict.keys()), n_views)):
             T = np.asarray(session.sample_dict[fr]["T"], np.float32)
             img, depth, alpha = render_view(
                 bg_params, cfg, T, cam, near=0.05, far=far,
@@ -368,11 +431,51 @@ def render_scene_view(session, T: np.ndarray, cam: CameraInfo, *,
     device dispatch (see _scene_render_program).
     """
     cfg = session.cfg
-    eye3 = np.eye(3, dtype=np.float32)
-    zero3 = np.zeros(3, np.float32)
+    staged = _stage_scene_fields(session, margin)
+
+    bg_params = session.background_params()
+    if staged is None:  # no renderable objects: background-only view
+        if bg_params is None:
+            raise ValueError("nothing to render: no objects with bounds "
+                             "and no background field")
+        return render_view(bg_params, cfg, T, cam, near=near, far=far,
+                           is_background=True, n_bins=n_bins, chunk=chunk)
+    cam_key = (cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy)
+    run = _scene_render_program(cfg, cam_key, n_bins, staged["n_obj"],
+                                bg_params is not None, chunk,
+                                device_mesh=device_mesh)
+    dummy = jnp.zeros(())
+    img, depth, alpha = run(
+        *staged["args"],
+        bg_params["pe"] if bg_params is not None else dummy,
+        bg_params["fc"] if bg_params is not None else dummy,
+        jnp.asarray(T, jnp.float32), jnp.float32(near), jnp.float32(far))
+    return np.asarray(img), np.asarray(depth), np.asarray(alpha)
+
+
+_SCENE_STAGING_CACHE: dict = {}  # id(session) -> (version, margin, staged)
+
+
+def _stage_scene_fields(session, margin: float):
+    """Stack every object field's params/codes/frames/mask boxes onto the
+    device for _scene_render_program. Cached per (session, state version,
+    margin): the inputs only change on training steps or ingest, and
+    rebuilding cost ~2 blocking device->host pulls per object over the
+    axon tunnel on every /scene request. Returns None when no object is
+    renderable; else {"n_obj": int, "args": tuple of device arrays}."""
+    # (step, adopted-count) covers every mutation path: training bumps
+    # step, ingest/adopt grows the adopted list (same key rule as
+    # serve.py's /mesh cache); object ids are never reused
+    version = (int(session.state.step), margin,
+               len(getattr(session, "adopted_instances", [])))
+    hit = _SCENE_STAGING_CACHE.get(id(session))
+    if hit is not None and hit[0] == version:
+        return hit[1]
 
     from catnerf_tpu.ops.sim3 import tensor_to_se3_np
 
+    eye3 = np.eye(3, dtype=np.float32)
+    zero3 = np.zeros(3, np.float32)
     pes, fcs, scs, tcs, As, bs, Ams, bms, halfs = ([] for _ in range(9))
     for cls_id, cat in zip(session.cls_ids, session.categories):
         params = session.category_params(cls_id)
@@ -405,27 +508,20 @@ def render_scene_view(session, T: np.ndarray, cam: CameraInfo, *,
             As.append(A), bs.append(b), Ams.append(A_m), bms.append(b_m)
             halfs.append(half)
 
-    bg_params = session.background_params()
-    if not pes:  # no renderable objects: background-only view
-        assert bg_params is not None, "nothing to render"
-        return render_view(bg_params, cfg, T, cam, near=near, far=far,
-                           is_background=True, n_bins=n_bins, chunk=chunk)
-    cam_key = (cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy)
-    run = _scene_render_program(cfg, cam_key, n_bins, len(pes),
-                                bg_params is not None, chunk,
-                                device_mesh=device_mesh)
-    stack = lambda xs: jax.tree_util.tree_map(  # noqa: E731
-        lambda *ls: jnp.stack([jnp.asarray(x) for x in ls]), *xs)
-    dummy = jnp.zeros(())
-    img, depth, alpha = run(
-        stack(pes), stack(fcs), jnp.asarray(np.stack(scs)),
-        jnp.asarray(np.stack(tcs)), jnp.asarray(np.stack(As)),
-        jnp.asarray(np.stack(bs)), jnp.asarray(np.stack(Ams)),
-        jnp.asarray(np.stack(bms)), jnp.asarray(np.stack(halfs)),
-        bg_params["pe"] if bg_params is not None else dummy,
-        bg_params["fc"] if bg_params is not None else dummy,
-        jnp.asarray(T, jnp.float32), jnp.float32(near), jnp.float32(far))
-    return np.asarray(img), np.asarray(depth), np.asarray(alpha)
+    if not pes:
+        staged = None
+    else:
+        stack = lambda xs: jax.tree_util.tree_map(  # noqa: E731
+            lambda *ls: jnp.stack([jnp.asarray(x) for x in ls]), *xs)
+        staged = {"n_obj": len(pes), "args": (
+            stack(pes), stack(fcs), jnp.asarray(np.stack(scs)),
+            jnp.asarray(np.stack(tcs)), jnp.asarray(np.stack(As)),
+            jnp.asarray(np.stack(bs)), jnp.asarray(np.stack(Ams)),
+            jnp.asarray(np.stack(bms)), jnp.asarray(np.stack(halfs)))}
+    _SCENE_STAGING_CACHE[id(session)] = (version, staged)
+    if len(_SCENE_STAGING_CACHE) > 8:  # bound: sessions are few
+        _SCENE_STAGING_CACHE.pop(next(iter(_SCENE_STAGING_CACHE)))
+    return staged
 
 
 def render_scene_views(session, out_dir: str, *, n_views: int = 4,
@@ -435,16 +531,11 @@ def render_scene_views(session, out_dir: str, *, n_views: int = 4,
     if not getattr(session, "sample_dict", None):
         return []
     cfg = session.cfg
-    f = 0.9 * max(width, height)
-    cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
-    bound = (session.background.bound if session.background is not None
-             else None)
-    far = (1.2 * float(np.linalg.norm(np.asarray(bound.extent)))
-           if bound is not None else 8.0)
-    frames = sorted(session.sample_dict.keys())
-    step = max(1, len(frames) // max(1, n_views))
+    cam = default_orbit_cam(width, height)
+    far = scene_far(session)
     written = []
-    for v, fr in enumerate(frames[::step][:n_views]):
+    for v, fr in enumerate(
+            spread_frames(sorted(session.sample_dict.keys()), n_views)):
         T = np.asarray(session.sample_dict[fr]["T"], np.float32)
         img, depth, alpha = render_scene_view(
             session, T, cam, near=0.05, far=far, n_bins=n_bins,

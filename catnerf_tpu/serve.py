@@ -59,14 +59,16 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-from catnerf_tpu.data.camera import CameraInfo
 from catnerf_tpu.render_views import (
+    default_orbit_cam,
     instance_frame,
+    instance_mask_box,
     look_at,
     orbit_eye,
     orbit_frame,
     render_scene_view,
     render_view,
+    scene_far,
 )
 
 
@@ -117,18 +119,20 @@ class SceneServer:
     def object_ids(self) -> list[int]:
         return sorted(self._objects)
 
-    def _orbit_render(self, params, sc, tc, extent, center, az_deg, el_deg,
-                      radius, width, height, n_bins) -> np.ndarray:
+    def _orbit_render(self, params, sc, tc, extent, center, mask, az_deg,
+                      el_deg, radius, width, height, n_bins) -> np.ndarray:
         """Shared framing/camera/render tail of /object and /edit — one
-        place for the orbit recipe so the two endpoints cannot diverge."""
+        place for the orbit recipe so the two endpoints cannot diverge.
+        mask: instance_mask_box result (occupancy zeroed outside the
+        object's box, where the field is untrained)."""
         r, near, far = orbit_frame(extent, radius)
         T = look_at(orbit_eye(np.deg2rad(az_deg), np.deg2rad(el_deg),
                               r, center), center)
-        f = 0.9 * max(width, height)
-        cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
+        cam = default_orbit_cam(width, height)
         img, _, _ = render_view(params, self.cfg, T, cam, near=near, far=far,
                                 shape_code=np.asarray(sc),
-                                texture_code=np.asarray(tc), n_bins=n_bins)
+                                texture_code=np.asarray(tc), n_bins=n_bins,
+                                mask_box=mask)
         return img
 
     def render_object(self, obj_id: int, az_deg: float, el_deg: float,
@@ -144,8 +148,10 @@ class SceneServer:
             raise ValueError(f"object {obj_id} has no bound; "
                              "cannot frame an orbit camera")
         extent, center = fr
-        return self._orbit_render(params, sc, tc, extent, center, az_deg,
-                                  el_deg, radius, width, height, n_bins)
+        mask = instance_mask_box(self.session, cls_id, [obj_id])
+        return self._orbit_render(params, sc, tc, extent, center, mask,
+                                  az_deg, el_deg, radius, width, height,
+                                  n_bins)
 
     def render_object_edit(self, obj_id: int, az_deg: float, el_deg: float,
                            radius: float | None, width: int, height: int,
@@ -177,9 +183,11 @@ class SceneServer:
                       if x is not None]
         extent, center = edit_mod._edit_frame(self.session, cls_id,
                                               [obj_id] + donors)
+        mask = instance_mask_box(self.session, cls_id, [obj_id] + donors)
         params = self.session.category_params(cls_id)
-        return self._orbit_render(params, sc, tc, extent, center, az_deg,
-                                  el_deg, radius, width, height, n_bins)
+        return self._orbit_render(params, sc, tc, extent, center, mask,
+                                  az_deg, el_deg, radius, width, height,
+                                  n_bins)
 
     def ingest(self, body: bytes, q: dict) -> dict:
         """POST /ingest — decode the .npz observation payload and run the
@@ -252,20 +260,13 @@ class SceneServer:
                 self._mesh_cache[key] = data
         return data
 
-    def _scene_far(self) -> float:
-        bound = (self.session.background.bound
-                 if self.session.background is not None else None)
-        if bound is None:
-            return 8.0
-        return 1.2 * float(np.linalg.norm(np.asarray(bound.extent)))
-
     def render_scene_frame(self, frame: int, width: int, height: int,
                            n_bins: int) -> np.ndarray:
         T = np.asarray(self.session.sample_dict[frame]["T"], np.float32)
-        f = 0.9 * max(width, height)
-        cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
-        img, _, _ = render_scene_view(self.session, T, cam, near=0.05,
-                                      far=self._scene_far(), n_bins=n_bins,
+        img, _, _ = render_scene_view(self.session, T,
+                                      default_orbit_cam(width, height),
+                                      near=0.05, far=scene_far(self.session),
+                                      n_bins=n_bins,
                                       device_mesh=self.device_mesh)
         return img
 
@@ -274,10 +275,10 @@ class SceneServer:
                            n_bins: int) -> np.ndarray:
         T = look_at(orbit_eye(np.deg2rad(az_deg), np.deg2rad(el_deg),
                               radius, center), center)
-        f = 0.9 * max(width, height)
-        cam = CameraInfo(width, height, f, f, width / 2.0, height / 2.0)
-        img, _, _ = render_scene_view(self.session, T, cam, near=0.05,
-                                      far=self._scene_far(), n_bins=n_bins,
+        img, _, _ = render_scene_view(self.session, T,
+                                      default_orbit_cam(width, height),
+                                      near=0.05, far=scene_far(self.session),
+                                      n_bins=n_bins,
                                       device_mesh=self.device_mesh)
         return img
 

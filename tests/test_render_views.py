@@ -140,3 +140,79 @@ def test_render_scene_view_composites_all_fields():
         assert (img >= 0).all() and (img <= 1).all()
         assert (alpha >= -1e-6).all() and (alpha <= 1 + 1e-5).all()
         np.testing.assert_array_equal(img, img2)
+
+
+def test_render_view_mask_box():
+    """The optional OBB/extent mask: a huge box is a no-op (pixel-equal to
+    unmasked), a zero box blanks the field (alpha == 0) — the rule /object
+    and /edit renders use to suppress untrained-region floaters."""
+    cfg = Config()
+    cfg.net_hyperparams.latent_dim = 16
+    cfg.hidden_feature_size_bg = 32
+    scene = make_scene(n_frames=3, width=48, height=36, n_categories=1,
+                       insts_per_cat=2, seed=3)
+    sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
+                           cam=scene.cam)
+    cls_id = sess.cls_ids[0]
+    cat = sess.categories[0]
+    params = sess.category_params(cls_id)
+    k = cat.inst_id_to_index[cat.obj_ids[0]]
+    sc = np.asarray(params["shape_codes"][k])
+    tc = np.asarray(params["texture_codes"][k])
+    cam = CameraInfo(24, 18, 21.0, 21.0, 12.0, 9.0)
+    T = look_at((1.5, 0.5, 1.0))
+    kw = dict(near=0.3, far=3.0, shape_code=sc, texture_code=tc,
+              n_bins=8, chunk=2048)
+
+    img0, _, alpha0 = render_view(params, cfg, T, cam, **kw)
+    big = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+           np.full(3, 1e9, np.float32))
+    img1, _, alpha1 = render_view(params, cfg, T, cam, mask_box=big, **kw)
+    np.testing.assert_array_equal(img0, img1)
+    np.testing.assert_array_equal(alpha0, alpha1)
+
+    none = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+            np.zeros(3, np.float32))
+    _, _, alpha2 = render_view(params, cfg, T, cam, mask_box=none, **kw)
+    np.testing.assert_allclose(alpha2, 0.0, atol=1e-7)
+
+    from catnerf_tpu.render_views import instance_mask_box
+
+    mask = instance_mask_box(sess, cls_id, [cat.obj_ids[0]])
+    assert mask is not None and mask[2].shape == (3,)
+    img3, _, alpha3 = render_view(params, cfg, T, cam, mask_box=mask, **kw)
+    assert np.isfinite(img3).all()
+    # masking can only remove occupancy, never add it
+    assert (alpha3 <= alpha0 + 1e-6).all()
+
+
+def test_scene_staging_cache_hit_and_invalidation():
+    """render_scene_view's host staging (device pulls + stacking) is cached
+    per (session, state version) and invalidated by training steps."""
+    from catnerf_tpu.render_views import (_SCENE_STAGING_CACHE,
+                                          render_scene_view)
+
+    cfg = Config()
+    cfg.net_hyperparams.latent_dim = 16
+    cfg.hidden_feature_size_bg = 32
+    scene = make_scene(n_frames=3, width=48, height=36, n_categories=1,
+                       insts_per_cat=2, seed=3)
+    sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
+                           cam=scene.cam)
+    cam = CameraInfo(24, 18, 21.0, 21.0, 12.0, 9.0)
+    T = np.asarray(scene.sample_dict[sorted(scene.sample_dict)[0]]["T"],
+                   np.float32)
+    img1, _, _ = render_scene_view(sess, T, cam, near=0.1, far=6.0,
+                                   n_bins=8, chunk=2048)
+    ver1, staged1 = _SCENE_STAGING_CACHE[id(sess)]
+    img2, _, _ = render_scene_view(sess, T, cam, near=0.1, far=6.0,
+                                   n_bins=8, chunk=2048)
+    assert _SCENE_STAGING_CACHE[id(sess)][1] is staged1  # cache hit
+    np.testing.assert_array_equal(img1, img2)
+
+    sess.step_once()  # params changed -> version must change
+    img3, _, _ = render_scene_view(sess, T, cam, near=0.1, far=6.0,
+                                   n_bins=8, chunk=2048)
+    ver3, staged3 = _SCENE_STAGING_CACHE[id(sess)]
+    assert ver3 != ver1 and staged3 is not staged1
+    assert not np.array_equal(img1, img3)  # fresh params actually used
