@@ -153,7 +153,12 @@ def get_uncertainty_fields(inst_dict: dict, bbox3d_dict: dict,
             def _it_num(fn: str) -> int:
                 nums = re.findall(r"\d+", fn)
                 return int(nums[-1]) if nums else -1
-            ckpt_paths = sorted(os.listdir(ckpt_dir), key=_it_num)
+            ckpt_paths = sorted(
+                (f for f in os.listdir(ckpt_dir) if f.endswith(".pth")),
+                key=_it_num)
+            if not ckpt_paths:
+                raise FileNotFoundError(
+                    f"no .pth checkpoints under {ckpt_dir}")
             field = load_vmap_pth(os.path.join(ckpt_dir, ckpt_paths[-1]))
         elif pretrained_fields is not None and pretrained_fields[i] is not None:
             field = pretrained_fields[i]
@@ -166,6 +171,25 @@ def get_uncertainty_fields(inst_dict: dict, bbox3d_dict: dict,
         count, _, _ = uncertainty_score(
             field, info["pcs"], name=name, key=jax.random.PRNGKey(obj_id))
         count_dict[cls_id][obj_id] = count
+
+    # Template selection (align_poses argmax) must compare LIKE scores: a
+    # category mixing field-scored instances (uncertainty reliability
+    # count) with fallback-scored ones (geometric coverage count) would
+    # argmax across two incomparable 0..10000 scales. Re-score such mixed
+    # categories uniformly with the geometric coverage count, which every
+    # instance with a cloud supports.
+    for cls_id, inst_dict_cls in inst_dict.items():
+        if cls_id == 0:
+            continue
+        scored = [o for o, info in inst_dict_cls.items()
+                  if info.get("pcs") is not None and len(info["pcs"])]
+        if not scored:
+            continue
+        fielded = [o for o in scored if o in field_dict.get(cls_id, {})]
+        if fielded and len(fielded) < len(scored):
+            for o in scored:
+                count_dict[cls_id][o] = coverage_score(
+                    inst_dict_cls[o]["pcs"], name)
 
 
 N_THETA, N_PHI = 24, 12
@@ -494,14 +518,31 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                         9.3 cm center error accepted at masked cd 0.010,
                         scripts/diag_registration.py). Template→source,
                         masked by the SOURCE's coverage, sees exactly those
-                        offsets; score = max of both."""
+                        offsets; score = max of both.
+
+                        A direction scoring inf (overlap < the default 30%
+                        floor) retries at a 2% floor, exactly like the
+                        final-acceptance fallback below: complementary
+                        (blind-spot-filling) candidates are precisely the
+                        low-overlap ones, and 'cannot judge' must not
+                        exclude them from the accept band the coverage
+                        tie-break selects from."""
                         dst_w = tmpl_ds if dst_w is None else dst_w
                         dst_bins = tmpl_bins if dst_bins is None else dst_bins
+                        src_c = canon(src_w) - pivot_c
+                        src_bins_ = _coverage_bins(src_c)
+                        dst_c = canon(dst_w) - pivot_c
                         fwd = masked_cd(src_w, dst_w, dst_bins)
-                        bwd = _masked_chamfer(
-                            dst_w, canon(dst_w) - pivot_c, src_w,
-                            _coverage_bins(canon(src_w) - pivot_c),
-                            scale_template)
+                        if not np.isfinite(fwd):
+                            fwd = _masked_chamfer(src_w, src_c, dst_w,
+                                                  dst_bins, scale_template,
+                                                  min_overlap=0.02)
+                        bwd = _masked_chamfer(dst_w, dst_c, src_w,
+                                              src_bins_, scale_template)
+                        if not np.isfinite(bwd):
+                            bwd = _masked_chamfer(dst_w, dst_c, src_w,
+                                                  src_bins_, scale_template,
+                                                  min_overlap=0.02)
                         return max(fwd, bwd)
 
                     def union_of(src_w):
@@ -565,7 +606,7 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                             print(f"  cand masked_sym={m_:.4f} "
                                   f"union={union_of(s_)} "
                                   f"ok={m_ <= max(mbest + 0.02, eta1)}")
-                    _, T_rel, src_tf_ds = max(
+                    score_selected, T_rel, src_tf_ds = max(
                         ok, key=lambda c: coverage_key(c[2]))
                     union_selected = union_of(src_tf_ds)
 
@@ -574,7 +615,6 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                     # region — keep only if the coverage union and the
                     # symmetric score survive)
                     t_epilog = time.time()
-                    score_selected = masked_cd_sym(src_tf_ds)
                     T_pol = _polish_candidate(source_np_w, template_np_w,
                                               T_rel, scale_template)
                     src_pol_ds = transform_pointcloud_np(src_ds, T_pol)

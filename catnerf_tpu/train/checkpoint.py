@@ -65,9 +65,15 @@ def save_session_checkpoint(ckpt_dir: str, session, iteration: int) -> str:
 
     path = save_checkpoint(ckpt_dir, session.state, iteration)
     adopted = getattr(session, "adopted_instances", [])
+    sidecar = f"{path}.adopted.json"
     if adopted:
-        with open(f"{path}.adopted.json", "w") as f:
+        with open(sidecar, "w") as f:
             json.dump(adopted, f)
+    elif os.path.exists(sidecar):
+        # a stale sidecar from an earlier same-iteration save (e.g. the
+        # ckpt dir was rolled back by hand) would re-grow the restored
+        # session's code tables past the saved state's shapes
+        os.remove(sidecar)
     return path
 
 
@@ -110,25 +116,11 @@ def load_vmap_pth(path: str) -> dict[str, Any]:
     fc_sd = raw["FC_state_dict"]
     pe_sd = raw["PE_state_dict"]
 
-    def lin(prefix: str) -> dict:
-        return {
-            "w": _t2np(fc_sd[f"{prefix}.weight"]).T,
-            "b": _t2np(fc_sd[f"{prefix}.bias"]),
-        }
-
-    # OccupancyMap layer graph (ref: src/model.py:86-122): fc_block wraps
-    # Sequential(Linear, ReLU) so Linear lives at index 0; mid blocks are
-    # Sequential of fc_blocks.
-    fc_params = {
-        "in_layer": lin("in_layer.0"),
-        "mid1": [lin("mid1.0.0")],
-        "cat_layer": lin("cat_layer.0"),
-        "mid2": [lin("mid2.0.0")],
-        "out_alpha": lin("out_alpha"),
-    }
-    if "out_color.weight" in fc_sd:
-        fc_params["color_linear"] = lin("color_linear.0")
-        fc_params["out_color"] = lin("out_color")
+    # OccupancyMap layer graph (ref: src/model.py:86-122): delegate to the
+    # shared converter, which infers the mid1/mid2 block COUNTS from the
+    # keys — a checkpoint trained with hidden_layers_block != 1 must not be
+    # silently truncated to one block per side.
+    fc_params = occupancy_params_from_state_dict(fc_sd)
 
     pe_params = {"B": _t2np(pe_sd["B_layer.weight"])}
     out = {

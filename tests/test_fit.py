@@ -432,3 +432,24 @@ def test_ingest_rejects_nonpositive_ids(holdout_setup):
         with pytest.raises(ValueError, match="must be > 0"):
             fit.ingest_new_instance(sess, cls_id, rgb, depth, mask, T_wc,
                                     inst_id=bad)
+
+
+def test_stale_sidecar_removed_on_adopteeless_save(tmp_path, holdout_setup):
+    """Saving an iteration with no adoptees removes a pre-existing
+    .adopted.json sidecar at that path — a stale one would re-grow the
+    restored session's code tables past the saved state's shapes."""
+    import json
+    import os
+
+    from catnerf_tpu.train.checkpoint import save_session_checkpoint
+
+    sess = holdout_setup[0]
+    ckpt_dir = str(tmp_path / "ckpt")
+    stale = os.path.join(ckpt_dir, "7.adopted.json")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with open(stale, "w") as f:
+        json.dump([{"cls": 99, "id": 5, "extent": [1, 1, 1],
+                    "obj_tensor": [1, 1, 0, 0, 0, 0, 0, 0]}], f)
+    assert not getattr(sess, "adopted_instances", [])
+    save_session_checkpoint(ckpt_dir, sess, 7)
+    assert not os.path.exists(stale)

@@ -181,3 +181,49 @@ def test_export_reference_checkpoints_roundtrip(tmp_path):
                                                    np.asarray(b)),
         field["fc"], bp["fc"])
     np.testing.assert_array_equal(field["pe"]["B"], np.asarray(bp["pe"]["B"]))
+
+
+def test_vmap_pth_multiblock(tmp_path):
+    """A vMAP checkpoint trained with hidden_layers_block=2 (two fc_blocks
+    per mid Sequential) must convert with BOTH blocks — the converter
+    infers block counts from the keys instead of assuming one."""
+    rng = np.random.default_rng(1)
+
+    def lin(key, i, o):
+        return {
+            f"{key}.weight": torch.tensor(
+                rng.normal(0, 0.3, (o, i)).astype(np.float32)),
+            f"{key}.bias": torch.tensor(
+                rng.normal(0, 0.1, (o,)).astype(np.float32)),
+        }
+
+    sd = {}
+    sd.update(lin("in_layer.0", EMB1, HIDDEN))
+    sd.update(lin("mid1.0.0", HIDDEN, HIDDEN))
+    sd.update(lin("mid1.1.0", HIDDEN, HIDDEN))
+    sd.update(lin("cat_layer.0", HIDDEN + EMB1, HIDDEN))
+    sd.update(lin("mid2.0.0", HIDDEN, HIDDEN))
+    sd.update(lin("mid2.1.0", HIDDEN, HIDDEN))
+    sd.update(lin("out_alpha", HIDDEN, 1))
+    sd.update(lin("color_linear.0", HIDDEN + EMB2, HIDDEN))
+    sd.update(lin("out_color", HIDDEN, 3))
+    pe_B = torch.tensor(rng.normal(0, 1, (21, 3)).astype(np.float32))
+    path = os.path.join(str(tmp_path), "obj_2b_100.pth")
+    torch.save({"FC_state_dict": sd,
+                "PE_state_dict": {"B_layer.weight": pe_B},
+                "obj_scale": 1.0}, path)
+
+    field = load_vmap_pth(path)
+    assert len(field["fc"]["mid1"]) == 2
+    assert len(field["fc"]["mid2"]) == 2
+
+    # the forward consumes both blocks: zeroing the second must change it
+    x = jnp.asarray(rng.normal(0, 1.0, (64, 3)).astype(np.float32))
+    emb = embedding.apply(field["pe"], x, scale=1.0)
+    a1, _ = occupancy.apply(field["fc"], emb)
+    import copy as _copy
+
+    f2 = _copy.deepcopy(field["fc"])
+    f2["mid1"][1]["w"] = np.zeros_like(f2["mid1"][1]["w"])
+    a2, _ = occupancy.apply(f2, emb)
+    assert not np.allclose(np.asarray(a1), np.asarray(a2))
