@@ -33,10 +33,8 @@ def main():
     from catnerf_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    from catnerf_tpu.data.device_buffer import build_device_store, make_superstep
     from catnerf_tpu.data.synthetic import make_scene
     from catnerf_tpu.train.loop import TrainingSession
-    from catnerf_tpu.train.step import make_train_step
 
     # Replica-room_0-scale workload: 8 categories, 3 instances each,
     # reference ray budget (n_per_optim=120, 1200 bg rays).
@@ -61,11 +59,10 @@ def main():
     import jax.numpy as jnp
 
     state0 = jax.tree.map(jnp.copy, sess.state)
-    store = build_device_store(sess.categories, sess.background,
-                               window_pad=r, bg_window_pad=r_bg)
-    inner = make_train_step(cfg, sess.obj_mask, jit=False)
-    superstep = make_superstep(inner, store, n_per_cls=r, n_bg=r_bg,
-                               n_inner=N_INNER, window=True)
+    # measure the PRODUCTION fast path, not a re-assembled copy of it: a
+    # drift in the store/superstep recipe must show up in the benchmark
+    sess.enable_fast_path(N_INNER)
+    superstep = sess._superstep
     state = jax.tree.map(jnp.copy, state0)
     key = sess.base_key
     for i in range(2):  # compile + warmup

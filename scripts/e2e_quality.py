@@ -85,6 +85,20 @@ def main():
         v = v / (n - 1) * 2.6 * radius - 1.3 * radius + np.asarray(center)
         return TriMesh(v, f)
 
+    def score_sphere(rec_mesh, sp):
+        """GT-sphere eval under the reference protocol (accuracy on the
+        rec mesh cropped to the GT OBB, ref: metric/eval_3D_obj.py:15-27)
+        — the ONE scoring recipe for trained and fitted meshes, so the two
+        paths cannot silently diverge. Returns (raw metrics, rounded
+        JSON dict)."""
+        obb = OrientedBBox(center=np.asarray(sp.center, np.float64),
+                           R=np.eye(3), extent=np.full(3, 2.2 * sp.radius))
+        m = calc_3d_metric(rec_mesh, gt_sphere_mesh(sp.center, sp.radius),
+                           ref_obb=obb)
+        return m, {"accuracy_cm": round(m["accuracy"], 3),
+                   "completion_cm": round(m["completion"], 3),
+                   "completion_ratio_pct": round(m["completion_ratio"], 2)}
+
     cfg = Config()
     cfg.net_hyperparams.latent_dim = 32
     cfg.grid_dim = args.grid_dim  # live_voxel_size stays 5 mm; the cap rules
@@ -159,22 +173,24 @@ def main():
     psnr_hist = []
     t_train = _time.time()
     if args.parity:
-        for chunk in range(iters // 100):
+        def step_100():
             m = None
             for _ in range(100):
                 m = sess.step_once()
-            psnr_hist.append(round(float(m.cat_psnr.mean()), 2))
-            if chunk == 0:
-                print(f"first 100 iters (incl. compile): "
-                      f"{_time.time() - t_train:.1f}s", file=sys.stderr)
+            return m
     else:
         sess.enable_fast_path(n_inner=100)
-        for chunk in range(iters // 100):
-            m = sess.run_fast(100)
-            psnr_hist.append(round(float(m.cat_psnr.mean()), 2))
-            if chunk == 0:
-                print(f"first 100 iters (incl. compile): "
-                      f"{_time.time() - t_train:.1f}s", file=sys.stderr)
+
+        def step_100():
+            return sess.run_fast(100)
+    # ONE chunk loop for both modes: the --parity vs fast comparison must
+    # read identical telemetry
+    for chunk in range(iters // 100):
+        m = step_100()
+        psnr_hist.append(round(float(m.cat_psnr.mean()), 2))
+        if chunk == 0:
+            print(f"first 100 iters (incl. compile): "
+                  f"{_time.time() - t_train:.1f}s", file=sys.stderr)
     print(f"trained {iters} iters in {_time.time() - t_train:.1f}s",
           file=sys.stderr)
     print(f"psnr trajectory (per 100 iters): {psnr_hist}", file=sys.stderr)
@@ -191,18 +207,7 @@ def main():
         if path is None:
             per_obj[s.inst_id] = None
             continue
-        rec = load_mesh(path)
-        gt_mesh = gt_sphere_mesh(s.center, s.radius)
-        # reference protocol: accuracy on the rec mesh cropped to the GT OBB
-        # (ref: metric/eval_3D_obj.py:15-27)
-        obb = OrientedBBox(center=np.asarray(s.center, np.float64),
-                           R=np.eye(3),
-                           extent=np.full(3, 2.2 * s.radius))
-        m = calc_3d_metric(rec, gt_mesh, ref_obb=obb)
-        per_obj[s.inst_id] = {"accuracy_cm": round(m["accuracy"], 3),
-                              "completion_cm": round(m["completion"], 3),
-                              "completion_ratio_pct":
-                                  round(m["completion_ratio"], 2)}
+        m, per_obj[s.inst_id] = score_sphere(load_mesh(path), s)
         accs.append(m["accuracy"])
         comps.append(m["completion"])
         ratios.append(m["completion_ratio"])
@@ -211,12 +216,10 @@ def main():
     # poses (catnerf_tpu.render_views) and score true MSE PSNR against the
     # GT frames — appearance fidelity, complementing the mesh metrics (and a
     # regression check on the renderer itself).
-    from catnerf_tpu.render_views import render_scene_view
+    from catnerf_tpu.render_views import render_scene_view, scene_far
 
     render_psnrs = []
-    bound = sess.background.bound if sess.background is not None else None
-    far = (1.2 * float(np.linalg.norm(np.asarray(bound.extent)))
-           if bound is not None else 8.0)
+    far = scene_far(sess)
     rframes = sorted(sess.sample_dict.keys())
     for fr in {rframes[0], rframes[len(rframes) // 2]}:
         T = np.asarray(sess.sample_dict[fr]["T"], np.float32)
@@ -260,23 +263,11 @@ def main():
                            texture_code=res.texture_code, extent=res.extent)
         fit_metrics = None
         if fmesh is not None:
-            T_eff = res.T_obj
-            s_eff = abs(np.linalg.det(T_eff[:3, :3])) ** (1 / 3)
-            fmesh.apply_scale(s_eff)
-            T_rigid = np.eye(4)
-            T_rigid[:3, :3] = T_eff[:3, :3] / s_eff
-            T_rigid[:3, 3] = T_eff[:3, 3]
-            fmesh.apply_transform(T_rigid)
+            # canonical -> scene: one affine (apply_transform is a general
+            # affine multiply; no need to split scale and rigid parts)
+            fmesh.apply_transform(np.asarray(res.T_obj, np.float64))
             sp = next(s for s in scene.spheres if s.inst_id == held_out)
-            obb = OrientedBBox(center=np.asarray(sp.center, np.float64),
-                               R=np.eye(3),
-                               extent=np.full(3, 2.2 * sp.radius))
-            fm = calc_3d_metric(fmesh, gt_sphere_mesh(sp.center, sp.radius),
-                                ref_obb=obb)
-            fit_metrics = {"accuracy_cm": round(fm["accuracy"], 3),
-                           "completion_cm": round(fm["completion"], 3),
-                           "completion_ratio_pct":
-                               round(fm["completion_ratio"], 2)}
+            _, fit_metrics = score_sphere(fmesh, sp)
         fit_result = {
             "held_out": held_out,
             "registration_chamfer": round(reg_cd, 4),
