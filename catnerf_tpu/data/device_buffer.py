@@ -105,9 +105,19 @@ def build_device_store(categories: list[CategoryScene],
     return DeviceRayStore(**kwargs)
 
 
+def _concrete_pad(buf, length) -> int | None:
+    """Padding rows past the longest valid buffer, or None when the store
+    is traced (shape/length not readable at Python level)."""
+    if isinstance(buf, jax.core.Tracer) or isinstance(length,
+                                                      jax.core.Tracer):
+        return None
+    return int(buf.shape[-2]) - int(np.max(np.asarray(length)))
+
+
 def sample_batch(store: DeviceRayStore, key: jax.Array, n_per_cls: int,
                  n_bg: int, *, window: bool = False,
-                 per_category_gather: bool = False):
+                 per_category_gather: bool = False,
+                 want_bg: bool = True):
     """Draw (CategoryBatch, BackgroundBatch|None) fully on device.
 
     window=False: one fused randint + ONE flat row-gather for all categories
@@ -123,11 +133,24 @@ def sample_batch(store: DeviceRayStore, key: jax.Array, n_per_cls: int,
     per_category_gather: use take_along_axis per category instead of the
     flat-index gather — required on a category-sharded (EP) store, where
     the flat reshape would cross the sharded axis. The window path is
-    already shard-local (vmapped per-category dynamic_slice)."""
+    already shard-local (vmapped per-category dynamic_slice).
+
+    want_bg=False skips the background draw entirely (a store carrying bg
+    buffers for a background-less step must not pay the per-step gather)."""
     n_cls, max_len, _ = store.packed.shape
     k_cat, k_bg = jax.random.split(key)
 
     if window:
+        # a window draw reads rows [off, off+n_per_cls) — the store MUST
+        # have been built with window_pad >= n_per_cls, or the slice
+        # clamps into the zero padding and training silently consumes
+        # all-zero rays (origin=dir=rgb=depth=0)
+        pad = _concrete_pad(store.packed, store.lengths)
+        if pad is not None and pad < n_per_cls:
+            raise ValueError(
+                f"window draw of {n_per_cls} rays needs a store built "
+                f"with window_pad >= {n_per_cls} (store has {pad} pad "
+                "rows); rows past the pad are zeros")
         offs = jax.random.randint(k_cat, (n_cls,), 0, store.lengths)
         rows = jax.vmap(
             lambda p, o: jax.lax.dynamic_slice_in_dim(p, o, n_per_cls, axis=0)
@@ -146,8 +169,13 @@ def sample_batch(store: DeviceRayStore, key: jax.Array, n_per_cls: int,
     cat = _unpack_cat(rows)
 
     bg = None
-    if store.bg_packed is not None:
+    if store.bg_packed is not None and want_bg:
         if window:
+            bpad = _concrete_pad(store.bg_packed, store.bg_length)
+            if bpad is not None and bpad < n_bg:
+                raise ValueError(
+                    f"window draw of {n_bg} bg rays needs bg_window_pad "
+                    f">= {n_bg} (store has {bpad} pad rows)")
             boff = jax.random.randint(k_bg, (), 0, store.bg_length)
             bg_rows = jax.lax.dynamic_slice_in_dim(
                 store.bg_packed, boff, n_bg, axis=0)

@@ -98,44 +98,57 @@ def _fill_unobservable_interior(occ3: np.ndarray,
     return occ3
 
 
+def field_chunk_fn(*, is_background: bool, scale: float, max_deg: int,
+                   want_color: bool):
+    """THE per-tile field evaluator — (pe, fc, sc, tc, pts [chunk, 3]) ->
+    occ [chunk] (+ rgb) — shared by the single-chip jitted evaluators
+    below and the sharded path (parallel/grid_eval.py), so the two cannot
+    silently diverge. want_color=False skips the color branch entirely —
+    it would otherwise be computed AND device->host transferred (25 MB per
+    2M-point grid) just to be discarded by mesh_field."""
+    if is_background:
+        def fn(pe, fc, sc, tc, pts):
+            emb = embedding.apply(pe, pts, scale=scale, max_deg=max_deg)
+            alpha, rgb = occupancy.apply(fc, emb)
+            occ = render_ops.occupancy_activation(alpha[..., 0])
+            return (occ, rgb) if want_color else occ
+    else:
+        def fn(pe, fc, sc, tc, pts):
+            emb = embedding.apply(pe, pts, scale=scale, max_deg=max_deg)
+            sigma, rgb = codenerf.apply(fc, emb, sc, tc)
+            occ = render_ops.occupancy_activation(sigma[..., 0])
+            return (occ, rgb) if want_color else occ
+    return fn
+
+
+def _map_chunks(fn, pe, fc, sc, tc, points, chunk, want_color):
+    tiles = points.reshape(-1, chunk, 3)
+    out = jax.lax.map(lambda p: fn(pe, fc, sc, tc, p), tiles)
+    if want_color:
+        occ, rgb = out
+        return occ.reshape(-1), rgb.reshape(-1, 3)
+    return out.reshape(-1), None
+
+
 @partial(jax.jit, static_argnames=("obj_scale", "max_deg", "chunk",
                                    "want_color"))
 def _eval_codenerf_chunked(pe_params, fc_params, shape_code, texture_code,
                            points, *, obj_scale, max_deg, chunk,
                            want_color=True):
-    def eval_chunk(pts):
-        emb = embedding.apply(pe_params, pts, scale=obj_scale, max_deg=max_deg)
-        sigma, rgb = codenerf.apply(fc_params, emb, shape_code, texture_code)
-        occ = render_ops.occupancy_activation(sigma[..., 0])
-        # occupancy-only grid passes skip the color branch entirely — it
-        # would otherwise be computed AND device->host transferred (25 MB
-        # per 2M-point grid) just to be discarded by mesh_field
-        return (occ, rgb) if want_color else occ
-
-    tiles = points.reshape(-1, chunk, 3)
-    out = jax.lax.map(eval_chunk, tiles)
-    if want_color:
-        occ, rgb = out
-        return occ.reshape(-1), rgb.reshape(-1, 3)
-    return out.reshape(-1), None
+    fn = field_chunk_fn(is_background=False, scale=obj_scale,
+                        max_deg=max_deg, want_color=want_color)
+    return _map_chunks(fn, pe_params, fc_params, shape_code, texture_code,
+                       points, chunk, want_color)
 
 
 @partial(jax.jit, static_argnames=("bg_scale", "max_deg", "chunk",
                                    "want_color"))
 def _eval_occupancy_chunked(pe_params, fc_params, points, *, bg_scale,
                             max_deg, chunk, want_color=True):
-    def eval_chunk(pts):
-        emb = embedding.apply(pe_params, pts, scale=bg_scale, max_deg=max_deg)
-        alpha, rgb = occupancy.apply(fc_params, emb)
-        occ = render_ops.occupancy_activation(alpha[..., 0])
-        return (occ, rgb) if want_color else occ
-
-    tiles = points.reshape(-1, chunk, 3)
-    out = jax.lax.map(eval_chunk, tiles)
-    if want_color:
-        occ, rgb = out
-        return occ.reshape(-1), rgb.reshape(-1, 3)
-    return out.reshape(-1), None
+    fn = field_chunk_fn(is_background=True, scale=bg_scale,
+                        max_deg=max_deg, want_color=want_color)
+    return _map_chunks(fn, pe_params, fc_params, None, None,
+                       points, chunk, want_color)
 
 
 def _pad_to_chunks(points: np.ndarray, chunk: int):

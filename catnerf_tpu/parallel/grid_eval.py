@@ -22,8 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from catnerf_tpu.config import Config
-from catnerf_tpu.models import codenerf, embedding, occupancy
-from catnerf_tpu.ops import render as render_ops
+from catnerf_tpu.mesher.meshing import field_chunk_fn
 from catnerf_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 # compiled programs keyed by (mesh devices, field kind, scale, max_deg,
@@ -34,27 +33,6 @@ _PROGRAMS: dict = {}
 
 def _mesh_key(mesh: Mesh):
     return tuple(d.id for d in mesh.devices.flat)
-
-
-def _chunk_fn(cfg: Config, *, is_background: bool, want_color: bool):
-    """Per-tile field evaluator ([chunk, 3] -> occ [chunk] (+ rgb)) — the
-    same math as the single-chip eval closures in mesher/meshing.py."""
-    scale = cfg.bg_scale if is_background else cfg.obj_scale
-    max_deg = cfg.n_unidir_funcs
-
-    if is_background:
-        def fn(pe, fc, sc, tc, pts):
-            emb = embedding.apply(pe, pts, scale=scale, max_deg=max_deg)
-            alpha, rgb = occupancy.apply(fc, emb)
-            occ = render_ops.occupancy_activation(alpha[..., 0])
-            return (occ, rgb) if want_color else occ
-    else:
-        def fn(pe, fc, sc, tc, pts):
-            emb = embedding.apply(pe, pts, scale=scale, max_deg=max_deg)
-            sigma, rgb = codenerf.apply(fc, emb, sc, tc)
-            occ = render_ops.occupancy_activation(sigma[..., 0])
-            return (occ, rgb) if want_color else occ
-    return fn
 
 
 def make_sharded_grid_eval(cfg: Config, mesh: Mesh, *, is_background: bool,
@@ -69,7 +47,12 @@ def make_sharded_grid_eval(cfg: Config, mesh: Mesh, *, is_background: bool,
     if prog is not None:
         return prog
 
-    fn = _chunk_fn(cfg, is_background=is_background, want_color=want_color)
+    # the per-tile math is SHARED with the single-chip evaluators
+    # (mesher/meshing.py::field_chunk_fn) so the two paths cannot diverge
+    fn = field_chunk_fn(
+        is_background=is_background,
+        scale=cfg.bg_scale if is_background else cfg.obj_scale,
+        max_deg=cfg.n_unidir_funcs, want_color=want_color)
     tile_spec = P((DATA_AXIS, MODEL_AXIS))
     repl = P()
 
@@ -91,7 +74,7 @@ def make_sharded_grid_eval(cfg: Config, mesh: Mesh, *, is_background: bool,
 def eval_points_sharded(points: np.ndarray, params: dict, cfg: Config,
                         mesh: Mesh, shape_code=None, texture_code=None, *,
                         is_background: bool, chunk: int = 262144,
-                        want_color: bool = False):
+                        want_color: bool = True):
     """Drop-in sharded counterpart of `mesher.meshing.eval_points`:
     (occ, color) at arbitrary 3D points, evaluated data-parallel over all
     devices of `mesh`. Pads to a whole number of tiles per device."""

@@ -1,5 +1,11 @@
 """Sharding rules + sharded train step.
 
+Parity target: none — the reference is strictly single-device (no
+torch.distributed/DDP anywhere; SURVEY.md §2.2). This layer preserves the
+single-chip step's exact math (train/step.py, ref: train.py:98-201) while
+adding the DP(rays) x EP(categories) multi-chip layout; equivalence is
+asserted by tests/test_parallel.py::test_sharded_step_matches_single_device.
+
 Layout:
   stacked category params / codes / their optimizer moments
       -> category axis sharded over 'model' (expert parallel)
@@ -131,7 +137,7 @@ def store_shardings(mesh: Mesh):
 
 
 def _sample_batch_sharded(store, key, n_per_cls: int, n_bg: int,
-                          window: bool = False):
+                          window: bool = False, want_bg: bool = True):
     """device_buffer.sample_batch with per_category_gather=True, which
     preserves the category-sharded store layout (the flat-index gather of
     the single-chip path would reshape across the sharded axis); the window
@@ -139,7 +145,7 @@ def _sample_batch_sharded(store, key, n_per_cls: int, n_bg: int,
     from catnerf_tpu.data.device_buffer import sample_batch
 
     return sample_batch(store, key, n_per_cls, n_bg, window=window,
-                        per_category_gather=True)
+                        per_category_gather=True, want_bg=want_bg)
 
 
 def make_sharded_superstep(cfg: Config, obj_mask, mesh: Mesh,
@@ -163,12 +169,16 @@ def make_sharded_superstep(cfg: Config, obj_mask, mesh: Mesh,
 
     def body(state, k):
         k_draw, k_step = jax.random.split(k)
+        # want_bg tracks the effective flag: a store carrying bg buffers
+        # for a background-less step must not pay the per-step bg gather
+        # just to discard it
         cat, bg = _sample_batch_sharded(store, k_draw, n_per_cls, n_bg,
-                                        window=window)
+                                        window=window,
+                                        want_bg=with_background)
         cat = jax.lax.with_sharding_constraint(cat, cat_sh)
         if bg is not None:
             bg = jax.lax.with_sharding_constraint(bg, bg_sh)
-        return inner(state, cat, bg if with_background else None, k_step)
+        return inner(state, cat, bg, k_step)
 
     def superstep(state, key):
         keys = jax.random.split(key, n_inner)

@@ -117,3 +117,27 @@ def test_windowed_superstep_trains():
     state, m = superstep(state, key)
     assert int(state.step) == 4
     assert np.isfinite(float(m.total))
+
+
+def test_window_draw_requires_matching_pad():
+    """A window draw larger than the store's window_pad must raise loudly:
+    the dynamic_slice would otherwise clamp into the zero padding and
+    training would silently consume all-zero rays (origin=dir=rgb=0)."""
+    import pytest
+
+    from catnerf_tpu.data.device_buffer import (build_device_store,
+                                                sample_batch)
+
+    sess = _session()
+    store = build_device_store(sess.categories, sess.background,
+                               window_pad=8, bg_window_pad=8)
+    key = jax.random.PRNGKey(0)
+    sample_batch(store, key, 8, 8, window=True)  # exact pad: fine
+    with pytest.raises(ValueError, match="window_pad"):
+        sample_batch(store, key, 32, 8, window=True)
+    with pytest.raises(ValueError, match="bg_window_pad"):
+        sample_batch(store, key, 8, 64, window=True)
+
+    # want_bg=False skips the background draw entirely
+    cat, bg = sample_batch(store, key, 8, 8, window=True, want_bg=False)
+    assert bg is None and cat.origins.shape[1] == 8
