@@ -166,6 +166,15 @@ class Config:
         assert self.n_bins > 0 and self.n_bins_cam2surface > 0
         assert self.max_depth > self.min_depth
         assert self.net_hyperparams.W > 0
+        if self.n_unidir_funcs != 5:
+            # the CodeNeRF trunk/color split is architecturally fixed at
+            # EMB_SIZE1=87 / EMB_SIZE2=42, i.e. max_deg=5 (the reference
+            # hard-wires emb_size1/2 the same way, ref: src/trainer.py:
+            # 20-21); any other value would crash deep inside the trace
+            # with an opaque matmul shape error
+            raise ValueError(
+                f"n_unidir_funcs must be 5 (the 87/42 embedding split is "
+                f"architectural), got {self.n_unidir_funcs}")
 
     @classmethod
     def from_json(cls, path: str) -> "Config":

@@ -10,11 +10,14 @@ one shuffled ray buffer. Differences from the reference, by design:
   re-inverts it every step (src/scene_cateogries.py:380-386) even though
   object poses are fixed during training — hoisting it removes a matrix
   inverse from the hot path and shrinks the buffer.
-* RGB stays uint8 until device upload (the /255 happens on device).
+* RGB is stored uint8 in the host buffers (4x smaller resident store);
+  the float32 /255 conversion happens at batch assembly on the host
+  (next_batch below; the device-store fast path likewise converts once
+  at pack time, device_buffer._pack_rows).
 * The epoch-shuffle cursor semantics are preserved exactly: buffers are
   shuffled at build, a cursor walks them sequentially, and a full reshuffle
-  happens when fewer than n samples remain (ref: src/scene_cateogries.py:
-  251-261, 438-449).
+  happens once no further full window of n samples remains (ref:
+  src/scene_cateogries.py:251-261, 438-449).
 """
 
 from __future__ import annotations
@@ -72,8 +75,12 @@ class RayBuffer:
         self.arrays = {k: v[perm] for k, v in self.arrays.items()}
 
     def sample(self, n: int) -> dict[str, np.ndarray]:
-        """Sequential slice of n rays; reshuffles once fewer than n remain
-        after the slice (ref: src/scene_cateogries.py:438-449)."""
+        """Sequential slice of n rays; reshuffles when the post-slice
+        cursor satisfies cursor >= len - n — i.e. ALSO when exactly n
+        rays remain, the reference's `>=` semantics verbatim
+        (src/scene_cateogries.py:439). Do NOT 'fix' this to serve the
+        last full window: it would change the seeded sampling trajectory
+        and break both golden loss-curve pins."""
         if n > self.n:
             # Tiny scenes/tests: sample with replacement.
             idx = self.rng.integers(0, self.n, size=n)

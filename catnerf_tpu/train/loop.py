@@ -100,6 +100,16 @@ class TrainingSession:
         self.iteration += 1
         return metrics
 
+    def release_prefetch(self) -> None:
+        """Drop the one-step-ahead prefetched batch. step_once always
+        leaves one assembled, device-uploaded batch pinned in the future;
+        after the last step of a run that batch (and its device memory)
+        would otherwise live for the session's remaining lifetime
+        (meshing, eval, serving)."""
+        fut, self._prefetch_fut = self._prefetch_fut, None
+        if fut is not None:
+            fut.result()  # let the worker finish; drop the arrays
+
     def run(self, n_iters: int,
             callback: Callable[[int, StepMetrics], None] | None = None,
             callback_every: int = 100) -> list[dict[str, Any]]:
@@ -109,11 +119,16 @@ class TrainingSession:
         end_iter = self.iteration + n_iters
         for _ in range(n_iters):
             metrics = self.step_once()
-            if callback is not None and self.iteration % callback_every == 0:
+            # the callback and the history must see the SAME iterations —
+            # including the run's final one when n_iters is not a multiple
+            # of callback_every
+            at_mark = (self.iteration % callback_every == 0
+                       or self.iteration == end_iter)
+            if callback is not None and at_mark:
                 callback(self.iteration, metrics)
-            if (self.iteration % callback_every == 0
-                    or self.iteration == end_iter):
+            if at_mark:
                 history.append(self.metrics_to_dict(metrics))
+        self.release_prefetch()
         return history
 
     # ------------------------------------------------------------------
