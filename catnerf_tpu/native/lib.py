@@ -23,8 +23,15 @@ _lib = None
 
 def _build() -> None:
     # single source of truth for the compile recipe: the Makefile
-    subprocess.run(["make", "-C", _DIR], check=True, capture_output=True,
-                   text=True)
+    try:
+        subprocess.run(["make", "-C", _DIR], check=True, capture_output=True,
+                       text=True)
+    except subprocess.CalledProcessError as e:
+        # surface the compiler diagnostics — the bare CalledProcessError
+        # hides them in the captured, never-printed stderr
+        raise RuntimeError(
+            f"native build failed (make -C {_DIR}):\n{e.stdout}\n{e.stderr}"
+        ) from e
 
 
 def _stale() -> bool:
@@ -32,10 +39,11 @@ def _stale() -> bool:
         return True
     so_m = os.path.getmtime(_SO)
     src_dir = os.path.join(_DIR, "src")
-    return any(
-        os.path.getmtime(os.path.join(src_dir, f)) > so_m
-        for f in os.listdir(src_dir)
-    )
+    # the Makefile IS part of the recipe (compile flags): editing it must
+    # trigger a rebuild just like editing a source file
+    inputs = [os.path.join(src_dir, f) for f in os.listdir(src_dir)]
+    inputs.append(os.path.join(_DIR, "Makefile"))
+    return any(os.path.getmtime(p) > so_m for p in inputs)
 
 
 def _load() -> ctypes.CDLL:
@@ -43,9 +51,21 @@ def _load() -> ctypes.CDLL:
     with _LOCK:
         if _lib is not None:
             return _lib
-        if _stale():
-            _build()
-        lib = ctypes.CDLL(_SO)
+        # cross-PROCESS exclusion (the threading lock only covers this
+        # process): two concurrent imports (pytest + a server) must not run
+        # `make` at once, nor dlopen a .so another process is rewriting.
+        # Held once per process, around both the build and the dlopen.
+        import fcntl
+
+        lock_path = os.path.join(_DIR, ".build.lock")
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                if _stale():  # another process may have built it already
+                    _build()
+                lib = ctypes.CDLL(_SO)
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
         c_fp = ctypes.POINTER(ctypes.c_float)
         c_ip = ctypes.POINTER(ctypes.c_int)
@@ -164,6 +184,12 @@ class geomlib:
             self._lib = _load()
             self._pts = _as_f32(points)
             assert self._pts.ndim == 2 and self._pts.shape[1] == 3
+            if len(self._pts) == 0:
+                # querying an empty tree would return idx=-1 (which numpy
+                # fancy-indexing silently wraps) and dist~1.8e19 — a
+                # silent-garbage contract; scipy's cKDTree equivalent
+                # raises on use, so fail loudly at build
+                raise ValueError("KDTree: empty point set")
             self._h = self._lib.kd_build(_fp(self._pts), len(self._pts))
 
         def query(self, queries: np.ndarray):

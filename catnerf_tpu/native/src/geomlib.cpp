@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <limits>
 #include <numeric>
 #include <queue>
 #include <random>
@@ -30,9 +31,13 @@ void geom_free(void* p) { std::free(p); }
 // Each grid cell splits into 6 tetrahedra; linear interpolation along edges.
 // Vertices are deduplicated on shared edges; output vertex coordinates are in
 // grid-index units (the Python wrapper normalises to [0,1] like the
-// reference, src/vis.py:10-13). Orientation: triangles wind so normals point
-// toward increasing field values ("ascent", matching skimage's default
-// gradient direction for occupancy>0.5 = inside).
+// reference, src/vis.py:10-13). Orientation: triangles wind so normals
+// point AWAY from the occupied (>level) region — outward for
+// occupancy>0.5 = inside (enforced by emit()'s centroid test below).
+// The reference requests gradient_direction='ascent' from skimage
+// (src/vis.py:9); every downstream consumer (3D metrics, vertex-color
+// re-query, export) is winding-agnostic, so outward normals are chosen
+// for correct shading in external viewers.
 // ---------------------------------------------------------------------------
 
 namespace {
@@ -334,11 +339,17 @@ int voxel_downsample(const float* pts, int n, float voxel, float** out,
   cells.reserve(size_t(n));
   for (int i = 0; i < n; ++i) {
     const float* p = pts + size_t(i) * 3;
+    // indices are >= 0 after the minc offset; pack them EXACTLY into 21
+    // bits per axis (a lossy hash key would let distinct voxels collide
+    // and merge into one bogus centroid). 2^21 voxels per axis = 21 km of
+    // extent at 1 cm voxels; larger inputs are rejected, not corrupted.
     int64_t ix = int64_t((p[0] - minc[0]) / voxel);
     int64_t iy = int64_t((p[1] - minc[1]) / voxel);
     int64_t iz = int64_t((p[2] - minc[2]) / voxel);
-    int64_t key = (ix * 73856093) ^ (iy * 19349663) ^ (iz * 83492791);
-    key = key * 2097152 + ((ix & 127) << 14) + ((iy & 127) << 7) + (iz & 127);
+    if (ix >= (1 << 21) || iy >= (1 << 21) || iz >= (1 << 21)) {
+      return -1;
+    }
+    int64_t key = (ix << 42) | (iy << 21) | iz;
     auto& cell = cells[key];
     cell.first.x += p[0];
     cell.first.y += p[1];

@@ -76,7 +76,13 @@ void tsdf_integrate(void* vol_, const float* depth, const uint8_t* color,
       float d = depth[size_t(u) * h + v];
       if (d <= 0 || d > max_depth) continue;
       double dir_c[3] = {(u - cx) / fx, (v - cy) / fy, 1.0};
-      for (float z = d - trunc; z <= d + trunc; z += vox * 0.5f) {
+      // step in camera z such that the WORLD-space stride along the ray
+      // stays vox/2: a border pixel's |dir_c| reaches ~1.4, so a plain
+      // vox/2 z-step would stride ~0.7*vox along the ray and can skip
+      // band voxels at steep incidence (pinholes in the extraction)
+      double dn = std::sqrt(dir_c[0] * dir_c[0] + dir_c[1] * dir_c[1] + 1.0);
+      float dz = float(vox * 0.5 / dn);
+      for (float z = d - trunc; z <= d + trunc; z += dz) {
         if (z <= 0) continue;
         double pc[3] = {dir_c[0] * z, dir_c[1] * z, z};
         double pw[3];
@@ -102,9 +108,15 @@ void tsdf_integrate(void* vol_, const float* depth, const uint8_t* color,
     for (int i = 0; i < 3; ++i)
       pc[i] = R[i][0] * pw[0] + R[i][1] * pw[1] + R[i][2] * pw[2] + tcw[i];
     if (pc[2] <= 0) continue;
-    int u = int(std::round(pc[0] / pc[2] * fx + cx));
-    int v = int(std::round(pc[1] / pc[2] * fy + cy));
-    if (u < 0 || u >= w || v < 0 || v >= h) continue;
+    // bounds-check in double BEFORE the int cast: a voxel center a hair
+    // in front of the camera plane projects to ~1e10 and double->int of
+    // an out-of-range value is undefined behavior
+    double du = pc[0] / pc[2] * fx + cx;
+    double dv = pc[1] / pc[2] * fy + cy;
+    if (!(du >= -0.49 && du <= w - 0.51 && dv >= -0.49 && dv <= h - 0.51))
+      continue;
+    int u = int(std::round(du));
+    int v = int(std::round(dv));
     float d = depth[size_t(u) * h + v];
     if (d <= 0 || d > max_depth) continue;
     float sdf = d - float(pc[2]);

@@ -46,8 +46,9 @@ def _sorted_normal_from_u(u: jnp.ndarray, depth: jnp.ndarray, sigma: float,
     # rounds to exactly 0.0/1.0 and erfinv returns -/+inf, which poisons the
     # depth render as 0*inf = NaN (~0.5% chance per 10k-step run at
     # production ray counts). Clamp to the nearest representable interior
-    # values; the resulting normals are ~±3.6 sigma, far outside the
-    # +-delta clip below, so the sample distribution is unchanged.
+    # values; the resulting normals are ~±5.0 sigma (Phi^-1(2^-22) =
+    # sqrt(2)*erfinv(2*2^-22 - 1) ~ -5.03), far outside the +-delta
+    # (3 sigma) clip below, so the sample distribution is unchanged.
     tiny = 2.0 ** -22
     u_sorted = jnp.clip(u_sorted, tiny, 1.0 - tiny)
     normals = jnp.sqrt(2.0) * jax.scipy.special.erfinv(2.0 * u_sorted - 1.0)

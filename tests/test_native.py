@@ -274,3 +274,22 @@ def test_tsdf_fusion_sphere():
     # surface within ~a voxel
     assert np.median(np.abs(d - sp.radius)) < 0.02
     assert np.percentile(np.abs(d - sp.radius), 90) < 0.04
+
+
+def test_voxel_downsample_exact_cells():
+    """One output point per DISTINCT occupied voxel: the cell key must be
+    exact (the old scalar-hash key let distinct voxels collide and merge
+    into bogus mid-air centroids at ~1e-3 probability per 100k voxels)."""
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-40.0, 40.0, (200_000, 3)).astype(np.float32)
+    voxel = 0.25
+    ds = geomlib.voxel_downsample(pts, voxel)
+    # replicate the C kernel's exact double-precision cell formula
+    p64 = pts.astype(np.float64)
+    minc = p64.min(0)
+    cells = ((p64 - minc) / voxel).astype(np.int64)
+    n_cells = len(np.unique(cells, axis=0))
+    assert len(ds) == n_cells, (len(ds), n_cells)
+    # every centroid lies inside its own voxel's bounds
+    dcells = ((ds.astype(np.float64) - minc) / voxel).astype(np.int64)
+    assert len(np.unique(dcells, axis=0)) == n_cells
