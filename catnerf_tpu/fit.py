@@ -403,9 +403,9 @@ def _adopt_slot(session, rec: dict, shape_code, texture_code) -> None:
 
     session.obj_mask = codes_mod.obj_validity_mask(
         [c.n_obj for c in session.categories], max_n_obj=max_obj)
-    session.step_fn = make_train_step(
+    session.install_step(make_train_step(
         session.cfg, session.obj_mask,
-        with_background=session.background is not None)
+        with_background=session.background is not None, jit=False))
     if session._superstep is not None:
         # shapes changed: rebuild the fast path now (run_fast asserts
         # rather than rebuilding). The ray store keeps only the ORIGINAL

@@ -10,19 +10,14 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
 
 from catnerf_tpu.config import Config
 from catnerf_tpu.data.camera import CameraInfo
 from catnerf_tpu.data.scene import CategoryScene, SceneBatcher
 from catnerf_tpu.models import codes as codes_mod
+from catnerf_tpu.train import packing
 from catnerf_tpu.train.state import TrainState, init_train_state
-from catnerf_tpu.train.step import (
-    BackgroundBatch,
-    CategoryBatch,
-    StepMetrics,
-    make_train_step,
-)
+from catnerf_tpu.train.step import StepMetrics, make_train_step
 
 
 class TrainingSession:
@@ -56,10 +51,15 @@ class TrainingSession:
         self.state: TrainState = init_train_state(
             init_key, cfg, n_objs, with_background=self.background is not None
         )
-        self.step_fn = make_train_step(
-            cfg, self.obj_mask, with_background=self.background is not None
-        )
         self.n_per_cls = self.batcher.rays_per_category(cfg.n_per_optim)
+        self._pack_spec = packing.make_spec(
+            len(self.cls_ids), self.n_per_cls, cfg.n_per_optim_bg,
+            with_background=self.background is not None,
+        )
+        self.install_step(make_train_step(
+            cfg, self.obj_mask, with_background=self.background is not None,
+            jit=False,
+        ))
         # instances written in post-training by fit.adopt_instance, in
         # adoption order; persisted as a checkpoint sidecar so they survive
         # a restart (train/checkpoint.py::save/restore_session_checkpoint)
@@ -71,16 +71,52 @@ class TrainingSession:
         self._prefetch_fut = None
 
     # ------------------------------------------------------------------
-    def _device_batches(self):
+    # The session's train step is kept in BOTH unjitted and jitted forms:
+    # step_once runs it through a packed-staging wrapper (one fused H2D
+    # transfer per step, train/packing.py) that re-traces the unjitted
+    # body inside its own jit; external callers (bench.py) use .step_fn.
+    def install_step(self, step_nojit) -> None:
+        """Install the session's train step from its UNJITTED form."""
+        self._step_fn_nojit = step_nojit
+        self._step_fn = jax.jit(step_nojit, donate_argnums=(0,))
+        self._packed_step = None
+
+    @property
+    def step_fn(self):
+        return self._step_fn
+
+    @step_fn.setter
+    def step_fn(self, fn) -> None:
+        # External assignment may hand us an already-jitted step; the
+        # packed wrapper inlines it (nested jit) — donation still applies
+        # at the wrapper level only.
+        self._step_fn = fn
+        self._step_fn_nojit = None
+        self._packed_step = None
+
+    def _staged_batch(self):
+        """Assemble the next host batch and ship it as ONE device buffer.
+
+        The reference stages ~11 tensors per iteration (ref:
+        train.py:98-134); over the axon tunnel each transfer costs fixed
+        latency, so all fields are packed into a single f32 buffer
+        host-side and unpacked with static slices in-graph."""
         cat_np, bg_np = self.batcher.next_batch(
             self.n_per_cls, self.cfg.n_per_optim_bg
         )
-        cat = CategoryBatch(**{k: jnp.asarray(v) for k, v in cat_np.items()})
-        bg = (
-            BackgroundBatch(**{k: jnp.asarray(v) for k, v in bg_np.items()})
-            if bg_np is not None else None
-        )
-        return cat, bg
+        return jax.device_put(packing.pack(self._pack_spec, cat_np, bg_np))
+
+    def _build_packed_step(self):
+        inner = self._step_fn_nojit or self._step_fn
+        spec = self._pack_spec
+
+        def packed(state, flat, key):
+            cat, bg = packing.unpack(spec, flat)
+            return inner(state, cat, bg, key)
+
+        # flat is NOT donated: no output aliases its shape, so donation
+        # would only emit "donated buffer not usable" warnings
+        return jax.jit(packed, donate_argnums=(0,))
 
     def step_once(self) -> StepMetrics:
         """One host-staged optimizer step (the reference's per-iteration
@@ -94,9 +130,11 @@ class TrainingSession:
             self._prefetch_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="batch-prefetch")
         fut, self._prefetch_fut = self._prefetch_fut, None
-        cat, bg = fut.result() if fut is not None else self._device_batches()
-        self._prefetch_fut = self._prefetch_pool.submit(self._device_batches)
-        self.state, metrics = self.step_fn(self.state, cat, bg, self.base_key)
+        flat = fut.result() if fut is not None else self._staged_batch()
+        self._prefetch_fut = self._prefetch_pool.submit(self._staged_batch)
+        if self._packed_step is None:
+            self._packed_step = self._build_packed_step()
+        self.state, metrics = self._packed_step(self.state, flat, self.base_key)
         self.iteration += 1
         return metrics
 
