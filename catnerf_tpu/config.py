@@ -128,6 +128,15 @@ class Config:
     # --- TPU-native extras (no reference equivalent) ---
     seed: int = 0
     dtype: str = "float32"
+    # Store inter-fusion TRAINING activations (PE embedding, ReLU outputs,
+    # latent injections) in bfloat16. The step is HBM-traffic-bound, not
+    # FLOP-bound, and these tensors are that traffic; the next matmul
+    # truncates its inputs to bf16 anyway under the TPU default precision,
+    # so the cast only adds one double-rounding. Params, optimizer state,
+    # sigma/rgb heads, render math and losses stay f32; eval/meshing paths
+    # are untouched. Measured 7.8% step-time cut (scripts/exp_bf16_store.py)
+    # at quality-gate-neutral accuracy. Disable for strict parity.
+    bf16_activations: bool = True
     # Pallas fused PE+MLP kernels for the training hot path (the pure-XLA
     # modules remain the reference path; fused kernels fall back to them
     # automatically when the architecture diverges from the shipped
@@ -267,6 +276,8 @@ class Config:
         cfg.hidden_feature_size_bg = model.get(
             "hidden_feature_size_bg", cfg.hidden_feature_size_bg
         )
+        cfg.bf16_activations = model.get(
+            "bf16_activations", cfg.bf16_activations)
         nh = model.get("net_hyperparams", {})
         cfg.net_hyperparams = NetHyperparams(
             shape_blocks=nh.get("shape_blocks", 2),

@@ -53,7 +53,8 @@ def init_params(key: jax.Array, *, emb_size1: int = EMB_SIZE1, emb_size2: int = 
 
 
 def project_codes(params: dict, shape_latent: jnp.ndarray,
-                  texture_latent: jnp.ndarray, *, do_cat: bool = True):
+                  texture_latent: jnp.ndarray, *, do_cat: bool = True,
+                  act_dtype: jnp.dtype | None = None):
     """Latent-code injections for rows of codes.
 
     All shape-side injections (and the cat-layer one) share the same input,
@@ -68,11 +69,16 @@ def project_codes(params: dict, shape_latent: jnp.ndarray,
     gather traffic and ~(rays/instances)x fewer latent-matmul FLOPs, with a
     correspondingly cheaper scatter in the code-gradient backward.
 
+    act_dtype: optional bf16 STORAGE of the injections (compute stays f32)
+    — halves the per-ray gather traffic on them (cfg.bf16_activations).
+
     Returns (shape_inj [..., (shape_blocks+do_cat)*W],
              texture_inj [..., texture_blocks*W]).
     """
+    lr = (linear_relu if act_dtype is None
+          else lambda p, x: linear_relu(p, x).astype(act_dtype))
     zcat_params = [params["cat_latent_layer"]] if do_cat else []
-    shape_inj = linear_relu(
+    shape_inj = lr(
         {
             "w": jnp.concatenate(
                 [p["w"] for p in params["shape_latent_layers"]]
@@ -83,7 +89,7 @@ def project_codes(params: dict, shape_latent: jnp.ndarray,
         },
         shape_latent,
     )
-    texture_inj = linear_relu(
+    texture_inj = lr(
         {
             "w": jnp.concatenate(
                 [p["w"] for p in params["texture_latent_layers"]], axis=-1),
@@ -97,38 +103,48 @@ def project_codes(params: dict, shape_latent: jnp.ndarray,
 
 def apply_with_injections(params: dict, emb: jnp.ndarray,
                           shape_inj: jnp.ndarray, texture_inj: jnp.ndarray,
-                          *, emb_size1: int = EMB_SIZE1, do_cat: bool = True):
+                          *, emb_size1: int = EMB_SIZE1, do_cat: bool = True,
+                          act_dtype: jnp.dtype | None = None):
     """Forward pass given precomputed latent injections (see project_codes).
 
     emb: [..., 129]; shape_inj/texture_inj broadcastable against emb's
-    leading axes. Returns (sigma [..., 1], rgb [..., 3])."""
+    leading axes. act_dtype: optional bf16 STORAGE of the hidden activations
+    (the matmuls truncate their inputs to bf16 anyway at TPU default
+    precision; the sigma/rgb heads stay f32 — cfg.bf16_activations).
+    Returns (sigma [..., 1], rgb [..., 3])."""
+    lr = (linear_relu if act_dtype is None
+          else lambda p, x: linear_relu(p, x).astype(act_dtype))
     x1 = emb[..., :emb_size1]
     x2 = emb[..., emb_size1:]
     shape_blocks = len(params["shape_layers"])
     texture_blocks = len(params["texture_layers"])
     W = params["shape_layers"][0]["w"].shape[-1]
 
-    y = linear_relu(params["encoding_xyz"], x1)
+    y = lr(params["encoding_xyz"], x1)
     for j in range(shape_blocks):
         if do_cat and j == 1:
-            y = y + shape_inj[..., shape_blocks * W:]
+            y = y + shape_inj[..., shape_blocks * W:].astype(y.dtype)
             y = jnp.concatenate(
-                [y, jnp.broadcast_to(x1, y.shape[:-1] + (x1.shape[-1],))], axis=-1
+                [y, jnp.broadcast_to(x1.astype(y.dtype),
+                                     y.shape[:-1] + (x1.shape[-1],))], axis=-1
             )
-            y = linear_relu(params["cat_layer"], y)
-        y = y + shape_inj[..., j * W:(j + 1) * W]
-        y = linear_relu(params["shape_layers"][j], y)
+            y = lr(params["cat_layer"], y)
+        y = y + shape_inj[..., j * W:(j + 1) * W].astype(y.dtype)
+        y = lr(params["shape_layers"][j], y)
 
     y = linear(params["encoding_shape"], y)
     sigma = linear(params["sigma"], y) * 10.0  # UniSurf logit scale
 
+    if act_dtype is not None:
+        y = y.astype(act_dtype)  # store the 129-wide concat input compactly
     y = jnp.concatenate(
-        [y, jnp.broadcast_to(x2, y.shape[:-1] + (x2.shape[-1],))], axis=-1
+        [y, jnp.broadcast_to(x2, y.shape[:-1] + (x2.shape[-1],)).astype(y.dtype)],
+        axis=-1
     )
-    y = linear_relu(params["encoding_viewdir"], y)
+    y = lr(params["encoding_viewdir"], y)
     for j in range(texture_blocks):
-        y = y + texture_inj[..., j * W:(j + 1) * W]
-        y = linear_relu(params["texture_layers"][j], y)
+        y = y + texture_inj[..., j * W:(j + 1) * W].astype(y.dtype)
+        y = lr(params["texture_layers"][j], y)
     rgb = jax.nn.sigmoid(linear(params["rgb_1"], jax.nn.relu(linear(params["rgb_0"], y))))
     return sigma, rgb
 

@@ -123,7 +123,8 @@ def _sinpi_jvp(primals, tangents):
 
 
 def apply(params: dict, x: jnp.ndarray, *, scale: float,
-          max_deg: int = DEFAULT_MAX_DEG) -> jnp.ndarray:
+          max_deg: int = DEFAULT_MAX_DEG,
+          act_dtype: jnp.dtype | None = None) -> jnp.ndarray:
     """x: [..., 3] -> [..., 3 + (max_deg+1)*21] embedding
     (ref: src/embedding.py:82-92).
 
@@ -135,6 +136,11 @@ def apply(params: dict, x: jnp.ndarray, *, scale: float,
     amplified by the band scale to ~1 radian of phase noise on the
     highest-frequency sins — silently corrupting the fine-detail features.
     K=3, so exact f32 costs nothing.
+
+    act_dtype: optional STORAGE dtype for the returned embedding (compute
+    stays f32 — the HIGHEST projection and the sinpi polynomial are
+    unaffected). bf16 halves the embedding's HBM traffic while the consuming
+    matmul would truncate to bf16 anyway (cfg.bf16_activations).
     """
     t = x / scale
     proj = jnp.dot(t, params["B"].T,
@@ -143,7 +149,8 @@ def apply(params: dict, x: jnp.ndarray, *, scale: float,
     xb = proj[..., None, :] * bands[:, None]  # [..., n_freqs, 21]
     xb = xb.reshape(*proj.shape[:-1], -1)
     sin_fn = sinpi if _FAST_SINPI else (lambda v: jnp.sin(jnp.pi * v))
-    return jnp.concatenate([t, sin_fn(xb)], axis=-1)
+    emb = jnp.concatenate([t, sin_fn(xb)], axis=-1)
+    return emb if act_dtype is None else emb.astype(act_dtype)
 
 
 def positional_encoding(x: jnp.ndarray, num_encoding_functions: int = 6,

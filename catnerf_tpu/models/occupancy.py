@@ -41,22 +41,28 @@ def init_params(key: jax.Array, *, emb_size1: int = EMB_SIZE1, emb_size2: int = 
 
 
 def apply(params: dict, emb: jnp.ndarray, *, emb_size1: int = EMB_SIZE1,
-          do_alpha: bool = True, do_color: bool = True, do_cat: bool = True):
+          do_alpha: bool = True, do_color: bool = True, do_cat: bool = True,
+          act_dtype: jnp.dtype | None = None):
     """Forward pass (ref: src/model.py:124-155).
 
-    emb: [..., 129]. Returns (alpha [..., 1] | None, color [..., 3] | None);
-    alpha carries the x10 UniSurf logit scale.
+    emb: [..., 129]. act_dtype: optional bf16 STORAGE of hidden activations
+    (cfg.bf16_activations; alpha/color heads stay f32). Returns
+    (alpha [..., 1] | None, color [..., 3] | None); alpha carries the x10
+    UniSurf logit scale.
     """
+    lr = (linear_relu if act_dtype is None
+          else lambda p, x: linear_relu(p, x).astype(act_dtype))
     x1 = emb[..., :emb_size1]
     x2 = emb[..., emb_size1:]
 
-    fc = linear_relu(params["in_layer"], x1)
+    fc = lr(params["in_layer"], x1)
     for lp in params["mid1"]:
-        fc = linear_relu(lp, fc)
+        fc = lr(lp, fc)
     if do_cat:
-        fc = linear_relu(params["cat_layer"], jnp.concatenate([fc, x1], axis=-1))
+        fc = lr(params["cat_layer"],
+                jnp.concatenate([fc, x1.astype(fc.dtype)], axis=-1))
     for lp in params["mid2"]:
-        fc = linear_relu(lp, fc)
+        fc = lr(lp, fc)
 
     alpha = None
     if do_alpha:
@@ -64,6 +70,7 @@ def apply(params: dict, emb: jnp.ndarray, *, emb_size1: int = EMB_SIZE1,
 
     color = None
     if do_color and "out_color" in params:
-        h = linear_relu(params["color_linear"], jnp.concatenate([fc, x2], axis=-1))
+        h = lr(params["color_linear"],
+               jnp.concatenate([fc, x2.astype(fc.dtype)], axis=-1))
         color = jax.nn.sigmoid(linear(params["out_color"], h))
     return alpha, color

@@ -74,12 +74,6 @@ def _fused_eligible(cfg: Config) -> bool:
             and cfg.n_unidir_funcs == 5)
 
 
-def _batched_linear_relu(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """linear+relu with stacked [C, in, out] params over [C, R, in] input."""
-    y = jnp.einsum("cri,cio->cro", x, p["w"]) + p["b"][:, None, :]
-    return jax.nn.relu(y)
-
-
 def category_forward(params: dict, batch: CategoryBatch, key: jax.Array,
                      cfg: Config):
     """Sample 3D points and run the vmapped category ensemble.
@@ -98,12 +92,18 @@ def category_forward(params: dict, batch: CategoryBatch, key: jax.Array,
         keys, batch.rgbs, batch.states, batch.depth, batch.origins, batch.dirs
     )
 
+    # bf16 STORAGE of activations/embeddings/injections: the step is
+    # HBM-traffic-bound and the consuming matmuls truncate to bf16 anyway
+    # (measured 7.8% step cut, scripts/exp_bf16_store.py). Compute, params,
+    # heads, render math and losses stay f32.
+    act_dtype = jnp.bfloat16 if cfg.bf16_activations else None
+
     # Project-then-gather latent injections (ref: train.py:136-137 gathers
     # latent_dim-wide codes per ray; injections depend only on the instance,
     # so project the [max_obj, latent] code tables once and gather the
     # W-dim results per ray instead — see codenerf.project_codes).
     inj_s_inst, inj_t_inst = jax.vmap(
-        partial(codenerf.project_codes, do_cat=True)
+        partial(codenerf.project_codes, do_cat=True, act_dtype=act_dtype)
     )(params["cat_fc"], params["codes"]["shape"], params["codes"]["texture"])
     inj_s = jax.vmap(lambda z, i: jnp.take(z, i, axis=0))(
         inj_s_inst, batch.obj_indices
@@ -136,11 +136,11 @@ def category_forward(params: dict, batch: CategoryBatch, key: jax.Array,
         return sigma.reshape(C, R, Bt), rgb.reshape(C, R, Bt, 3), rays
 
     pe_fn = partial(embedding.apply, scale=cfg.obj_scale,
-                    max_deg=cfg.n_unidir_funcs)
+                    max_deg=cfg.n_unidir_funcs, act_dtype=act_dtype)
     emb = jax.vmap(pe_fn)(params["cat_pe"], rays.input_pcs)
-    alpha, color = jax.vmap(codenerf.apply_with_injections)(
-        params["cat_fc"], emb, inj_s[:, :, None, :], inj_t[:, :, None, :]
-    )
+    alpha, color = jax.vmap(
+        partial(codenerf.apply_with_injections, act_dtype=act_dtype)
+    )(params["cat_fc"], emb, inj_s[:, :, None, :], inj_t[:, :, None, :])
     return alpha[..., 0], color, rays
 
 
@@ -161,9 +161,10 @@ def background_forward(params: dict, batch: BackgroundBatch, key: jax.Array,
             scale=cfg.bg_scale,
         )
         return alpha.reshape(R, Bt), color.reshape(R, Bt, 3), rays
+    act_dtype = jnp.bfloat16 if cfg.bf16_activations else None
     emb = embedding.apply(params["bg_pe"], rays.input_pcs, scale=cfg.bg_scale,
-                          max_deg=cfg.n_unidir_funcs)
-    alpha, color = occupancy.apply(params["bg_fc"], emb)
+                          max_deg=cfg.n_unidir_funcs, act_dtype=act_dtype)
+    alpha, color = occupancy.apply(params["bg_fc"], emb, act_dtype=act_dtype)
     return alpha[..., 0], color, rays
 
 

@@ -152,6 +152,7 @@ def test_step_forward_fused_vs_xla_paths():
 
     cfg_f = Config()
     cfg_f.use_fused_kernels = True
+    cfg_f.bf16_activations = False  # the fused kernels are exact f32
     cfg_f.net_hyperparams.latent_dim = 32
     cfg_f.hidden_feature_size_bg = 64  # ineligible for bg kernel: exercises mix
     cfg_x = Config(**{**cfg_f.__dict__})

@@ -17,17 +17,26 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from catnerf_tpu.config import Config
 from catnerf_tpu.data.synthetic import make_scene
 from catnerf_tpu.train.loop import TrainingSession
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
-                      "loss_curve_seed0.json")
+_GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+# Two pins per path: the production default (bf16 activation storage) and
+# the strict-parity f32 numerics (cfg.bf16_activations = false).
+_VARIANTS = {
+    "f32": ("loss_curve_seed0.json", False),
+    "bf16": ("loss_curve_seed0_bf16.json", True),
+}
 
 
-def test_loss_curve_matches_golden():
+@pytest.mark.parametrize("variant", sorted(_VARIANTS))
+def test_loss_curve_matches_golden(variant):
+    fname, bf16 = _VARIANTS[variant]
     cfg = Config()
+    cfg.bf16_activations = bf16
     cfg.net_hyperparams.latent_dim = 16
     cfg.hidden_feature_size_bg = 32
     cfg.n_per_optim = 48
@@ -44,7 +53,7 @@ def test_loss_curve_matches_golden():
             cat_psnr.append(float(m.cat_psnr.mean()))
             bg_psnr.append(float(m.bg_psnr))
 
-    golden = json.load(open(GOLDEN))
+    golden = json.load(open(os.path.join(_GOLDEN_DIR, fname)))
     d_psnr = np.abs(np.asarray(cat_psnr) - np.asarray(golden["cat_psnr"]))
     d_bg = np.abs(np.asarray(bg_psnr) - np.asarray(golden["bg_psnr"]))
     rel_total = np.abs(np.asarray(total) / np.asarray(golden["total"]) - 1.0)
@@ -54,15 +63,20 @@ def test_loss_curve_matches_golden():
     assert rel_total.max() < 0.08 and rel_total.mean() < 0.02
 
 
-GOLDEN_FAST = os.path.join(os.path.dirname(__file__), "golden",
-                           "loss_curve_fast_seed0.json")
+_VARIANTS_FAST = {
+    "f32": ("loss_curve_fast_seed0.json", False),
+    "bf16": ("loss_curve_fast_seed0_bf16.json", True),
+}
 
 
-def test_fast_path_loss_curve_matches_golden():
+@pytest.mark.parametrize("variant", sorted(_VARIANTS_FAST))
+def test_fast_path_loss_curve_matches_golden(variant):
     """Same pin for the PRODUCTION path (superstep + cyclic-window device
     draws): catches numerics drift in the device store, windowed sampling,
     and the scanned step that the parity-path pin cannot see."""
+    fname, bf16 = _VARIANTS_FAST[variant]
     cfg = Config()
+    cfg.bf16_activations = bf16
     cfg.net_hyperparams.latent_dim = 16
     cfg.hidden_feature_size_bg = 32
     cfg.n_per_optim = 48
@@ -78,7 +92,7 @@ def test_fast_path_loss_curve_matches_golden():
         total.append(float(m.total))
         cat_psnr.append(float(m.cat_psnr.mean()))
 
-    golden = json.load(open(GOLDEN_FAST))
+    golden = json.load(open(os.path.join(_GOLDEN_DIR, fname)))
     d_psnr = np.abs(np.asarray(cat_psnr) - np.asarray(golden["cat_psnr"]))
     rel_total = np.abs(np.asarray(total) / np.asarray(golden["total"]) - 1.0)
     assert d_psnr.max() < 0.35, (cat_psnr, golden["cat_psnr"])
