@@ -95,3 +95,25 @@ def test_metrics_dict_keys(session):
     d = session.metrics_to_dict(m)
     for key in ["cls_80/psnr", "cls_81/depth", "background/color", "total"]:
         assert key in d
+
+
+def test_onehot_injection_lookup_matches_take():
+    """_gather_injections (one-hot einsum) must equal the plain gather it
+    replaced, bitwise, in both storage dtypes (the einsum has exactly one
+    1.0 per row and runs at HIGHEST precision — no truncation, no summing
+    of rounded terms)."""
+    from catnerf_tpu.train.step import _gather_injections
+
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        inj_s = jax.random.normal(k1, (4, 3, 96)).astype(dtype)
+        inj_t = jax.random.normal(k2, (4, 3, 32)).astype(dtype)
+        idx = jax.random.randint(k3, (4, 25), 0, 3)
+        got_s, got_t = _gather_injections(inj_s, inj_t, idx)
+        want = jax.vmap(lambda z, i: jnp.take(z, i, axis=0))
+        np.testing.assert_array_equal(np.asarray(got_s),
+                                      np.asarray(want(inj_s, idx)))
+        np.testing.assert_array_equal(np.asarray(got_t),
+                                      np.asarray(want(inj_t, idx)))
+        assert got_s.dtype == dtype and got_t.dtype == dtype
