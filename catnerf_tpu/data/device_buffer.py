@@ -188,10 +188,10 @@ def sample_batch(store: DeviceRayStore, key: jax.Array, n_per_cls: int,
 
 def make_superstep(step_fn_nojit, store: DeviceRayStore, n_per_cls: int,
                    n_bg: int, n_inner: int, donate: bool = True,
-                   window: bool = False):
+                   window: bool = False, unroll: int = 1):
     """One dispatch = `n_inner` optimizer steps via lax.scan, each drawing a
     fresh on-device batch. Returns jitted (state, key) -> (state, metrics of
-    the last inner step)."""
+    the last inner step). `unroll` unrolls the scan body (same numerics)."""
 
     def superstep(state, key):
         def body(state, k):
@@ -202,7 +202,7 @@ def make_superstep(step_fn_nojit, store: DeviceRayStore, n_per_cls: int,
             return state, metrics
 
         keys = jax.random.split(key, n_inner)
-        state, metrics = jax.lax.scan(body, state, keys)
+        state, metrics = jax.lax.scan(body, state, keys, unroll=unroll)
         last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
         return state, last
 

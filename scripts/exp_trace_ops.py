@@ -78,25 +78,40 @@ def main():
             if e.get("ph") == "X" and "args" in e and "run_id" in str(e["args"]):
                 tpu_pids.add(e["pid"])
 
+    import re
+
+    def is_container(name):
+        # jit_* / while.N / bare-number step markers nest the leaf ops and
+        # would double-count them.
+        return (name.startswith("jit_") or re.fullmatch(r"while\.\d+", name)
+                or re.fullmatch(r"\d+", name))
+
     by_op = defaultdict(float)
+    by_src = defaultdict(float)
     src_of = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
             continue
-        dur = e.get("dur", 0)
         name = e.get("name", "?")
+        if is_container(name):
+            continue
+        dur = e.get("dur", 0)
         by_op[name] += dur
         total += dur
         s = e.get("args", {}).get("source", "")
+        by_src[s or "<no source>"] += dur
         if s and name not in src_of:
             src_of[name] = s
     steps = N_DISPATCH * N_INNER
-    print(f"TPU pids {sorted(tpu_pids)}, total device-op time "
+    print(f"TPU pids {sorted(tpu_pids)}, leaf device-op time "
           f"{total/1e3:.2f} ms over {steps} steps "
           f"({total/steps:.1f} us/step)")
-    rows = sorted(by_op.items(), key=lambda kv: -kv[1])
-    for name, us in rows[:30]:
+    print("--- by source line ---")
+    for s, us in sorted(by_src.items(), key=lambda kv: -kv[1])[:20]:
+        print(f"{us/steps:8.2f} us/step  {s[-70:]}")
+    print("--- top individual ops ---")
+    for name, us in sorted(by_op.items(), key=lambda kv: -kv[1])[:30]:
         src = src_of.get(name, "")
         if len(src) > 60:
             src = "..." + src[-57:]
