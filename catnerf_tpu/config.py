@@ -100,6 +100,11 @@ class Config:
     # measured up to 36% junk mesh vertices on partially observed objects).
     # Disable with the other mesh_* flags for strict-parity comparisons.
     mesh_space_carving: bool = True
+    # Iso-surface extraction: "mc" = table-driven classic marching cubes
+    # (the reference's skimage vertex semantics, ref: src/vis.py:8-9;
+    # fewer triangles, sharper interpolation), "tetra" = 6-tetrahedra
+    # decomposition (kept for A/B).
+    mesh_method: str = "mc"
 
     # --- registration ---
     load_registration_result: bool = True
@@ -175,6 +180,10 @@ class Config:
         assert self.n_bins > 0 and self.n_bins_cam2surface > 0
         assert self.max_depth > self.min_depth
         assert self.net_hyperparams.W > 0
+        if self.mesh_method not in ("mc", "tetra"):
+            raise ValueError(
+                f"mesh_method must be 'mc' or 'tetra', got "
+                f"{self.mesh_method!r}")
         if self.n_unidir_funcs != 5:
             # the CodeNeRF trunk/color split is architecturally fixed at
             # EMB_SIZE1=87 / EMB_SIZE2=42, i.e. max_deg=5 (the reference
@@ -300,6 +309,7 @@ class Config:
             "mesh_adaptive_bounds", cfg.mesh_adaptive_bounds)
         cfg.mesh_space_carving = vis.get(
             "mesh_space_carving", cfg.mesh_space_carving)
+        cfg.mesh_method = vis.get("mesh_method", cfg.mesh_method)
 
         cfg.load_registration_result = reg.get(
             "load_registration_result", cfg.load_registration_result

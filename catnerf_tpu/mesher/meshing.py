@@ -329,7 +329,8 @@ def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
         # values, so subvoxel interpolation is unaffected.
         occ3 = _fill_unobservable_interior(occ3, observed_free=seen_empty3)
 
-    out = geomlib.marching_cubes(occ3, 0.5)
+    out = geomlib.marching_cubes(occ3, 0.5,
+                                 method=getattr(cfg, "mesh_method", "mc"))
     if out is None:
         return None
     verts, tris = out

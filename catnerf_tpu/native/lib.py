@@ -79,6 +79,9 @@ def _load() -> ctypes.CDLL:
         ]
         lib.marching_tetrahedra.restype = ctypes.c_int
 
+        lib.marching_cubes_classic.argtypes = lib.marching_tetrahedra.argtypes
+        lib.marching_cubes_classic.restype = ctypes.c_int
+
         lib.kd_build.argtypes = [c_fp, ctypes.c_int]
         lib.kd_build.restype = ctypes.c_void_p
         lib.kd_destroy.argtypes = [ctypes.c_void_p]
@@ -149,11 +152,19 @@ class geomlib:
 
     # -------------------------------------------------- marching cubes
     @staticmethod
-    def marching_cubes(grid: np.ndarray, level: float = 0.5):
+    def marching_cubes(grid: np.ndarray, level: float = 0.5,
+                       method: str = "mc"):
         """(nx, ny, nz) scalar field -> (verts (n,3) float32 in grid-index
         units, tris (m,3) int32), or None when no surface crosses `level`
         (matching the reference's None-on-failure contract,
-        ref: src/vis.py:6-19)."""
+        ref: src/vis.py:6-19).
+
+        method="mc" (default): table-driven classic marching cubes — the
+        reference's skimage.measure.marching_cubes vertex set exactly
+        (sign-change cube edges, linear interpolation; ref: src/vis.py:8-9),
+        crack-free table generated by scripts/gen_mc_table.py.
+        method="tetra": the 6-tetrahedra decomposition (~2x triangles,
+        extra vertices on cell diagonals; kept for A/B)."""
         lib = _load()
         g = _as_f32(grid)
         nx, ny, nz = g.shape
@@ -161,9 +172,11 @@ class geomlib:
         tp = ctypes.POINTER(ctypes.c_int)()
         nv = ctypes.c_int64()
         nt = ctypes.c_int64()
-        rc = lib.marching_tetrahedra(_fp(g), nx, ny, nz, level,
-                                     ctypes.byref(vp), ctypes.byref(nv),
-                                     ctypes.byref(tp), ctypes.byref(nt))
+        fn = (lib.marching_cubes_classic if method == "mc"
+              else lib.marching_tetrahedra)
+        rc = fn(_fp(g), nx, ny, nz, level,
+                ctypes.byref(vp), ctypes.byref(nv),
+                ctypes.byref(tp), ctypes.byref(nt))
         if rc != 0 or nv.value == 0 or nt.value == 0:
             for p in (vp, tp):
                 if p:

@@ -20,6 +20,8 @@
 #include <unordered_map>
 #include <vector>
 
+#include "mc_table.h"
+
 extern "C" {
 
 void geom_free(void* p) { std::free(p); }
@@ -177,6 +179,102 @@ int marching_tetrahedra(const float* grid, int nx, int ny, int nz, float level,
             int v3 = ev(ins[1], outs[0]);
             emit(v0, v1, v2);
             emit(v0, v2, v3);
+          }
+        }
+      }
+    }
+  }
+
+  *out_n_verts = int64_t(verts.size() / 3);
+  *out_n_tris = int64_t(tris.size() / 3);
+  float* vb = (float*)std::malloc(verts.size() * sizeof(float));
+  int* tb = (int*)std::malloc(tris.size() * sizeof(int));
+  std::memcpy(vb, verts.data(), verts.size() * sizeof(float));
+  std::memcpy(tb, tris.data(), tris.size() * sizeof(int));
+  *out_verts = vb;
+  *out_tris = tb;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Table-driven marching cubes (classic 256-case cube table).
+//
+// Parity target: skimage.measure.marching_cubes semantics (ref:
+// src/vis.py:8-9). Surface vertices lie on sign-change CUBE edges at
+// linearly interpolated positions — the identical vertex set skimage
+// produces — with connectivity from MC_TRI_TABLE (mc_table.h, generated
+// from first principles by scripts/gen_mc_table.py with a face-local
+// crack-free ambiguous-face rule). Triangles wind so normals point away
+// from the occupied (> level) region, like marching_tetrahedra above.
+// Emits ~2x fewer triangles than the tetrahedra decomposition.
+// ---------------------------------------------------------------------------
+
+int marching_cubes_classic(const float* grid, int nx, int ny, int nz,
+                           float level, float** out_verts,
+                           int64_t* out_n_verts, int** out_tris,
+                           int64_t* out_n_tris) {
+  if (nx < 2 || ny < 2 || nz < 2) return -1;
+  auto val = [&](int64_t i, int64_t j, int64_t k) -> float {
+    return grid[(i * ny + j) * nz + k];
+  };
+  auto gid = [&](int64_t i, int64_t j, int64_t k) -> int64_t {
+    return (i * ny + j) * nz + k;
+  };
+
+  std::vector<float> verts;
+  std::vector<int> tris;
+  std::unordered_map<int64_t, int> edge_to_vert;
+  verts.reserve(1 << 16);
+  tris.reserve(1 << 16);
+
+  for (int64_t i = 0; i + 1 < nx; ++i) {
+    for (int64_t j = 0; j + 1 < ny; ++j) {
+      for (int64_t k = 0; k + 1 < nz; ++k) {
+        float cv[8];
+        int64_t cg[8];
+        double cpx[8], cpy[8], cpz[8];
+        int casemask = 0;
+        for (int c = 0; c < 8; ++c) {
+          int64_t ci = i + CORNER[c][0], cj = j + CORNER[c][1],
+                  ck = k + CORNER[c][2];
+          cv[c] = val(ci, cj, ck);
+          cpx[c] = double(ci); cpy[c] = double(cj); cpz[c] = double(ck);
+          cg[c] = gid(ci, cj, ck);
+          if (cv[c] > level) casemask |= (1 << c);
+        }
+        const signed char* row = MC_TRI_TABLE[casemask];
+        if (row[0] < 0) continue;
+
+        int edge_vert[12];
+        for (int m = 0; row[m] >= 0; ++m) {
+          int e = row[m];
+          // compute (deduplicated) vertex for edge e lazily, once per cell
+          int a = MC_EDGE_CORNERS[e][0], b = MC_EDGE_CORNERS[e][1];
+          int64_t key = edge_key(cg[a], cg[b]);
+          auto it = edge_to_vert.find(key);
+          int idx;
+          if (it != edge_to_vert.end()) {
+            idx = it->second;
+          } else {
+            double va = cv[a], vb = cv[b];
+            double t = (vb - va) != 0.0 ? (level - va) / (vb - va) : 0.5;
+            t = std::min(1.0, std::max(0.0, t));
+            idx = int(verts.size() / 3);
+            verts.push_back(float(cpx[a] + t * (cpx[b] - cpx[a])));
+            verts.push_back(float(cpy[a] + t * (cpy[b] - cpy[a])));
+            verts.push_back(float(cpz[a] + t * (cpz[b] - cpz[a])));
+            edge_to_vert.emplace(key, idx);
+          }
+          edge_vert[m % 3 == 0 ? 0 : (m % 3 == 1 ? 1 : 2)] = idx;
+          if (m % 3 == 2) {
+            // drop degenerate triangles (two corners interpolated to the
+            // same deduplicated vertex, possible when values equal level)
+            if (edge_vert[0] != edge_vert[1] && edge_vert[1] != edge_vert[2] &&
+                edge_vert[0] != edge_vert[2]) {
+              tris.push_back(edge_vert[0]);
+              tris.push_back(edge_vert[1]);
+              tris.push_back(edge_vert[2]);
+            }
           }
         }
       }
