@@ -30,6 +30,10 @@ class Config:
     dataset_format: str = "Replica"
     dataset_dir: str = ""
     depth_scale: float = 1.0 / 1000.0  # raw depth units -> meters
+    # Load every k-th frame. The reference requires users to pre-select
+    # 1 frame per 10 on disk by hand (ref: README.md:34); set
+    # frame_stride=10 to run directly on a full vMAP-prepared sequence.
+    frame_stride: int = 1
 
     # --- trainer ---
     max_n_models: int = 100
@@ -176,10 +180,29 @@ class Config:
     def bins_per_ray_bg(self) -> int:
         return self.n_bins_cam2surface_bg + self.n_bins
 
+    def apply_strict_parity(self) -> "Config":
+        """Flip every algorithmic-improvement flag OFF for a head-to-head
+        comparison against reference outputs (PARITY.md §"Deliberate
+        divergences & strict-parity recipe"); one switch instead of editing
+        the scene JSON. Dispatch shape is a CLI concern — pass `--parity`
+        to train.py alongside this (train.py's --strict-parity implies it).
+        Returns self for chaining."""
+        self.mesh_fill_interior = False
+        self.mesh_adaptive_bounds = False
+        self.mesh_space_carving = False
+        self.scale_aware_registration = False
+        self.refined_mask_unknown = False
+        self.bf16_activations = False
+        self.use_fused_kernels = False
+        return self
+
     def validate(self) -> None:
         assert self.n_bins > 0 and self.n_bins_cam2surface > 0
         assert self.max_depth > self.min_depth
         assert self.net_hyperparams.W > 0
+        if self.frame_stride < 1:
+            raise ValueError(
+                f"frame_stride must be >= 1, got {self.frame_stride}")
         if self.mesh_method not in ("mc", "tetra"):
             raise ValueError(
                 f"mesh_method must be 'mc' or 'tetra', got "
@@ -215,6 +238,7 @@ class Config:
         cfg = cls()
         cfg.dataset_format = ds.get("format", cfg.dataset_format)
         cfg.dataset_dir = ds.get("path", cfg.dataset_dir)
+        cfg.frame_stride = ds.get("frame_stride", cfg.frame_stride)
         # anchor RELATIVE dataset paths at the config file's directory, not
         # the process CWD (otherwise the ScanNet intrinsics probe below
         # silently misses and the loader can't find frames)

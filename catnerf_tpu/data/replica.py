@@ -83,7 +83,9 @@ class Replica:
     def get_all_frames(self) -> None:
         cv2 = self._cv2
         t1 = time.time()
-        for idx in range(self.n_img):
+        # frame_stride: in-loader keyframe subsampling; the reference makes
+        # users pre-select 1-in-10 frames on disk by hand (ref: README.md:34)
+        for idx in range(0, self.n_img, self.cfg.frame_stride):
             rgb_file = os.path.join(self.root_dir, "rgb", f"rgb_{idx}.png")
             depth_file = os.path.join(self.root_dir, "depth", f"depth_{idx}.png")
             inst_file = os.path.join(self.root_dir, "semantic_instance",
@@ -157,10 +159,11 @@ class Replica:
                 "T": self.Twc[idx], "frame_id": idx,
             }
         print(f"get_all_frames took {time.time() - t1:.1f}s "
-              f"({self.n_img} frames)")
+              f"({len(self.sample_dict)} of {self.n_img} frames, "
+              f"stride {self.cfg.frame_stride})")
 
     def __len__(self) -> int:
-        return self.n_img
+        return len(self.sample_dict)
 
     def __getitem__(self, idx: int):
         return self.sample_dict[idx]

@@ -119,8 +119,12 @@ class ScanNet:
                 f"ScanNet layout needs one pose per frame: found "
                 f"{len(self.poses)} poses under {self.root_dir}/pose for "
                 f"{self.n_img} frames")
-        for index in range(self.n_img):
-            index_reduced = index - reduce
+        # frame_stride: in-loader keyframe subsampling; the reference makes
+        # users pre-select 1-in-10 frames on disk by hand (ref: README.md:34)
+        for index in range(0, self.n_img, self.cfg.frame_stride):
+            # contiguous index over KEPT frames (inf-pose frames and strided-
+            # over frames leave no hole, ref: src/dataset.py:296-300)
+            index_reduced = len(self.sample_dict)
             T = self.poses[index]
             if np.any(np.isinf(T)):
                 # (ref: src/dataset.py:296-300)
@@ -335,9 +339,11 @@ class ScanNet:
                 if parts:
                     info["pcs"] = np.concatenate(parts)
 
-        self.n_img -= reduce
+        total = self.n_img
+        self.n_img = len(self.sample_dict)
         print(f"get_all_frames took {time.time() - t1:.1f}s "
-              f"({self.n_img} frames)")
+              f"({self.n_img} of {total} frames kept, "
+              f"{reduce} inf-pose skipped, stride {self.cfg.frame_stride})")
 
     def __len__(self) -> int:
         return self.n_img

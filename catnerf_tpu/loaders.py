@@ -10,9 +10,12 @@ reference equivalent.
 from __future__ import annotations
 
 
-def load_scene(config: str | None, synthetic: bool = False):
+def load_scene(config: str | None, synthetic: bool = False,
+               strict_parity: bool = False):
     """(cfg, inst_dict, sample_dict, cam) for a config file or the built-in
-    synthetic scene."""
+    synthetic scene. strict_parity applies Config.apply_strict_parity()
+    BEFORE dataset construction (registration flags act inside the dataset
+    ctor)."""
     from catnerf_tpu.config import Config
     from catnerf_tpu.data.camera import CameraInfo
 
@@ -23,11 +26,15 @@ def load_scene(config: str | None, synthetic: bool = False):
 
         cfg = Config()
         cfg.net_hyperparams.latent_dim = 32
+        if strict_parity:
+            cfg.apply_strict_parity()
         scene = make_scene(n_frames=8, width=160, height=120,
                            n_categories=3, insts_per_cat=2)
         return cfg, scene.inst_dict, scene.sample_dict, scene.cam
 
     cfg = Config.from_json(config)
+    if strict_parity:
+        cfg.apply_strict_parity()
     from catnerf_tpu.data.replica import get_dataset
 
     data = get_dataset(cfg)

@@ -105,3 +105,50 @@ def test_replica_loader_full_pipeline(tmp_path):
     for _ in range(3):
         m = sess.step_once()
     assert np.isfinite(float(m.total))
+
+
+def test_replica_loader_frame_stride(tmp_path):
+    """cfg.frame_stride subsamples keyframes in-loader (the reference makes
+    users pre-select 1-in-10 frames on disk by hand, ref: README.md:34):
+    every k-th frame loads, poses stay aligned with their frames, and the
+    strided scene still trains."""
+    from catnerf_tpu.data.replica import Replica
+    from catnerf_tpu.train.loop import TrainingSession
+
+    scene = make_scene(n_frames=6, width=96, height=72, n_categories=1,
+                       insts_per_cat=2, seed=1)
+
+    cfg = Config()
+    cfg.dataset_dir = str(tmp_path)
+    cfg.width, cfg.height = 96, 72
+    cfg.fx = cfg.fy = scene.cam.fx
+    cfg.cx, cfg.cy = scene.cam.cx, scene.cam.cy
+    cfg.depth_scale = 1.0 / 1000.0
+    cfg.load_registration_result = False
+    cfg.load_pretrained = False
+    cfg.pretrain_steps = 50
+    cfg.pretrain_rays = 128
+    cfg.multi_init_pose = False
+    cfg.net_hyperparams.latent_dim = 16
+    cfg.hidden_feature_size_bg = 32
+    cfg.frame_stride = 2
+
+    write_replica_layout(scene, str(tmp_path), cfg.depth_scale)
+    data = Replica(cfg)
+
+    assert len(data) == 3  # 6 frames, stride 2 -> frames 0, 2, 4
+    assert sorted(data.sample_dict.keys()) == [0, 2, 4]
+    for idx in (0, 2, 4):
+        # pose alignment: each kept frame carries ITS OWN trajectory row
+        np.testing.assert_allclose(data.sample_dict[idx]["T"],
+                                   scene.sample_dict[idx]["T"], atol=1e-6)
+    # frame_info only references loaded frames
+    for cid, objs in data.inst_dict.items():
+        infos = [objs] if cid == 0 else list(objs.values())
+        for info in infos:
+            for fi in info["frame_info"]:
+                assert fi["frame"] in data.sample_dict
+
+    sess = TrainingSession(cfg, data.inst_dict, data.sample_dict)
+    m = sess.step_once()
+    assert np.isfinite(float(m.total))

@@ -145,3 +145,54 @@ def test_scannet_loader_full_pipeline(tmp_path):
     for _ in range(3):
         m = sess.step_once()
     assert np.isfinite(float(m.total))
+
+
+def test_scannet_loader_frame_stride(tmp_path):
+    """frame_stride composes with the inf-pose skip: kept frames stay
+    contiguously indexed, each paired with its own pose, and the strided
+    scene still registers and trains."""
+    from catnerf_tpu.data.scannet import ScanNet
+    from catnerf_tpu.train.loop import TrainingSession
+
+    scene = make_scene(n_frames=6, width=96, height=72, n_categories=1,
+                       insts_per_cat=2, seed=3)
+
+    cfg = Config()
+    cfg.dataset_format = "ScanNet"
+    cfg.dataset_dir = str(tmp_path)
+    cfg.width, cfg.height = 96, 72
+    cfg.fx = cfg.fy = scene.cam.fx
+    cfg.cx, cfg.cy = scene.cam.cx, scene.cam.cy
+    cfg.depth_scale = 1.0 / 1000.0
+    cfg.load_registration_result = False
+    cfg.load_pretrained = False
+    cfg.pretrain_steps = 50
+    cfg.pretrain_rays = 128
+    cfg.multi_init_pose = False
+    cfg.use_refined_mask = False
+    cfg.net_hyperparams.latent_dim = 16
+    cfg.hidden_feature_size_bg = 32
+    cfg.frame_stride = 2
+
+    write_scannet_layout(scene, str(tmp_path), cfg.depth_scale)
+    # frame 2 is strided over (odd frames skipped, evens kept); corrupt
+    # kept frame 4's pose -> loader keeps original frames 0 and 2
+    np.savetxt(os.path.join(str(tmp_path), "pose", "4.txt"),
+               np.full((4, 4), np.inf))
+    data = ScanNet(cfg)
+
+    assert data.n_img == 2  # frames 0, 2 (4 inf-skipped; 1, 3, 5 strided)
+    assert sorted(data.sample_dict.keys()) == [0, 1]
+    np.testing.assert_allclose(data.sample_dict[0]["T"],
+                               scene.sample_dict[0]["T"], atol=1e-6)
+    np.testing.assert_allclose(data.sample_dict[1]["T"],
+                               scene.sample_dict[2]["T"], atol=1e-6)
+    for cid, objs in data.inst_dict.items():
+        infos = [objs] if cid == 0 else list(objs.values())
+        for info in infos:
+            for fi in info["frame_info"]:
+                assert fi["frame"] in data.sample_dict
+
+    sess = TrainingSession(cfg, data.inst_dict, data.sample_dict)
+    m = sess.step_once()
+    assert np.isfinite(float(m.total))

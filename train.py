@@ -37,6 +37,11 @@ def main():
                         help="per-step host-staged dispatch (the reference's "
                              "execution shape) instead of the superstep fast "
                              "path")
+    parser.add_argument("--strict-parity", action="store_true",
+                        help="one-switch head-to-head mode: disables every "
+                             "algorithmic improvement over the reference "
+                             "(Config.apply_strict_parity, see PARITY.md) "
+                             "and implies --parity dispatch")
     parser.add_argument("--trace", action="store_true",
                         help="capture a jax.profiler device trace of the "
                              "first training chunk into <logdir>/trace")
@@ -64,7 +69,10 @@ def main():
 
     os.makedirs(args.logdir, exist_ok=True)
 
-    cfg, inst_dict, sample_dict, cam = load_scene(args.config, args.synthetic)
+    if args.strict_parity:
+        args.parity = True
+    cfg, inst_dict, sample_dict, cam = load_scene(
+        args.config, args.synthetic, strict_parity=args.strict_parity)
     if not args.synthetic:
         dst = os.path.join(args.logdir, os.path.basename(args.config))
         if not (os.path.exists(dst)
