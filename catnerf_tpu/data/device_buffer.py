@@ -191,9 +191,31 @@ def make_superstep(step_fn_nojit, store: DeviceRayStore, n_per_cls: int,
                    window: bool = False, unroll: int = 1):
     """One dispatch = `n_inner` optimizer steps via lax.scan, each drawing a
     fresh on-device batch. Returns jitted (state, key) -> (state, metrics of
-    the last inner step). `unroll` unrolls the scan body (same numerics)."""
+    the last inner step). `unroll` unrolls the scan body (same numerics).
 
-    def superstep(state, key):
+    The store is passed INTO the jitted program as an argument, never closed
+    over: a closed-over device array is embedded as an MLIR constant, which
+    pulls it device->host during lowering (80+ s for multi-MB buffers over
+    the axon tunnel — measured on field_pretrain's identical pattern) and
+    ships it back inside the compiled binary. Bench-scale stores are ~1 MB,
+    real-scene stores are GBs — the argument form costs nothing and is safe
+    at every scale. Window-pad validation runs HERE (the store is concrete
+    in the factory; inside the trace it is not inspectable)."""
+    if window:
+        pad = _concrete_pad(store.packed, store.lengths)
+        if pad is not None and pad < n_per_cls:
+            raise ValueError(
+                f"window draw of {n_per_cls} rays needs a store built "
+                f"with window_pad >= {n_per_cls} (store has {pad} pad "
+                "rows); rows past the pad are zeros")
+        if store.bg_packed is not None:
+            bpad = _concrete_pad(store.bg_packed, store.bg_length)
+            if bpad is not None and bpad < n_bg:
+                raise ValueError(
+                    f"window draw of {n_bg} bg rays needs bg_window_pad "
+                    f">= {n_bg} (store has {bpad} pad rows)")
+
+    def superstep(state, key, store):
         def body(state, k):
             k_draw, k_step = jax.random.split(k)
             cat, bg = sample_batch(store, k_draw, n_per_cls, n_bg,
@@ -207,4 +229,12 @@ def make_superstep(step_fn_nojit, store: DeviceRayStore, n_per_cls: int,
         return state, last
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(superstep, donate_argnums=donate_argnums)
+    jitted = jax.jit(superstep, donate_argnums=donate_argnums)
+
+    def run(state, key):
+        return jitted(state, key, store)
+
+    # keep AOT inspection working (scripts/exp_hlo_dump.py, tests)
+    run.lower = lambda state, key: jitted.lower(state, key, store)
+    run.jitted = jitted
+    return run

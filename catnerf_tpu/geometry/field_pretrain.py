@@ -112,40 +112,47 @@ def pretrain_object_fields(objects: list, sample_dict: dict, cam: CameraInfo,
         n_bins=N_BINS, min_depth=cfg.min_depth,
         surface_eps=cfg.surface_eps, stop_eps=cfg.stop_eps)
 
-    def loss_fn(params, rows, k):
-        keys = jax.random.split(k, n_obj)
-        rays = jax.vmap(sample_fn)(
-            keys, rows[..., 6:9], rows[..., 10].astype(jnp.int32),
-            rows[..., 9], rows[..., 0:3], rows[..., 3:6])
-
-        def fwd(p, pcs, scale):
-            emb = embedding.apply(p["pe"], pcs, scale=scale)
-            a, c = occupancy.apply(p["fc"], emb)
-            return a[..., 0], c
-
-        alpha, color = jax.vmap(fwd)(params, rays.input_pcs, scales_d)
-        lb = losses.step_batch_loss(
-            alpha, color, rays.gt_depth, rays.gt_rgb, rays.obj_labels,
-            rays.valid_depth_mask, rays.z_vals,
-            color_scaling=cfg.color_scaling,
-            opacity_scaling=cfg.opacity_scaling)
-        return lb.total
-
-    def one_step(carry, k):
-        params, opt_state = carry
-        k_draw, k_sample = jax.random.split(k)
-        idx = jax.random.randint(k_draw, (n_obj, n_rays), 0,
-                                 lengths_d[:, None])
-        flat = (idx + (jnp.arange(n_obj) * max_len)[:, None]).reshape(-1)
-        rows = jnp.take(packed_d.reshape(n_obj * max_len, 11), flat,
-                        axis=0).reshape(n_obj, n_rays, 11)
-        loss, grads = jax.value_and_grad(loss_fn)(params, rows, k_sample)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
-
+    # The ray store / lengths / scales are ARGUMENTS of the jitted superstep,
+    # never closed over: a closed-over device array is embedded in the
+    # program as an MLIR constant, which (a) pulls it device->host during
+    # lowering — 80+ s for the [n_obj, max_len, 11] store over the axon
+    # tunnel (measured: 254 s of a 305 s pretrain were constant pulls,
+    # scripts profile 2026-08) — and (b) ships it back inside the compiled
+    # binary every compile.
     @jax.jit
-    def superstep(carry, k):
+    def superstep(carry, k, packed_d, lengths_d, scales_d):
+        def loss_fn(params, rows, k):
+            keys = jax.random.split(k, n_obj)
+            rays = jax.vmap(sample_fn)(
+                keys, rows[..., 6:9], rows[..., 10].astype(jnp.int32),
+                rows[..., 9], rows[..., 0:3], rows[..., 3:6])
+
+            def fwd(p, pcs, scale):
+                emb = embedding.apply(p["pe"], pcs, scale=scale)
+                a, c = occupancy.apply(p["fc"], emb)
+                return a[..., 0], c
+
+            alpha, color = jax.vmap(fwd)(params, rays.input_pcs, scales_d)
+            lb = losses.step_batch_loss(
+                alpha, color, rays.gt_depth, rays.gt_rgb, rays.obj_labels,
+                rays.valid_depth_mask, rays.z_vals,
+                color_scaling=cfg.color_scaling,
+                opacity_scaling=cfg.opacity_scaling)
+            return lb.total
+
+        def one_step(carry, k):
+            params, opt_state = carry
+            k_draw, k_sample = jax.random.split(k)
+            idx = jax.random.randint(k_draw, (n_obj, n_rays), 0,
+                                     lengths_d[:, None])
+            flat = (idx + (jnp.arange(n_obj) * max_len)[:, None]).reshape(-1)
+            rows = jnp.take(packed_d.reshape(n_obj * max_len, 11), flat,
+                            axis=0).reshape(n_obj, n_rays, 11)
+            loss, grads = jax.value_and_grad(loss_fn)(params, rows, k_sample)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
         keys = jax.random.split(k, n_inner)
         return jax.lax.scan(one_step, carry, keys)
 
@@ -153,7 +160,8 @@ def pretrain_object_fields(objects: list, sample_dict: dict, cam: CameraInfo,
     n_chunks = max(1, -(-steps // n_inner))  # ceil: never trains fewer steps
     for _ in range(n_chunks):
         key, k = jax.random.split(key)
-        carry, losses_hist = superstep(carry, k)
+        carry, losses_hist = superstep(carry, k, packed_d, lengths_d,
+                                       scales_d)
     params = carry[0]
     final_loss = float(losses_hist[-1])
     print(f"pretrained {n_obj} object fields: {n_chunks * n_inner} steps, "

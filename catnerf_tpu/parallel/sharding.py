@@ -165,9 +165,16 @@ def make_sharded_superstep(cfg: Config, obj_mask, mesh: Mesh,
     st_sh = state_shardings(state_template, mesh, n_cls)
     cat_sh, bg_sh = batch_shardings(mesh)
     repl = NamedSharding(mesh, P())
-    store = jax.device_put(store, store_shardings(mesh))
+    store_sh = store_shardings(mesh)
+    if store.bg_packed is None:
+        # mirror the store's None pattern so in_shardings' pytree matches
+        store_sh = store_sh._replace(bg_packed=None, bg_length=None)
+    store = jax.device_put(store, store_sh)
 
-    def body(state, k):
+    # store is a jit ARGUMENT, not a closure: closed-over device arrays are
+    # embedded as program constants, pulled device->host at lowering —
+    # ruinous for real-scene (GB) stores (see device_buffer.make_superstep).
+    def body(store, state, k):
         k_draw, k_step = jax.random.split(k)
         # want_bg tracks the effective flag: a store carrying bg buffers
         # for a background-less step must not pay the per-step bg gather
@@ -180,11 +187,20 @@ def make_sharded_superstep(cfg: Config, obj_mask, mesh: Mesh,
             bg = jax.lax.with_sharding_constraint(bg, bg_sh)
         return inner(state, cat, bg, k_step)
 
-    def superstep(state, key):
+    def superstep(state, key, store):
         keys = jax.random.split(key, n_inner)
-        state, metrics = jax.lax.scan(body, state, keys)
+        state, metrics = jax.lax.scan(
+            lambda st, k: body(store, st, k), state, keys)
         return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
 
     metrics_sh = jax.tree_util.tree_map(lambda _: repl, _metrics_template())
-    return jax.jit(superstep, in_shardings=(st_sh, repl),
-                   out_shardings=(st_sh, metrics_sh), donate_argnums=(0,))
+    jitted = jax.jit(superstep, in_shardings=(st_sh, repl, store_sh),
+                     out_shardings=(st_sh, metrics_sh), donate_argnums=(0,))
+
+    def run(state, key):
+        return jitted(state, key, store)
+
+    # keep AOT inspection working (tests' collective-volume HLO check)
+    run.lower = lambda state, key: jitted.lower(state, key, store)
+    run.jitted = jitted
+    return run

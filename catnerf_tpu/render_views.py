@@ -162,12 +162,17 @@ def _field_render_program(cam_key, cfg: Config, is_background: bool,
     if key in _PROGRAM_CACHE:
         return _PROGRAM_CACHE[key]
     width, height, fx, fy, cx, cy = cam_key
+    # jit ARGUMENT, not a closure: a closed-over device array is embedded
+    # as an MLIR constant, pulled device->host during lowering — ruinous
+    # over the axon tunnel for a full-camera dirs grid (~10 MB). See
+    # device_buffer.make_superstep.
     dirs_c = jnp.asarray(ray_dirs_cache(width, height, fx, fy, cx, cy))
     scale = cfg.bg_scale if is_background else cfg.obj_scale
     max_deg = cfg.n_unidir_funcs
 
     @jax.jit
-    def run(pe, fc, sc, tc, T, near, far, mask_A, mask_b, mask_half):
+    def run_jit(dirs_c, pe, fc, sc, tc, T, near, far,
+                mask_A, mask_b, mask_half):
         pts, z = _ray_grid(dirs_c, T, near, far, n_bins)
 
         def chunk_fn(p):
@@ -188,6 +193,9 @@ def _field_render_program(cam_key, cfg: Config, is_background: bool,
         occ = occ.reshape(width, height, n_bins)
         rgb = rgb.reshape(width, height, n_bins, 3)
         return _composite_device(occ, rgb, z)
+
+    def run(*args):
+        return run_jit(dirs_c, *args)
 
     _PROGRAM_CACHE[key] = run
     return run
@@ -350,13 +358,15 @@ def _scene_render_program(cfg: Config, cam_key, n_bins: int, n_obj: int,
     if key in _PROGRAM_CACHE:
         return _PROGRAM_CACHE[key]
     width, height, fx, fy, cx, cy = cam_key
+    # jit ARGUMENT, not a closure (constant-embedding device->host pull at
+    # lowering; see _field_render_program / device_buffer.make_superstep)
     dirs_c = jnp.asarray(ray_dirs_cache(width, height, fx, fy, cx, cy))
     max_deg = cfg.n_unidir_funcs
     n_dev = device_mesh.devices.size if device_mesh is not None else 1
 
     @jax.jit
-    def run(pe_s, fc_s, sc_s, tc_s, A_s, b_s, Am_s, bm_s, half_s,
-            bg_pe, bg_fc, T, near, far):
+    def run_jit(dirs_c, pe_s, fc_s, sc_s, tc_s, A_s, b_s, Am_s, bm_s,
+                half_s, bg_pe, bg_fc, T, near, far):
         pts, z = _ray_grid(dirs_c, T, near, far, n_bins)
         flat = pts.reshape(-1, 3)
         n = flat.shape[0]
@@ -409,6 +419,9 @@ def _scene_render_program(cfg: Config, cam_key, n_bins: int, n_obj: int,
         occ = occ.reshape(-1)[:n].reshape(width, height, n_bins)
         rgb = rgb.reshape(-1, 3)[:n].reshape(width, height, n_bins, 3)
         return _composite_device(occ, rgb, z)
+
+    def run(*args):
+        return run_jit(dirs_c, *args)
 
     _PROGRAM_CACHE[key] = run
     return run
