@@ -141,3 +141,28 @@ def test_window_draw_requires_matching_pad():
     # want_bg=False skips the background draw entirely
     cat, bg = sample_batch(store, key, 8, 8, window=True, want_bg=False)
     assert bg is None and cat.origins.shape[1] == 8
+
+
+def test_superstep_embeds_no_large_constants():
+    """Regression pin for the closure-constant anti-pattern: a jitted
+    program that closes over a device buffer embeds it as an MLIR constant,
+    which lowering pulls device->host (~0.6 MB/s over the axon tunnel —
+    254 s of a 305 s field-pretrain run, 2026-08) and ships back inside the
+    binary. The ray store must be a jit ARGUMENT: the lowered superstep may
+    not contain any constant within 100x of the store's size."""
+    import re
+
+    sess = _session()
+    store = build_device_store(sess.categories, sess.background)
+    inner = make_train_step(sess.cfg, sess.obj_mask, jit=False)
+    superstep = make_superstep(inner, store, n_per_cls=32, n_bg=64,
+                               n_inner=4, donate=False)
+    txt = superstep.lower(sess.state, jax.random.PRNGKey(0)).as_text()
+    store_bytes = store.packed.size * 4
+    # hex-encoded dense blobs are the only way multi-KB constants appear
+    biggest = max((len(m) // 2 for m in
+                   re.findall(r'dense<"0x([0-9A-Fa-f]+)"', txt)), default=0)
+    assert biggest < max(store_bytes // 100, 4096), (
+        f"lowered superstep embeds a {biggest}-byte constant "
+        f"(store is {store_bytes} B): a device buffer leaked into a "
+        "closure — pass it as a jit argument")
