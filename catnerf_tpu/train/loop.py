@@ -176,7 +176,14 @@ class TrainingSession:
     # of the build-time-shuffled buffers (the reference's cursor is likewise
     # a sequential window over a shuffled buffer) instead of the host
     # epoch-shuffle cursor.
-    def enable_fast_path(self, n_inner: int) -> None:
+    def enable_fast_path(self, n_inner: int, device_mesh=None) -> None:
+        """Device-resident ray store + superstep. With `device_mesh` (a
+        ('data','model') jax.sharding.Mesh of >1 device), the store, state,
+        optimizer moments, and every inner step are sharded DP(rays) x
+        EP(categories) over the mesh — the session's state is re-placed
+        sharded and all subsequent run_fast dispatches execute multi-chip
+        (the only cross-chip traffic is the gradient all-reduce over
+        'data'; tests/test_parallel.py::test_weak_scaling_collective_volume)."""
         from catnerf_tpu.data.device_buffer import (
             build_device_store, make_superstep)
 
@@ -184,12 +191,35 @@ class TrainingSession:
             self.categories, self.background,
             window_pad=self.n_per_cls,
             bg_window_pad=self.cfg.n_per_optim_bg)
-        inner = make_train_step(
-            self.cfg, self.obj_mask,
-            with_background=self.background is not None, jit=False)
-        self._superstep = make_superstep(
-            inner, store, n_per_cls=self.n_per_cls,
-            n_bg=self.cfg.n_per_optim_bg, n_inner=n_inner, window=True)
+        if device_mesh is not None and device_mesh.devices.size > 1:
+            from catnerf_tpu.parallel import sharding
+            from catnerf_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            n_cls = len(self.cls_ids)
+            n_model = device_mesh.shape[MODEL_AXIS]
+            n_data = device_mesh.shape[DATA_AXIS]
+            if n_cls % n_model:
+                raise ValueError(
+                    f"{n_cls} categories not divisible over the mesh's "
+                    f"{n_model}-way 'model' axis; use make_mesh(n_model=d) "
+                    f"with d | {n_cls}")
+            if self.n_per_cls % n_data or self.cfg.n_per_optim_bg % n_data:
+                raise ValueError(
+                    f"ray batch ({self.n_per_cls}/cat, "
+                    f"{self.cfg.n_per_optim_bg} bg) not divisible over the "
+                    f"{n_data}-way 'data' axis")
+            self.state = sharding.shard_state(self.state, device_mesh, n_cls)
+            self._superstep = sharding.make_sharded_superstep(
+                self.cfg, self.obj_mask, device_mesh, self.state, n_cls,
+                store, n_per_cls=self.n_per_cls,
+                n_bg=self.cfg.n_per_optim_bg, n_inner=n_inner, window=True)
+        else:
+            inner = make_train_step(
+                self.cfg, self.obj_mask,
+                with_background=self.background is not None, jit=False)
+            self._superstep = make_superstep(
+                inner, store, n_per_cls=self.n_per_cls,
+                n_bg=self.cfg.n_per_optim_bg, n_inner=n_inner, window=True)
         self._n_inner = n_inner
 
     def run_fast(self, n_steps: int) -> StepMetrics:

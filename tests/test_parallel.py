@@ -367,3 +367,36 @@ def test_scene_render_sharded_matches_unsharded():
     np.testing.assert_array_equal(img1, img2)
     np.testing.assert_array_equal(d1, d2)
     np.testing.assert_array_equal(a1, a2)
+
+
+def test_session_sharded_fast_path():
+    """train.py --train-sharded path: TrainingSession.enable_fast_path with
+    a device_mesh re-places the state sharded and runs the sharded
+    superstep through the ordinary run_fast driver."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
+    cfg = _cfg()
+    scene = make_scene(n_frames=3, width=48, height=36, n_categories=2,
+                       insts_per_cat=2, seed=5)
+    sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
+                           cam=scene.cam)
+    sess.enable_fast_path(n_inner=4, device_mesh=mesh)
+
+    # the state was re-placed: category-stacked params shard over 'model'
+    spec = sess.state.params["cat_fc"]["cat_layer"]["w"].sharding.spec
+    assert spec == P("model")
+
+    m1 = sess.run_fast(8)
+    assert sess.iteration == 8
+    assert np.isfinite(float(m1.total))
+    m2 = sess.run_fast(8)
+    assert sess.iteration == 16
+    assert float(m2.total) < float(m1.total) * 1.5  # sane trajectory
+
+    # divisibility guards fire loudly
+    sess2 = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
+                            cam=scene.cam)
+    with pytest.raises(ValueError, match="model"):
+        sess2.enable_fast_path(
+            n_inner=4, device_mesh=mesh_mod.make_mesh(n_data=1, n_model=8))

@@ -54,6 +54,13 @@ def main():
                         help="shard every mesh grid/color evaluation "
                              "data-parallel over ALL visible devices "
                              "(parallel/grid_eval.py; identical output)")
+    parser.add_argument("--train-sharded", type=int, nargs="?", const=1,
+                        default=None, metavar="N_MODEL",
+                        help="shard the fast-path training DP(rays) x "
+                             "EP(categories) over all visible devices "
+                             "(parallel/sharding.py); optional value = "
+                             "'model'-axis width (default 1 = pure DP). "
+                             "No-op with one device or under --parity")
     parser.add_argument("--mesh-only", action="store_true",
                         help="skip training: mesh the current (e.g. just "
                              "imported) weights and exit")
@@ -152,8 +159,25 @@ def main():
             and cfg.mesh_it % cfg.log_iter == 0
             and start % cfg.log_iter == 0)
     if fast:
-        session.enable_fast_path(n_inner=cfg.log_iter)
+        train_mesh = None
+        if args.train_sharded is not None:
+            import jax
+
+            if len(jax.devices()) > 1:
+                from catnerf_tpu.parallel.mesh import make_mesh
+
+                train_mesh = make_mesh(n_model=args.train_sharded)
+                print(f"training sharded over "
+                      f"{dict(train_mesh.shape)} mesh")
+            else:
+                print("--train-sharded: single device visible, "
+                      "running unsharded")
+        session.enable_fast_path(n_inner=cfg.log_iter,
+                                 device_mesh=train_mesh)
         print(f"fast path: superstep (n_inner={cfg.log_iter})")
+    elif args.train_sharded is not None:
+        print("--train-sharded requires the fast path (not --parity, and "
+              "save/mesh iters multiples of log_iter); running unsharded")
 
     import math
 
