@@ -114,6 +114,28 @@ def _concrete_pad(buf, length) -> int | None:
     return int(buf.shape[-2]) - int(np.max(np.asarray(length)))
 
 
+def check_window_pad(store: DeviceRayStore, n_per_cls: int,
+                     n_bg: int | None = None) -> None:
+    """Validate that a store was built with enough window padding for a
+    windowed draw of `n_per_cls` rays (and `n_bg` bg rays unless None).
+    A short pad means the dynamic_slice clamps into the zero padding and
+    training silently consumes all-zero rays (origin=dir=rgb=depth=0).
+    Tolerant of traced stores (no-op when shapes/lengths aren't concrete) —
+    factories that take concrete stores must call this themselves."""
+    pad = _concrete_pad(store.packed, store.lengths)
+    if pad is not None and pad < n_per_cls:
+        raise ValueError(
+            f"window draw of {n_per_cls} rays needs a store built "
+            f"with window_pad >= {n_per_cls} (store has {pad} pad "
+            "rows); rows past the pad are zeros")
+    if n_bg is not None and store.bg_packed is not None:
+        bpad = _concrete_pad(store.bg_packed, store.bg_length)
+        if bpad is not None and bpad < n_bg:
+            raise ValueError(
+                f"window draw of {n_bg} bg rays needs bg_window_pad "
+                f">= {n_bg} (store has {bpad} pad rows)")
+
+
 def sample_batch(store: DeviceRayStore, key: jax.Array, n_per_cls: int,
                  n_bg: int, *, window: bool = False,
                  per_category_gather: bool = False,
@@ -141,16 +163,7 @@ def sample_batch(store: DeviceRayStore, key: jax.Array, n_per_cls: int,
     k_cat, k_bg = jax.random.split(key)
 
     if window:
-        # a window draw reads rows [off, off+n_per_cls) — the store MUST
-        # have been built with window_pad >= n_per_cls, or the slice
-        # clamps into the zero padding and training silently consumes
-        # all-zero rays (origin=dir=rgb=depth=0)
-        pad = _concrete_pad(store.packed, store.lengths)
-        if pad is not None and pad < n_per_cls:
-            raise ValueError(
-                f"window draw of {n_per_cls} rays needs a store built "
-                f"with window_pad >= {n_per_cls} (store has {pad} pad "
-                "rows); rows past the pad are zeros")
+        check_window_pad(store, n_per_cls, n_bg if want_bg else None)
         offs = jax.random.randint(k_cat, (n_cls,), 0, store.lengths)
         rows = jax.vmap(
             lambda p, o: jax.lax.dynamic_slice_in_dim(p, o, n_per_cls, axis=0)
@@ -171,11 +184,6 @@ def sample_batch(store: DeviceRayStore, key: jax.Array, n_per_cls: int,
     bg = None
     if store.bg_packed is not None and want_bg:
         if window:
-            bpad = _concrete_pad(store.bg_packed, store.bg_length)
-            if bpad is not None and bpad < n_bg:
-                raise ValueError(
-                    f"window draw of {n_bg} bg rays needs bg_window_pad "
-                    f">= {n_bg} (store has {bpad} pad rows)")
             boff = jax.random.randint(k_bg, (), 0, store.bg_length)
             bg_rows = jax.lax.dynamic_slice_in_dim(
                 store.bg_packed, boff, n_bg, axis=0)
@@ -202,18 +210,7 @@ def make_superstep(step_fn_nojit, store: DeviceRayStore, n_per_cls: int,
     at every scale. Window-pad validation runs HERE (the store is concrete
     in the factory; inside the trace it is not inspectable)."""
     if window:
-        pad = _concrete_pad(store.packed, store.lengths)
-        if pad is not None and pad < n_per_cls:
-            raise ValueError(
-                f"window draw of {n_per_cls} rays needs a store built "
-                f"with window_pad >= {n_per_cls} (store has {pad} pad "
-                "rows); rows past the pad are zeros")
-        if store.bg_packed is not None:
-            bpad = _concrete_pad(store.bg_packed, store.bg_length)
-            if bpad is not None and bpad < n_bg:
-                raise ValueError(
-                    f"window draw of {n_bg} bg rays needs bg_window_pad "
-                    f">= {n_bg} (store has {bpad} pad rows)")
+        check_window_pad(store, n_per_cls, n_bg)
 
     def superstep(state, key, store):
         def body(state, k):

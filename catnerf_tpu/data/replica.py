@@ -28,6 +28,19 @@ BBOX_SCALE = 0.2  # (ref: src/dataset.py:61)
 CLS_ID_UNDEFINED = 1000  # (ref: src/dataset.py:98)
 
 
+def registration_cache_path(root_dir: str, frame_stride: int) -> str:
+    """Registration cache file, keyed by the keyframe stride it was built
+    under. frame_info frame ids baked into the cache change meaning with
+    `frame_stride` (Replica keeps raw ids so a strided run would miss them;
+    ScanNet renumbers kept frames contiguously so a stale cache would
+    silently point every bbox at the wrong physical frame) — so a cache
+    from one stride must never be consumed under another. stride=1 keeps
+    the reference's name (ref: src/dataset.py:87-88) for cache interop."""
+    name = ("inst_dict.pkl" if frame_stride == 1
+            else f"inst_dict_stride{frame_stride}.pkl")
+    return os.path.join(root_dir, name)
+
+
 class Replica:
     def __init__(self, cfg: Config, run_registration: bool = True):
         import cv2
@@ -53,7 +66,7 @@ class Replica:
         self.sample_dict: dict = {}
         self.get_all_frames()
 
-        result_file = os.path.join(self.root_dir, "inst_dict.pkl")
+        result_file = registration_cache_path(self.root_dir, cfg.frame_stride)
         if cfg.load_registration_result and os.path.exists(result_file):
             # tolerant reader: a REFERENCE-preprocessed cache (with pickled
             # open3d OBB objects, ref: src/dataset.py:87-88) loads without
@@ -166,7 +179,15 @@ class Replica:
         return len(self.sample_dict)
 
     def __getitem__(self, idx: int):
-        return self.sample_dict[idx]
+        # positional over KEPT frames: sample_dict keys stay raw frame ids
+        # (frame_info references them), so under frame_stride>1 the keys
+        # are sparse and `for i in range(len(data)): data[i]` would KeyError
+        # on the raw-id dict
+        return self.sample_dict[self.frame_ids[idx]]
+
+    @property
+    def frame_ids(self) -> list[int]:
+        return sorted(self.sample_dict)
 
 
 def get_dataset(cfg: Config, run_registration: bool = True):

@@ -75,7 +75,9 @@ class ScanNet:
         self.sample_dict: dict = {}
         self.get_all_frames()
 
-        result_file = os.path.join(self.root_dir, "inst_dict.pkl")
+        from catnerf_tpu.data.replica import registration_cache_path
+
+        result_file = registration_cache_path(self.root_dir, cfg.frame_stride)
         if cfg.load_registration_result and os.path.exists(result_file):
             # tolerant reader for reference-preprocessed caches (see
             # data/interop.py); ScanNet clouds come from TSDF so missing

@@ -410,7 +410,8 @@ def _adopt_slot(session, rec: dict, shape_code, texture_code) -> None:
         # shapes changed: rebuild the fast path now (run_fast asserts
         # rather than rebuilding). The ray store keeps only the ORIGINAL
         # instances' rays — further training never samples the adoptee.
-        session.enable_fast_path(session._n_inner)
+        session.enable_fast_path(session._n_inner,
+                                 device_mesh=session._device_mesh)
 
 
 def build_observation_frames(rgb: np.ndarray, depth: np.ndarray,

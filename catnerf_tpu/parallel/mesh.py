@@ -28,12 +28,19 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     """('data', 'model') mesh. Defaults to all visible devices on 'data'."""
     devices = devices if devices is not None else jax.devices()
     n_total = len(devices)
+    if n_model < 1:
+        raise ValueError(f"n_model must be >= 1, got {n_model}")
     if n_data is None:
-        assert n_total % n_model == 0
+        if n_total % n_model != 0:
+            raise ValueError(
+                f"n_model={n_model} does not divide the {n_total} visible "
+                f"devices; pick a divisor of {n_total} (e.g. "
+                f"{[d for d in range(1, n_total + 1) if n_total % d == 0]})")
         n_data = n_total // n_model
-    assert n_data * n_model <= n_total, (
-        f"mesh {n_data}x{n_model} needs more than {n_total} devices"
-    )
+    if n_data * n_model > n_total:
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
+            f"only {n_total} visible")
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

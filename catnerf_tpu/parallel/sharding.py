@@ -160,6 +160,13 @@ def make_sharded_superstep(cfg: Config, obj_mask, mesh: Mesh,
     # (tracing inner(state, cat, None) with with_background=True fails at
     # jit time): derive the effective flag from the store.
     with_background = with_background and store.bg_packed is not None
+    if window:
+        # validate HERE while the store is concrete: once it becomes a jit
+        # argument, sample_batch's in-trace check sees a Tracer and no-ops
+        from catnerf_tpu.data.device_buffer import check_window_pad
+
+        check_window_pad(store, n_per_cls,
+                         n_bg if with_background else None)
     inner = make_train_step(cfg, obj_mask, with_background=with_background,
                             jit=False)
     st_sh = state_shardings(state_template, mesh, n_cls)

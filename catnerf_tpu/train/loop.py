@@ -67,6 +67,7 @@ class TrainingSession:
         self.iteration = 0
         self._superstep = None
         self._n_inner = 0
+        self._device_mesh = None
         self._prefetch_pool = None
         self._prefetch_fut = None
 
@@ -85,15 +86,6 @@ class TrainingSession:
     def step_fn(self):
         return self._step_fn
 
-    @step_fn.setter
-    def step_fn(self, fn) -> None:
-        # External assignment may hand us an already-jitted step; the
-        # packed wrapper inlines it (nested jit) — donation still applies
-        # at the wrapper level only.
-        self._step_fn = fn
-        self._step_fn_nojit = None
-        self._packed_step = None
-
     def _staged_batch(self):
         """Assemble the next host batch and ship it as ONE device buffer.
 
@@ -107,7 +99,7 @@ class TrainingSession:
         return jax.device_put(packing.pack(self._pack_spec, cat_np, bg_np))
 
     def _build_packed_step(self):
-        inner = self._step_fn_nojit or self._step_fn
+        inner = self._step_fn_nojit
         spec = self._pack_spec
 
         def packed(state, flat, key):
@@ -187,6 +179,9 @@ class TrainingSession:
         from catnerf_tpu.data.device_buffer import (
             build_device_store, make_superstep)
 
+        # remembered so a fast-path REBUILD (fit.adopt_instance after a code
+        # adoption changes param shapes) restores the same mesh placement
+        self._device_mesh = device_mesh
         store = build_device_store(
             self.categories, self.background,
             window_pad=self.n_per_cls,

@@ -79,7 +79,12 @@ def main():
     def fused_chunks(p):
         sc1 = sc[None, None]  # [C=1, R=1, latent]
         tc1 = tc[None, None]
-        from catnerf_tpu.train.step import _batched_linear_relu
+
+        # local copy of the pre-one-hot step helper (removed from
+        # train/step.py when injections moved to codenerf.project_codes)
+        def _batched_linear_relu(p, x):
+            y = jnp.einsum("cri,cio->cro", x, p["w"]) + p["b"][:, None, :]
+            return jax.nn.relu(y)
 
         zs0 = _batched_linear_relu(fc_s["shape_latent_layers"][0], sc1)
         zc = _batched_linear_relu(fc_s["cat_latent_layer"], sc1)

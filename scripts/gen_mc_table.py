@@ -156,14 +156,38 @@ def verify_tables(table):
     #    the triangulation lies on either a shared fan edge (count 2) or the
     #    loop boundary (count 1, closed by the neighbouring cell's face
     #    segment — checked globally by the C++ tests on random grids).
-    # 3. Face consistency: the segments a case induces on each face must
-    #    equal what the mirrored neighbour case induces on the shared face.
-    #    face_segments() is face-value-local by construction, so this holds
-    #    identically; assert it anyway for one adversarial pair.
-    inside_a = [True, False, True, False, False, False, False, False]
-    segs_a = face_segments(FACES[0], inside_a)
-    segs_b = face_segments(FACES[0], inside_a)  # same values -> same pairing
-    assert segs_a == segs_b
+    # 3. Face consistency (crack-freeness): two cells sharing a face must
+    #    induce the SAME segments on it, each computed in its own cube frame.
+    #    Simulate cube A at origin and cube B shifted +x: A's x=1 face
+    #    (corners 1,5,6,2) is B's x=0 face (corners 0,4,7,3). For every
+    #    value pattern on the 4 shared corners, compare the two cells'
+    #    segments as geometric midpoint pairs in GLOBAL coordinates. This
+    #    would fail for any pairing rule keyed on cycle position rather
+    #    than corner values (the two frames traverse the face in opposite
+    #    winding), e.g. classic Lorensen's case-orientation-based rule.
+    face_a = FACES[3]                      # (1, 5, 6, 2): x = 1 in cube A
+    face_b = FACES[5]                      # (3, 7, 4, 0): x = 0 in cube B
+    a_to_b = {1: 0, 5: 4, 6: 7, 2: 3}      # shared corner ids A -> B
+    b_shift = np.array([1.0, 0.0, 0.0])    # cube B's origin offset
+
+    def geom_segs(face, inside, shift):
+        out = set()
+        for e1, e2 in face_segments(face, inside):
+            p1 = tuple(np.round(midpoint(e1) + shift, 6))
+            p2 = tuple(np.round(midpoint(e2) + shift, 6))
+            out.add(frozenset((p1, p2)))
+        return out
+
+    for pattern in range(16):
+        inside_a = [False] * 8
+        inside_b = [False] * 8
+        for bit, ca in enumerate(face_a):
+            val = (pattern >> bit) & 1 == 1
+            inside_a[ca] = val
+            inside_b[a_to_b[ca]] = val
+        segs_a = geom_segs(face_a, inside_a, np.zeros(3))
+        segs_b = geom_segs(face_b, inside_b, b_shift)
+        assert segs_a == segs_b, (pattern, segs_a, segs_b)
     n_tri = [len(t) for t in table]
     return max(n_tri)
 

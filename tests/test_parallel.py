@@ -37,6 +37,17 @@ def test_make_mesh():
     assert m2.shape == {"data": 4, "model": 2}
 
 
+def test_make_mesh_invalid_n_model():
+    # the --train-sharded CLI value lands here: bad values must raise a
+    # friendly ValueError, not an opaque assert/reshape failure
+    with pytest.raises(ValueError, match="does not divide"):
+        mesh_mod.make_mesh(n_model=3)
+    with pytest.raises(ValueError, match="n_model"):
+        mesh_mod.make_mesh(n_model=0)
+    with pytest.raises(ValueError, match="devices"):
+        mesh_mod.make_mesh(n_data=8, n_model=2)
+
+
 def _make_batches(cfg, n_cls=2, r=32, r_bg=64, seed=0):
     scene = make_scene(n_frames=3, width=48, height=36, n_categories=n_cls,
                        insts_per_cat=2, seed=seed)
