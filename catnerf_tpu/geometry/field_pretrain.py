@@ -61,9 +61,13 @@ def pretrain_object_fields(objects: list, sample_dict: dict, cam: CameraInfo,
     """Train one occupancy field per object, all objects batched.
 
     objects: list of (this_id, frame_info, pcs) — instance mask id, frame
-    list, accumulated world-frame point cloud. Returns one field dict per
-    object: {'pe', 'fc', 'obj_scale', 'center', 'bbox'} (the same contract
-    as `checkpoint.load_vmap_pth` plus 'center').
+    list, accumulated world-frame point cloud. Returns one entry per
+    object: a field dict {'pe', 'fc', 'obj_scale', 'center', 'bbox'} (the
+    same contract as `checkpoint.load_vmap_pth` plus 'center'), or None for
+    an object whose bbox crops yield zero ray rows (every frame crop
+    degenerate) — training such an object would draw randint(0, 0) indices
+    (undefined) and fit the field to zero-padding; callers route None to
+    the geometric coverage fallback.
     """
     from catnerf_tpu.data.device_buffer import _pack_rows
 
@@ -90,6 +94,25 @@ def pretrain_object_fields(objects: list, sample_dict: dict, cam: CameraInfo,
         if n > max_rays_per_obj:
             sel = rng.choice(n, max_rays_per_obj, replace=False)
             arrays_l[i] = {k2: v[sel] for k2, v in a.items()}
+
+    # drop zero-ray objects from the training batch (see docstring)
+    keep = [i for i, a in enumerate(arrays_l) if a["depth"].shape[0] > 0]
+    if len(keep) < n_obj:
+        dropped = [objects[i][0] for i in range(n_obj) if i not in keep]
+        print(f"field pretrain: object(s) {dropped} have no valid "
+              "bbox-crop rays; deferring them to coverage scoring")
+        if not keep:
+            return [None] * n_obj
+        slot = {orig: j for j, orig in enumerate(keep)}
+        centers = [centers[i] for i in keep]
+        scales = [scales[i] for i in keep]
+        bboxes = [bboxes[i] for i in keep]
+        arrays_l = [arrays_l[i] for i in keep]
+        full_n = n_obj
+        n_obj = len(keep)
+    else:
+        slot = {i: i for i in range(n_obj)}
+        full_n = n_obj
     max_len = max(a["depth"].shape[0] for a in arrays_l)
     packed = np.zeros((n_obj, max_len, 11), np.float32)
     lengths = np.zeros((n_obj,), np.int32)
@@ -167,11 +190,11 @@ def pretrain_object_fields(objects: list, sample_dict: dict, cam: CameraInfo,
     print(f"pretrained {n_obj} object fields: {n_chunks * n_inner} steps, "
           f"final loss {final_loss:.3f}")
 
-    fields = []
-    for i in range(n_obj):
+    fields: list = [None] * full_n
+    for orig, i in slot.items():
         p_i = jax.tree_util.tree_map(lambda x: np.asarray(x[i]), params)
-        fields.append({
+        fields[orig] = {
             "pe": p_i["pe"], "fc": p_i["fc"], "obj_scale": scales[i],
             "center": centers[i], "bbox": bboxes[i],
-        })
+        }
     return fields

@@ -98,6 +98,13 @@ def geometry_segmentation(rgb: np.ndarray, depth: np.ndarray, fx, fy, cx, cy,
     # neighbor within 5 cm.
     min_dists = 0.05 * np.ones_like(depth)
     unlabeled = (edge_u8 == 0) & (depth > 0)
+    # snapshot the ORIGINAL edge labels: the reference's `~filter_is_edge`
+    # gate restricts label sources to original edge pixels, so propagation
+    # is single-hop (max 4 px reach) — shifting the evolving output_labels
+    # instead would chain labels through freshly-propagated pixels in
+    # offset-iteration order (src_labels is -1 on non-edge pixels, so the
+    # `>= 0` check below enforces the same gate)
+    src_labels = output_labels.copy()
     for dy in range(-4, 5):
         for dx in range(-4, 5):
             if dx == 0 and dy == 0:
@@ -108,7 +115,7 @@ def geometry_segmentation(rgb: np.ndarray, depth: np.ndarray, fx, fy, cx, cy,
             xs0, xs1 = max(0, dx), min(W, W + dx)
             yd0, yd1 = max(0, -dy), min(H, H - dy)
             xd0, xd1 = max(0, -dx), min(W, W - dx)
-            shifted_labels[yd0:yd1, xd0:xd1] = output_labels[ys0:ys1, xs0:xs1]
+            shifted_labels[yd0:yd1, xd0:xd1] = src_labels[ys0:ys1, xs0:xs1]
             shifted_pts[yd0:yd1, xd0:xd1] = depth_map[ys0:ys1, xs0:xs1]
             dists = np.linalg.norm(depth_map - shifted_pts, axis=-1)
             take = unlabeled & (shifted_labels >= 0) & (dists < min_dists)

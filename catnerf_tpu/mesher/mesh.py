@@ -190,7 +190,13 @@ def _load_obj(path: str) -> TriMesh:
 def _load_ply(path: str) -> TriMesh:
     with open(path, "rb") as f:
         data = f.read()
-    header_end = data.find(b"end_header\n") + len(b"end_header\n")
+    # accept \n and \r\n header line endings; a missing terminator must be a
+    # loud parse error, not a silently-empty mesh (find()==-1 would slice a
+    # 10-byte "header" and yield n_v=n_f=0)
+    marker = data.find(b"end_header")
+    if marker < 0:
+        raise ValueError(f"{path}: not a PLY file (no end_header)")
+    header_end = data.index(b"\n", marker) + 1
     header = data[:header_end].decode("ascii", errors="replace").splitlines()
     fmt = "ascii"
     n_v = n_f = 0

@@ -56,15 +56,16 @@ def calc_3d_metric(mesh_rec: TriMesh, mesh_ref: TriMesh, n: int = 200000,
     object ('no mesh found') instead of falling back to the full mesh."""
     out = oriented_bounds(mesh_ref.vertices)
     obb = None
+    crop = None
     if out is not None:
         T, extents = out
         obb = OrientedBBox(center=T[:3, 3], R=T[:3, :3], extent=extents)
-        if len(mesh_rec.crop_to_obb(obb.center, obb.R,
-                                    obb.extent).faces) == 0:
+        crop = mesh_rec.crop_to_obb(obb.center, obb.R, obb.extent)
+        if len(crop.faces) == 0:
             print("no mesh found")
             return None
     d = metrics3d.calc_3d_metric(mesh_rec, mesh_ref, n_samples=n,
-                                 ref_obb=obb, seed=seed)
+                                 ref_obb=obb, seed=seed, rec_crop=crop)
     return [[d["accuracy"]], [d["completion"]], [d["completion_ratio"]]]
 
 
@@ -174,9 +175,21 @@ def eval_scene(data_dir: str, log_dir: str, exp: str, dataset: str,
         if not os.path.exists(rec_file):
             continue
         mesh_rec = load_mesh(rec_file)
-        ref_file = os.path.join(mesh_dir_ref,
-                                f"it_{iteration}_obj{obj_id}.obj") if mesh_dir_ref else ""
-        mesh_ref = load_mesh(ref_file) if ref_file and os.path.exists(ref_file) else mesh_gt
+        mesh_ref = mesh_gt
+        if mesh_dir_ref:
+            # this pipeline exports iteration_*; the reference CLI compared
+            # against a vMAP run that wrote it_* (ref: metric/
+            # eval_3D_obj.py:131-136) — accept both, and say so when
+            # neither exists instead of silently comparing against GT
+            for name in (f"iteration_{iteration}_obj{obj_id}.obj",
+                         f"it_{iteration}_obj{obj_id}.obj"):
+                cand = os.path.join(mesh_dir_ref, name)
+                if os.path.exists(cand):
+                    mesh_ref = load_mesh(cand)
+                    break
+            else:
+                print(f"--log_dir_ref: no mesh for obj {obj_id} in "
+                      f"{mesh_dir_ref}; comparing against GT")
 
         metrics = calc_3d_metric(mesh_rec, mesh_ref, n=n)
         if metrics is None:
@@ -193,15 +206,9 @@ def eval_scene(data_dir: str, log_dir: str, exp: str, dataset: str,
     return arr
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--data_dir", default="Datasets/Replica")
-    parser.add_argument("--log_dir", default="logs/Replica")
-    parser.add_argument("--log_dir_ref", default="")
-    parser.add_argument("--iteration", default=10000, type=int)
-    parser.add_argument("--scenes", nargs="*", default=None)
-    args = parser.parse_args()
-
+def resolve_dataset_and_scenes(args) -> tuple[str, list[str]]:
+    """Dataset detection + scene-list defaulting shared by the per-object
+    and scene-aggregate CLIs (one place to grow when datasets are added)."""
     dataset = args.data_dir.rstrip("/").split("/")[-1]
     if dataset not in ("Replica", "ScanNet"):
         # the reference errors on unsupported datasets (metric/
@@ -212,6 +219,19 @@ def main():
             "'Replica' or 'ScanNet' (got " + args.data_dir + ")")
     scenes = args.scenes or (REPLICA_SCENES if dataset == "Replica"
                              else SCANNET_SCENES)
+    return dataset, scenes
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_dir", default="Datasets/Replica")
+    parser.add_argument("--log_dir", default="logs/Replica")
+    parser.add_argument("--log_dir_ref", default="")
+    parser.add_argument("--iteration", default=10000, type=int)
+    parser.add_argument("--scenes", nargs="*", default=None)
+    args = parser.parse_args()
+
+    dataset, scenes = resolve_dataset_and_scenes(args)
     for exp in scenes:
         eval_scene(args.data_dir, args.log_dir, exp, dataset, args.iteration,
                    args.log_dir_ref)

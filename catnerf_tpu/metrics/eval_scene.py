@@ -19,11 +19,7 @@ import os
 
 import numpy as np
 
-from catnerf_tpu.metrics.eval_obj import (
-    REPLICA_SCENES,
-    SCANNET_SCENES,
-    eval_scene,
-)
+from catnerf_tpu.metrics.eval_obj import eval_scene, resolve_dataset_and_scenes
 
 
 def main():
@@ -35,16 +31,7 @@ def main():
     parser.add_argument("--scenes", nargs="*", default=None)
     args = parser.parse_args()
 
-    dataset = args.data_dir.rstrip("/").split("/")[-1]
-    if dataset not in ("Replica", "ScanNet"):
-        # the reference errors on unsupported datasets (metric/
-        # eval_3D_obj.py); silently defaulting to ScanNet turned a
-        # misspelled --data_dir into a confusing FileNotFoundError
-        raise SystemExit(
-            f"unsupported dataset {dataset!r}: --data_dir must end in "
-            "'Replica' or 'ScanNet' (got " + args.data_dir + ")")
-    scenes = args.scenes or (REPLICA_SCENES if dataset == "Replica"
-                             else SCANNET_SCENES)
+    dataset, scenes = resolve_dataset_and_scenes(args)
 
     table = {}
     for exp in scenes:

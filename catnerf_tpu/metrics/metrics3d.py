@@ -45,16 +45,19 @@ def chamfer(gt_points: np.ndarray, rec_points: np.ndarray) -> float:
 
 
 def calc_3d_metric(mesh_rec, mesh_ref, n_samples: int = 10000,
-                   ref_obb=None, seed: int = 0) -> dict[str, float]:
+                   ref_obb=None, seed: int = 0,
+                   rec_crop=None) -> dict[str, float]:
     """Full per-object protocol (ref: metric/eval_3D_obj.py:10-39):
     accuracy computed on the rec mesh cropped to the reference OBB; metrics
-    reported x100 (cm / %)."""
+    reported x100 (cm / %). Callers that already cropped mesh_rec (e.g. for
+    an emptiness pre-check) pass the result as rec_crop so the potentially
+    multi-million-face crop runs once, not twice."""
     rng = np.random.default_rng(seed)
-    if ref_obb is not None:
-        mesh_rec_crop = mesh_rec.crop_to_obb(
+    if rec_crop is None and ref_obb is not None:
+        rec_crop = mesh_rec.crop_to_obb(
             ref_obb.center, ref_obb.R, ref_obb.extent)
-        if len(mesh_rec_crop.faces) == 0:
-            mesh_rec_crop = mesh_rec
+    if rec_crop is not None and len(rec_crop.faces) > 0:
+        mesh_rec_crop = rec_crop
     else:
         mesh_rec_crop = mesh_rec
     rec_pc = mesh_rec_crop.sample_surface(n_samples, rng)

@@ -466,22 +466,22 @@ def render_scene_view(session, T: np.ndarray, cam: CameraInfo, *,
     return np.asarray(img), np.asarray(depth), np.asarray(alpha)
 
 
-_SCENE_STAGING_CACHE: dict = {}  # id(session) -> (version, margin, staged)
-
-
 def _stage_scene_fields(session, margin: float):
     """Stack every object field's params/codes/frames/mask boxes onto the
-    device for _scene_render_program. Cached per (session, state version,
-    margin): the inputs only change on training steps or ingest, and
-    rebuilding cost ~2 blocking device->host pulls per object over the
-    axon tunnel on every /scene request. Returns None when no object is
-    renderable; else {"n_obj": int, "args": tuple of device arrays}."""
+    device for _scene_render_program. Cached ON the session per (state
+    version, margin): the inputs only change on training steps or ingest,
+    and rebuilding cost ~2 blocking device->host pulls per object over the
+    axon tunnel on every /scene request. (Stored as a session attribute —
+    a global id(session)-keyed dict could alias a new session allocated at
+    a dead one's address and would pin dead sessions' device arrays.)
+    Returns None when no object is renderable; else {"n_obj": int,
+    "args": tuple of device arrays}."""
     # (step, adopted-count) covers every mutation path: training bumps
     # step, ingest/adopt grows the adopted list (same key rule as
     # serve.py's /mesh cache); object ids are never reused
     version = (int(session.state.step), margin,
                len(getattr(session, "adopted_instances", [])))
-    hit = _SCENE_STAGING_CACHE.get(id(session))
+    hit = getattr(session, "_scene_staging_cache", None)
     if hit is not None and hit[0] == version:
         return hit[1]
 
@@ -531,9 +531,7 @@ def _stage_scene_fields(session, margin: float):
             jnp.asarray(np.stack(tcs)), jnp.asarray(np.stack(As)),
             jnp.asarray(np.stack(bs)), jnp.asarray(np.stack(Ams)),
             jnp.asarray(np.stack(bms)), jnp.asarray(np.stack(halfs)))}
-    _SCENE_STAGING_CACHE[id(session)] = (version, staged)
-    if len(_SCENE_STAGING_CACHE) > 8:  # bound: sessions are few
-        _SCENE_STAGING_CACHE.pop(next(iter(_SCENE_STAGING_CACHE)))
+    session._scene_staging_cache = (version, staged)
     return staged
 
 

@@ -336,3 +336,31 @@ def test_load_ply_binary_int_list_counts(tmp_path):
     p2.write_bytes(header2.encode() + body2)
     m2 = load_mesh(str(p2))
     assert m2.faces.shape == (2, 3)
+
+
+def test_load_ply_crlf_header_and_truncated(tmp_path):
+    """Regression: a CRLF-terminated header parsed as header_end=10 (the
+    find() miss made every count 0) and silently returned an EMPTY mesh;
+    a file with no end_header must be a loud error, not an empty mesh."""
+    import pytest
+    import struct
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    header = (
+        "ply\r\nformat binary_little_endian 1.0\r\n"
+        "element vertex 3\r\n"
+        "property float x\r\nproperty float y\r\nproperty float z\r\n"
+        "element face 1\r\n"
+        "property list uchar int vertex_indices\r\n"
+        "end_header\r\n")
+    body = verts.astype("<f4").tobytes() + struct.pack("<B3i", 3, 0, 1, 2)
+    p = tmp_path / "crlf.ply"
+    p.write_bytes(header.encode() + body)
+    m = load_mesh(str(p))
+    np.testing.assert_allclose(m.vertices, verts, atol=1e-7)
+    np.testing.assert_array_equal(m.faces, [[0, 1, 2]])
+
+    bad = tmp_path / "noheader.ply"
+    bad.write_bytes(b"ply\nformat ascii 1.0\nelement vertex 3\n")
+    with pytest.raises(ValueError, match="end_header"):
+        load_mesh(str(bad))

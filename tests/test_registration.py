@@ -407,6 +407,41 @@ def test_field_pretrain_and_uncertainty_score():
     assert count > 5000, count
 
 
+def test_field_pretrain_drops_zero_ray_objects():
+    """An object whose every bbox crop is degenerate (0 ray rows) must come
+    back as None (caller falls back to coverage scoring) instead of drawing
+    randint(0, 0) indices and training on zero-padding."""
+    import jax
+
+    from catnerf_tpu.config import Config
+    from catnerf_tpu.data.synthetic import make_scene
+    from catnerf_tpu.geometry.field_pretrain import pretrain_object_fields
+    from catnerf_tpu.geometry.registration import get_all_poses
+
+    cfg = Config()
+    scene = make_scene(n_frames=4, width=64, height=48, n_categories=1,
+                       insts_per_cat=1, seed=3)
+    s = scene.spheres[0]
+    get_all_poses(scene.inst_dict, scene.sample_dict, scene.cam)
+    info = scene.inst_dict[s.cls_id][s.inst_id]
+
+    fid = info["frame_info"][0]["frame"]
+    degenerate = [{"frame": fid, "bbox": (5, 5, 3, 7)}]  # w0 == w1 -> 0 px
+    fields = pretrain_object_fields(
+        [(s.inst_id, info["frame_info"], info["pcs"]),
+         (s.inst_id + 1, degenerate, info["pcs"])],
+        scene.sample_dict, scene.cam, cfg, steps=100, n_rays=128,
+        n_inner=50, key=jax.random.PRNGKey(0))
+    assert fields[0] is not None and fields[1] is None
+
+    # all-degenerate batch: every slot None, no training attempted
+    fields = pretrain_object_fields(
+        [(s.inst_id + 1, degenerate, info["pcs"])],
+        scene.sample_dict, scene.cam, cfg, steps=100, n_rays=128,
+        n_inner=50, key=jax.random.PRNGKey(0))
+    assert fields == [None]
+
+
 def test_uncertainty_fields_empty_frame_info_falls_back():
     """An object with a point cloud but no frame_info (e.g. a ScanNet
     instance surviving only through TSDF accumulation) must take the

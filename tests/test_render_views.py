@@ -188,9 +188,8 @@ def test_render_view_mask_box():
 
 def test_scene_staging_cache_hit_and_invalidation():
     """render_scene_view's host staging (device pulls + stacking) is cached
-    per (session, state version) and invalidated by training steps."""
-    from catnerf_tpu.render_views import (_SCENE_STAGING_CACHE,
-                                          render_scene_view)
+    on the session per state version and invalidated by training steps."""
+    from catnerf_tpu.render_views import render_scene_view
 
     cfg = Config()
     cfg.net_hyperparams.latent_dim = 16
@@ -204,15 +203,15 @@ def test_scene_staging_cache_hit_and_invalidation():
                    np.float32)
     img1, _, _ = render_scene_view(sess, T, cam, near=0.1, far=6.0,
                                    n_bins=8, chunk=2048)
-    ver1, staged1 = _SCENE_STAGING_CACHE[id(sess)]
+    ver1, staged1 = sess._scene_staging_cache
     img2, _, _ = render_scene_view(sess, T, cam, near=0.1, far=6.0,
                                    n_bins=8, chunk=2048)
-    assert _SCENE_STAGING_CACHE[id(sess)][1] is staged1  # cache hit
+    assert sess._scene_staging_cache[1] is staged1  # cache hit
     np.testing.assert_array_equal(img1, img2)
 
     sess.step_once()  # params changed -> version must change
     img3, _, _ = render_scene_view(sess, T, cam, near=0.1, far=6.0,
                                    n_bins=8, chunk=2048)
-    ver3, staged3 = _SCENE_STAGING_CACHE[id(sess)]
+    ver3, staged3 = sess._scene_staging_cache
     assert ver3 != ver1 and staged3 is not staged1
     assert not np.array_equal(img1, img3)  # fresh params actually used
