@@ -133,6 +133,16 @@ class Config:
     # exactly where the mask eroded (ours; see data/scannet.py). Disable
     # for strict parity.
     refined_mask_unknown: bool = True
+    # Rounds of edge-label propagation in geometric segmentation. The
+    # reference propagates a single hop from original edge pixels (9x9
+    # window, max 4 px reach, ref: src/utils.py:643-671) = 1 round; each
+    # extra round re-sources from the previous round's labels (order-
+    # independent), growing segments ~4 px per round. Measured on the
+    # ScanNet registered gate (seed 0): denser refined masks keep the TSDF
+    # object clouds intact — 1.96 cm / 94.0% (1 round), 1.32 / 99.0 (2),
+    # 1.10 cm / 99.99% (3 = default, the baseline band). Set 1 for strict
+    # parity.
+    seg_propagation_rounds: int = 3
 
     # --- TPU-native extras (no reference equivalent) ---
     seed: int = 0
@@ -192,6 +202,7 @@ class Config:
         self.mesh_space_carving = False
         self.scale_aware_registration = False
         self.refined_mask_unknown = False
+        self.seg_propagation_rounds = 1
         self.bf16_activations = False
         self.use_fused_kernels = False
         return self
@@ -353,6 +364,8 @@ class Config:
             cfg.use_refined_mask = ds.get("use_refined_mask", False)
             cfg.refined_mask_unknown = ds.get(
                 "refined_mask_unknown", cfg.refined_mask_unknown)
+            cfg.seg_propagation_rounds = ds.get(
+                "seg_propagation_rounds", cfg.seg_propagation_rounds)
             cfg.load_refined_mask = (
                 ds.get("load_refined_mask", False) and cfg.use_refined_mask
             )

@@ -221,7 +221,8 @@ class ScanNet:
 
                     _, _, segment_masks = geometry_segmentation(
                         color, depth, self.cam.fx, self.cam.fy,
-                        self.cam.cx, self.cam.cy)
+                        self.cam.cx, self.cam.cy,
+                        propagation_rounds=self.cfg.seg_propagation_rounds)
                     raw_inst = inst_data
                     inst_data = refine_inst_data(inst_data, segment_masks)
                     if self.cfg.refined_mask_unknown:

@@ -30,7 +30,8 @@ def _unproject_hw(depth_hw: np.ndarray, fx, fy, cx, cy) -> np.ndarray:
 
 def geometry_segmentation(rgb: np.ndarray, depth: np.ndarray, fx, fy, cx, cy,
                           min_segment_px: int = 500,
-                          th_convex: float = 0.9):
+                          th_convex: float = 0.9,
+                          propagation_rounds: int = 3):
     """Returns (normal_image, label_map, segment_masks) for an (H, W) frame
     (ref: src/utils.py:561-694)."""
     import cv2
@@ -95,32 +96,40 @@ def geometry_segmentation(rgb: np.ndarray, depth: np.ndarray, fx, fy, cx, cy,
 
     # propagate labels to nearby non-edge pixels by 3D proximity
     # (ref: src/utils.py:643-671): 9x9 window, keep the closest labeled
-    # neighbor within 5 cm.
+    # neighbor within 5 cm. Each round sources ONLY the previous round's
+    # labels (the reference's `~filter_is_edge` gate restricts sources to
+    # original edge pixels = exactly 1 round, max 4 px reach); extra rounds
+    # grow segments a further ~4 px each, order-independently. Default 3:
+    # measured on the ScanNet registered gate, the denser refined masks
+    # keep TSDF object clouds intact (1.96 cm/94% at 1 round, 1.32/99.0
+    # at 2, 1.10 cm/99.99% at 3); strict parity sets
+    # cfg.seg_propagation_rounds=1.
     min_dists = 0.05 * np.ones_like(depth)
     unlabeled = (edge_u8 == 0) & (depth > 0)
-    # snapshot the ORIGINAL edge labels: the reference's `~filter_is_edge`
-    # gate restricts label sources to original edge pixels, so propagation
-    # is single-hop (max 4 px reach) — shifting the evolving output_labels
-    # instead would chain labels through freshly-propagated pixels in
-    # offset-iteration order (src_labels is -1 on non-edge pixels, so the
-    # `>= 0` check below enforces the same gate)
-    src_labels = output_labels.copy()
-    for dy in range(-4, 5):
-        for dx in range(-4, 5):
-            if dx == 0 and dy == 0:
-                continue
-            shifted_labels = np.full_like(output_labels, -1)
-            shifted_pts = np.zeros_like(depth_map)
-            ys0, ys1 = max(0, dy), min(H, H + dy)
-            xs0, xs1 = max(0, dx), min(W, W + dx)
-            yd0, yd1 = max(0, -dy), min(H, H - dy)
-            xd0, xd1 = max(0, -dx), min(W, W - dx)
-            shifted_labels[yd0:yd1, xd0:xd1] = src_labels[ys0:ys1, xs0:xs1]
-            shifted_pts[yd0:yd1, xd0:xd1] = depth_map[ys0:ys1, xs0:xs1]
-            dists = np.linalg.norm(depth_map - shifted_pts, axis=-1)
-            take = unlabeled & (shifted_labels >= 0) & (dists < min_dists)
-            output_labels[take] = shifted_labels[take]
-            min_dists[take] = dists[take]
+    for _ in range(max(1, propagation_rounds)):
+        src_labels = output_labels.copy()
+        changed = False
+        for dy in range(-4, 5):
+            for dx in range(-4, 5):
+                if dx == 0 and dy == 0:
+                    continue
+                shifted_labels = np.full_like(output_labels, -1)
+                shifted_pts = np.zeros_like(depth_map)
+                ys0, ys1 = max(0, dy), min(H, H + dy)
+                xs0, xs1 = max(0, dx), min(W, W + dx)
+                yd0, yd1 = max(0, -dy), min(H, H - dy)
+                xd0, xd1 = max(0, -dx), min(W, W - dx)
+                shifted_labels[yd0:yd1, xd0:xd1] = src_labels[ys0:ys1,
+                                                              xs0:xs1]
+                shifted_pts[yd0:yd1, xd0:xd1] = depth_map[ys0:ys1, xs0:xs1]
+                dists = np.linalg.norm(depth_map - shifted_pts, axis=-1)
+                take = unlabeled & (shifted_labels >= 0) & (dists < min_dists)
+                if take.any():
+                    output_labels[take] = shifted_labels[take]
+                    min_dists[take] = dists[take]
+                    changed = True
+        if not changed:
+            break
 
     # collect segments, dropping small ones (ref: src/utils.py:676-692)
     segment_masks = []

@@ -21,6 +21,11 @@ STRICT_PARITY_FLAGS = (
     "bf16_activations",
     "use_fused_kernels",
 )
+# non-boolean divergences apply_strict_parity() must reset to the
+# reference's value
+STRICT_PARITY_VALUES = {
+    "seg_propagation_rounds": 1,  # ref: single-hop (src/utils.py:643-671)
+}
 
 
 def _flat(cfg: Config) -> dict:
@@ -36,10 +41,15 @@ def test_strict_parity_flips_exactly_the_documented_flags():
     a, b = _flat(base), _flat(strict)
     changed = {k for k in a if a[k] != b[k]}
     # use_fused_kernels is already False by default -> not in `changed`
-    assert changed == {f for f in STRICT_PARITY_FLAGS
-                       if getattr(base, f) is not False}
+    expected = {f for f in STRICT_PARITY_FLAGS
+                if getattr(base, f) is not False}
+    expected |= {k for k, v in STRICT_PARITY_VALUES.items()
+                 if getattr(base, k) != v}
+    assert changed == expected
     for f in STRICT_PARITY_FLAGS:
         assert getattr(strict, f) is False, f
+    for k, v in STRICT_PARITY_VALUES.items():
+        assert getattr(strict, k) == v, k
 
 
 def test_reference_dict_parses_new_keys():
