@@ -428,11 +428,14 @@ def mesh_object(session, obj_id: int, *, carve="auto",
 
 
 def mesh_scene(session, out_dir: str, iteration: int,
-               device_mesh=None) -> dict[int, str]:
+               device_mesh=None,
+               only_objects: list[int] | None = None) -> dict[int, str]:
     """Mesh every object + background and export .obj files in scene frame
     (ref: train.py:214-243). Returns {obj_id or 0: path}. device_mesh
     (optional jax.sharding.Mesh) shards every grid/color evaluation
-    data-parallel over its devices (parallel/grid_eval.py)."""
+    data-parallel over its devices (parallel/grid_eval.py).
+    only_objects: restrict to these obj ids (background 0 included only if
+    listed)."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -441,6 +444,8 @@ def mesh_scene(session, out_dir: str, iteration: int,
 
     obj_ids = [0] + [obj_id for cat in session.categories
                      for obj_id in cat.obj_ids]
+    if only_objects is not None:
+        obj_ids = [o for o in obj_ids if o in set(only_objects)]
     for obj_id in obj_ids:
         mesh = mesh_object(session, obj_id, carve=carve,
                            device_mesh=device_mesh)

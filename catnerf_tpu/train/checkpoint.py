@@ -157,19 +157,22 @@ def _codenerf_state_dict(t, fc: dict) -> dict:
             sd[f"{prefix}.{k}"] = v
 
     put("encoding_xyz.0", fc["encoding_xyz"])
+    # Reference block attrs are 1-indexed SINGULAR names set via setattr
+    # (src/model.py:37-41,49-53): shape_latent_layer_1.0.weight etc. —
+    # verified against the executable reference model's state_dict().
     for j, p in enumerate(fc["shape_latent_layers"]):
-        put(f"shape_latent_layers.{j}.0", p)
+        put(f"shape_latent_layer_{j + 1}.0", p)
     for j, p in enumerate(fc["shape_layers"]):
-        put(f"shape_layers.{j}.0", p)
+        put(f"shape_layer_{j + 1}.0", p)
     put("cat_layer.0", fc["cat_layer"])
     put("cat_latent_layer.0", fc["cat_latent_layer"])
     put("encoding_shape", fc["encoding_shape"])
     put("sigma.0", fc["sigma"])
     put("encoding_viewdir.0", fc["encoding_viewdir"])
     for j, p in enumerate(fc["texture_latent_layers"]):
-        put(f"texture_latent_layers.{j}.0", p)
+        put(f"texture_latent_layer_{j + 1}.0", p)
     for j, p in enumerate(fc["texture_layers"]):
-        put(f"texture_layers.{j}.0", p)
+        put(f"texture_layer_{j + 1}.0", p)
     put("rgb.0", fc["rgb_0"])
     put("rgb.2", fc["rgb_1"])
     return sd
@@ -289,11 +292,18 @@ def codenerf_params_from_state_dict(fc_sd: dict) -> dict:
                 "b": _np(fc_sd[f"{prefix}.bias"]).copy()}
 
     def blocks(name: str) -> list:
+        # Reference naming (src/model.py:37-41,49-53): 1-indexed singular
+        # `<name>_<j+1>.0.*`. Older exports from this repo used a plural
+        # 0-indexed `<name>s.<j>.0.*` — accepted as a fallback.
         out = []
         j = 0
-        while f"{name}.{j}.0.weight" in fc_sd:
-            out.append(lin(f"{name}.{j}.0"))
+        while f"{name}_{j + 1}.0.weight" in fc_sd:
+            out.append(lin(f"{name}_{j + 1}.0"))
             j += 1
+        if not out:
+            while f"{name}s.{j}.0.weight" in fc_sd:
+                out.append(lin(f"{name}s.{j}.0"))
+                j += 1
         return out
 
     return {
@@ -305,10 +315,10 @@ def codenerf_params_from_state_dict(fc_sd: dict) -> dict:
         "encoding_viewdir": lin("encoding_viewdir.0"),
         "rgb_0": lin("rgb.0"),
         "rgb_1": lin("rgb.2"),
-        "shape_latent_layers": blocks("shape_latent_layers"),
-        "shape_layers": blocks("shape_layers"),
-        "texture_latent_layers": blocks("texture_latent_layers"),
-        "texture_layers": blocks("texture_layers"),
+        "shape_latent_layers": blocks("shape_latent_layer"),
+        "shape_layers": blocks("shape_layer"),
+        "texture_latent_layers": blocks("texture_latent_layer"),
+        "texture_layers": blocks("texture_layer"),
     }
 
 

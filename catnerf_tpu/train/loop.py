@@ -186,6 +186,7 @@ class TrainingSession:
             self.categories, self.background,
             window_pad=self.n_per_cls,
             bg_window_pad=self.cfg.n_per_optim_bg)
+        self._store = store  # introspectable (scripts/stress_scale.py)
         if device_mesh is not None and device_mesh.devices.size > 1:
             from catnerf_tpu.parallel import sharding
             from catnerf_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS

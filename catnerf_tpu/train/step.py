@@ -18,7 +18,7 @@ import optax
 
 from catnerf_tpu.config import Config
 from catnerf_tpu.models import codenerf, embedding, occupancy
-from catnerf_tpu.ops import fused_field, losses, sampling
+from catnerf_tpu.ops import losses, sampling
 from catnerf_tpu.train.state import TrainState, make_optimizer
 
 
@@ -142,6 +142,8 @@ def category_forward(params: dict, batch: CategoryBatch, key: jax.Array,
                 z[:, :, None, :], (C, R, Bt, z.shape[-1])
             ).reshape(C, N, z.shape[-1])
 
+        from catnerf_tpu.experimental import fused_field
+
         pts = rays.input_pcs.reshape(C, N, 3)
         sigma, rgb = fused_field.codenerf_fused_apply(
             fc, params["cat_pe"], pts,
@@ -170,6 +172,8 @@ def background_forward(params: dict, batch: BackgroundBatch, key: jax.Array,
     )
     fc = params["bg_fc"]
     if _fused_eligible(cfg) and len(fc["mid1"]) == 1 and len(fc["mid2"]) == 1:
+        from catnerf_tpu.experimental import fused_field
+
         R, Bt, _ = rays.input_pcs.shape
         alpha, color = fused_field.occupancy_fused_apply(
             fc, params["bg_pe"], rays.input_pcs.reshape(R * Bt, 3),

@@ -49,9 +49,9 @@ def main():
 
     # the gate's scene recipe (scripts/e2e_quality.py)
     scene = make_scene(n_frames=24, width=160, height=120, n_categories=3,
-                       insts_per_cat=2, seed=seed)
-    spheres = {s.inst_id: (np.asarray(s.center), s.radius)
-               for s in scene.spheres}
+                       insts_per_cat=2, seed=seed,
+                       shape_family=gate.get("shapes", "sphere"))
+    shapes = {s.inst_id: s for s in scene.spheres}
 
     print(f"{'obj':>5} {'verts':>7} {'p50':>6} {'p99':>6} {'max':>6} "
           f"{'out_max':>8} {'in_max':>7} {'>3cm':>7}   (cm)")
@@ -63,12 +63,11 @@ def main():
             continue
         # ScanNet loader ids are raw instance ids + 1
         gt_id = fid - 1 if scannet else fid
-        if gt_id not in spheres:
-            print(f"{fid:>5} no GT sphere for id {gt_id}")
+        if gt_id not in shapes:
+            print(f"{fid:>5} no GT shape for id {gt_id}")
             continue
         m = load_mesh(path)
-        c, r = spheres[gt_id]
-        d = np.linalg.norm(m.vertices - c, axis=1) - r
+        d = shapes[gt_id].sdf(m.vertices)
         a = np.abs(d)
         print(f"{fid:>5} {len(m.vertices):>7} {np.percentile(a, 50)*100:6.2f} "
               f"{np.percentile(a, 99)*100:6.2f} {a.max()*100:6.1f} "

@@ -41,6 +41,12 @@ def main():
                     help="scannet only: corrupt the last frame's pose to "
                          "inf, matching e2e_quality --registered (inf-pose "
                          "frame skipping changes observation coverage)")
+    ap.add_argument("--shapes", choices=("sphere", "asym", "mixed"),
+                    default="sphere",
+                    help="shape families (asym/mixed make rotation-"
+                         "registration error observable; reported per "
+                         "instance in degrees, gauge-relative within each "
+                         "category and reduced modulo shape symmetry)")
     args = ap.parse_args()
 
     from catnerf_tpu.config import Config
@@ -55,7 +61,8 @@ def main():
 
     cfg = Config()
     scene = make_scene(n_frames=24, width=160, height=120, n_categories=3,
-                       insts_per_cat=2, seed=args.seed)
+                       insts_per_cat=2, seed=args.seed,
+                       shape_family=args.shapes)
     data_dir = tempfile.mkdtemp(prefix=f"diag_reg_{args.dataset}_")
     cfg.dataset_dir = data_dir
     cfg.width, cfg.height = 160, 120
@@ -87,8 +94,35 @@ def main():
         write_replica_layout(scene, data_dir, cfg.depth_scale)
         data = Replica(cfg)
 
+    from catnerf_tpu.data.synthetic import Sphere
+
+    def gt_surface(s, n=4096):
+        rng = np.random.default_rng(s.inst_id)
+        if isinstance(s, Sphere):
+            u = rng.normal(size=(n, 3))
+            u /= np.linalg.norm(u, axis=-1, keepdims=True)
+            return s.center + s.radius * u
+        # generic: ray-cast from random outside viewpoints toward the body
+        pts = []
+        while sum(len(p) for p in pts) < n:
+            eyes = rng.normal(size=(2 * n, 3))
+            eyes = s.center + 2.5 * s.bound_radius * \
+                eyes / np.linalg.norm(eyes, axis=-1, keepdims=True)
+            targets = s.center + rng.uniform(-0.35, 0.35, (2 * n, 3)) * \
+                s.bound_radius
+            dirs = targets - eyes
+            t = s.ray_cast(eyes, dirs)
+            hit = np.isfinite(t)
+            pts.append(eyes[hit] + t[hit, None] * dirs[hit])
+        return np.concatenate(pts)[:n]
+
+    def rot_angle_deg(R):
+        return float(np.degrees(np.arccos(
+            np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0))))
+
     sphere_by_id = {s.inst_id: s for s in scene.spheres}
     report = []
+    gauge_errs: dict[int, list] = {}   # cls_id -> [(obj_id, R_err, shape)]
     for cls_id, inst_cls in data.inst_dict.items():
         if cls_id == 0:
             continue
@@ -99,15 +133,16 @@ def main():
             scale_est = np.linalg.det(T[:3, :3]) ** (1.0 / 3.0)
             R = T[:3, :3] / scale_est
             t = T[:3, 3]
+            if not isinstance(s, Sphere):
+                R_gt = np.asarray(s.R, np.float64)
+                gauge_errs.setdefault(cls_id, []).append(
+                    (obj_id, R_gt.T @ R, s))
             bbox = info.get("bbox3D")
             extent = (np.asarray(bbox.extent) if bbox is not None
                       else np.array([2.0, 2.0, 2.0]))
 
-            # GT sphere surface in world frame
-            rng = np.random.default_rng(obj_id)
-            u = rng.normal(size=(4096, 3))
-            u /= np.linalg.norm(u, axis=-1, keepdims=True)
-            surf_w = s.center + s.radius * u
+            # GT object surface in world frame
+            surf_w = gt_surface(s)
 
             # canonical (normalized) frame: p_o = R^T (p - t) / s
             surf_o = (surf_w - t) @ R / scale_est
@@ -124,20 +159,42 @@ def main():
                 "obj_id": int(obj_id),
                 "subcategorized": bool(cls_id >= 100),
                 "n_inst_in_cls": n_inst,
-                "radius_m": round(float(s.radius), 4),
+                "shape": type(s).__name__,
+                "max_extent_m": round(float(np.max(s.object_extent)), 4),
                 "center_err_cm": round(
                     float(np.linalg.norm(t - s.center)) * 100, 3),
                 "scale_est": round(float(scale_est), 4),
                 "scale_err_pct": round(
-                    float(scale_est / s.radius - 1.0) * 100, 2),
+                    float(scale_est / (np.max(s.object_extent) / 2) - 1.0)
+                    * 100, 2),
                 "extent_m": [round(float(e), 4) for e in extent],
-                "extent_needed_m": round(float(2 * s.radius), 4),
+                "extent_needed_m": [round(float(e), 4)
+                                    for e in s.object_extent],
                 "canon_center_offset": [round(float(c), 4) for c in center_o],
                 "surface_clip_pct": round(float(clipped.mean()) * 100, 2),
             })
 
+    # Rotation-registration error (asymmetric shapes only): the canonical
+    # frame each (sub)category converges to is an arbitrary gauge, so the
+    # observable is the SPREAD of R_gt^T R_est across instances — measured
+    # against the first instance's gauge, minimised over the shape's proper
+    # geometric symmetry rotations (a symmetry-equivalent registration is
+    # geometrically correct; texture is invisible to the registration).
+    rot_by_obj = {}
+    for cls_id, entries in gauge_errs.items():
+        entries.sort(key=lambda e: e[0])
+        _, R_err0, _ = entries[0]
+        for obj_id, R_err, shape in entries:
+            D = R_err @ R_err0.T
+            err = min(rot_angle_deg(D @ S.T)
+                      for S in shape.symmetry_rotations())
+            rot_by_obj[(cls_id, obj_id)] = round(err, 3)
+    for r in report:
+        r["rot_err_deg"] = rot_by_obj.get((r["cls_id"], r["obj_id"]))
+
     report.sort(key=lambda r: -r["surface_clip_pct"])
-    print(json.dumps({"seed": args.seed, "objects": report}, indent=1))
+    print(json.dumps({"seed": args.seed, "shapes": args.shapes,
+                      "objects": report}, indent=1))
 
 
 if __name__ == "__main__":

@@ -44,6 +44,13 @@ def main():
                          "(per-epoch shuffle cursor, one dispatch per step) "
                          "instead of the superstep fast path, to measure "
                          "fast-vs-parity convergence equivalence")
+    ap.add_argument("--strict-parity", action="store_true",
+                    help="composite head-to-head mode: apply the full "
+                         "strict-parity flag set (Config.apply_strict_parity "
+                         "— every algorithmic-improvement flag off, "
+                         "reference semantics) AND parity dispatch; records "
+                         "the joint reference-semantics gate result next to "
+                         "the default-path numbers (VERDICT r2 item #4)")
     ap.add_argument("--no-refined-mask", action="store_true",
                     help="scannet only: skip the geometric-segmentation "
                          "mask refinement (raw instance masks)")
@@ -56,6 +63,12 @@ def main():
                          "MLP (catnerf_tpu/fit.py), and score its mesh with "
                          "the standard protocol. Uses 3 instances/category "
                          "so the held-out category stays multi-instance.")
+    ap.add_argument("--shapes", choices=("sphere", "asym", "mixed"),
+                    default="sphere",
+                    help="synthetic shape families: sphere (original "
+                         "rotation-invariant gate), asym (ellipsoid/blob/"
+                         "notched-box with real rotations — registration "
+                         "rotation error observable), mixed (both)")
     ap.add_argument("--dataset", choices=("replica", "scannet"),
                     default="replica",
                     help="on-disk layout + loader for --registered: replica "
@@ -76,25 +89,34 @@ def main():
     from catnerf_tpu.native.lib import geomlib
     from catnerf_tpu.train.loop import TrainingSession
 
-    def gt_sphere_mesh(center, radius, n=64):
-        t = np.linspace(-1.3 * radius, 1.3 * radius, n)
-        X, Y, Z = np.meshgrid(t, t, t, indexing="ij")
-        d = np.sqrt(X**2 + Y**2 + Z**2)
-        occ = 1.0 / (1.0 + np.exp((d - radius) * 40.0 / radius))
+    def gt_shape_mesh(shape, n=64):
+        """Analytic GT surface for any synthetic shape: marching cubes on
+        the object-frame SDF (sigmoid-occupancy, same recipe and numerics
+        the sphere-only gate used), vertices posed into the world. For a
+        Sphere this reproduces the original gt_sphere_mesh exactly."""
+        ext = np.asarray(shape.object_extent, np.float64)
+        axes = [np.linspace(-0.65 * e, 0.65 * e, n) for e in ext]
+        X, Y, Z = np.meshgrid(*axes, indexing="ij")
+        p = np.stack([X, Y, Z], -1).reshape(-1, 3)
+        sdf = shape.sdf_obj(p).reshape(n, n, n)
+        sref = float(np.max(ext)) / 2.0
+        occ = 1.0 / (1.0 + np.exp(sdf * 40.0 / sref))
         v, f = geomlib.marching_cubes(occ.astype(np.float32), 0.5)
-        v = v / (n - 1) * 2.6 * radius - 1.3 * radius + np.asarray(center)
+        v = v / (n - 1) * 1.3 * ext - 0.65 * ext
+        v = v @ np.asarray(shape.R, np.float64).T + np.asarray(shape.center)
         return TriMesh(v, f)
 
     def score_sphere(rec_mesh, sp):
-        """GT-sphere eval under the reference protocol (accuracy on the
+        """GT-shape eval under the reference protocol (accuracy on the
         rec mesh cropped to the GT OBB, ref: metric/eval_3D_obj.py:15-27)
         — the ONE scoring recipe for trained and fitted meshes, so the two
         paths cannot silently diverge. Returns (raw metrics, rounded
         JSON dict)."""
         obb = OrientedBBox(center=np.asarray(sp.center, np.float64),
-                           R=np.eye(3), extent=np.full(3, 2.2 * sp.radius))
-        m = calc_3d_metric(rec_mesh, gt_sphere_mesh(sp.center, sp.radius),
-                           ref_obb=obb)
+                           R=np.asarray(sp.R, np.float64),
+                           extent=1.1 * np.asarray(sp.object_extent,
+                                                   np.float64))
+        m = calc_3d_metric(rec_mesh, gt_shape_mesh(sp), ref_obb=obb)
         return m, {"accuracy_cm": round(m["accuracy"], 3),
                    "completion_cm": round(m["completion"], 3),
                    "completion_ratio_pct": round(m["completion_ratio"], 2)}
@@ -102,6 +124,9 @@ def main():
     cfg = Config()
     cfg.net_hyperparams.latent_dim = 32
     cfg.grid_dim = args.grid_dim  # live_voxel_size stays 5 mm; the cap rules
+    if args.strict_parity:
+        cfg.apply_strict_parity()
+        args.parity = True  # strict parity implies parity dispatch
 
     if args.fit_holdout and args.registered:
         raise SystemExit("--fit-holdout runs on the GT-pose path "
@@ -110,7 +135,7 @@ def main():
 
     scene = make_scene(n_frames=24, width=160, height=120, n_categories=3,
                        insts_per_cat=3 if args.fit_holdout else 2,
-                       seed=args.seed)
+                       seed=args.seed, shape_family=args.shapes)
 
     held_out = None
     if args.fit_holdout:
@@ -301,7 +326,9 @@ def main():
         "per_object": per_obj,
         "render_psnr": render_psnrs,
         "seed": args.seed,
-        "sampling": "parity" if args.parity else "fast",
+        "shapes": args.shapes,
+        "sampling": ("strict-parity" if args.strict_parity
+                     else "parity" if args.parity else "fast"),
         "mesh_dir": out_dir,
     }
     if fit_result is not None:

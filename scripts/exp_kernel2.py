@@ -10,7 +10,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from catnerf_tpu.models import codenerf, embedding
-from catnerf_tpu.ops import fused_field
+from catnerf_tpu.experimental import fused_field
 
 C, N = 8, 2100
 N_INNER = 50

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 from catnerf_tpu.models import codenerf, embedding
 from catnerf_tpu.models.layers import linear, linear_relu
-from catnerf_tpu.ops import fused_field
+from catnerf_tpu.experimental import fused_field
 
 C, N = 8, 2100
 N_INNER = 50

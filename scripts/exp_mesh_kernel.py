@@ -31,7 +31,7 @@ import numpy as np
 
 from catnerf_tpu.config import Config
 from catnerf_tpu.models import codenerf, embedding, occupancy
-from catnerf_tpu.ops import fused_field
+from catnerf_tpu.experimental import fused_field
 from catnerf_tpu.ops import render as render_ops
 
 CHUNK = 262144

@@ -4,7 +4,7 @@ import time
 import jax
 import jax.numpy as jnp
 from catnerf_tpu.models import embedding, occupancy
-from catnerf_tpu.ops import fused_field
+from catnerf_tpu.experimental import fused_field
 
 N = 16800
 N_INNER = 50

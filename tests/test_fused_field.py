@@ -13,7 +13,7 @@ import pytest
 
 from catnerf_tpu.config import Config
 from catnerf_tpu.models import codenerf, embedding, occupancy
-from catnerf_tpu.ops import fused_field
+from catnerf_tpu.experimental import fused_field
 from catnerf_tpu.train.step import (
     CategoryBatch, BackgroundBatch, category_forward, background_forward,
 )

@@ -75,14 +75,14 @@ def torch_codenerf(sd, emb, shape_latent, texture_latent):
             y = torch.cat(
                 [y, x1.expand(*y.shape[:-1], EMB1)], dim=-1)
             y = lin_relu("cat_layer.0", y)
-        y = y + lin_relu(f"shape_latent_layers.{j}.0", shape_latent)
-        y = lin_relu(f"shape_layers.{j}.0", y)
+        y = y + lin_relu(f"shape_latent_layer_{j + 1}.0", shape_latent)
+        y = lin_relu(f"shape_layer_{j + 1}.0", y)
     y = lin("encoding_shape", y)
     sigma = lin("sigma.0", y) * 10.0
     y = torch.cat([y, x2.expand(*y.shape[:-1], EMB2)], dim=-1)
     y = lin_relu("encoding_viewdir.0", y)
-    y = y + lin_relu("texture_latent_layers.0.0", texture_latent)
-    y = lin_relu("texture_layers.0.0", y)
+    y = y + lin_relu("texture_latent_layer_1.0", texture_latent)
+    y = lin_relu("texture_layer_1.0", y)
     rgb = torch.sigmoid(lin("rgb.2", torch.relu(lin("rgb.0", y))))
     return sigma, rgb
 
@@ -313,19 +313,19 @@ def test_step_gradients_match_torch(setup):
                 rtol=1e-3, atol=1e-4, err_msg=f"fc[{c}].{ours}.b")
         for j in range(2):
             for ours, theirs in [("shape_latent_layers",
-                                  "shape_latent_layers"),
-                                 ("shape_layers", "shape_layers")]:
+                                  "shape_latent_layer"),
+                                 ("shape_layers", "shape_layer")]:
                 np.testing.assert_allclose(
                     np.asarray(gfc[ours][j]["w"]).T,
-                    sds[c][f"{theirs}.{j}.0.weight"].grad.numpy(),
+                    sds[c][f"{theirs}_{j + 1}.0.weight"].grad.numpy(),
                     rtol=1e-3, atol=1e-4, err_msg=f"fc[{c}].{ours}[{j}].w")
                 np.testing.assert_allclose(
                     np.asarray(gfc[ours][j]["b"]),
-                    sds[c][f"{theirs}.{j}.0.bias"].grad.numpy(),
+                    sds[c][f"{theirs}_{j + 1}.0.bias"].grad.numpy(),
                     rtol=1e-3, atol=1e-4, err_msg=f"fc[{c}].{ours}[{j}].b")
         for ours, theirs in [("texture_latent_layers",
-                              "texture_latent_layers.0"),
-                             ("texture_layers", "texture_layers.0")]:
+                              "texture_latent_layer_1"),
+                             ("texture_layers", "texture_layer_1")]:
             np.testing.assert_allclose(
                 np.asarray(gfc[ours][0]["w"]).T,
                 sds[c][f"{theirs}.0.weight"].grad.numpy(),
