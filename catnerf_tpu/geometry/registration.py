@@ -246,7 +246,7 @@ def _masked_chamfer(src_w: np.ndarray, src_c: np.ndarray, dst_w: np.ndarray,
 def _polish_candidate(source_w: np.ndarray, template_w: np.ndarray,
                       T_rel: np.ndarray, s_tmpl: float,
                       fracs: tuple = (0.15, 0.05, 0.02),
-                      max_iter: int = 50) -> np.ndarray:
+                      max_iter: int = 50, rounds: int = 1) -> np.ndarray:
     """Final re-refinement of the winning registration candidate
     (VERDICT r1 item #2): multi-scale point-to-point ICP on the FULL
     resolution clouds (the in-solver ICP runs on voxel-downsampled clouds at
@@ -271,32 +271,36 @@ def _polish_candidate(source_w: np.ndarray, template_w: np.ndarray,
         tmpl = geomlib.voxel_downsample(tmpl, 0.01 * s_tmpl)
     T_acc = np.eye(4)
     src_tf = transform_pointcloud_np(src, T_rel).astype(np.float32)
-    for frac in fracs:
-        T_acc, _, _ = geomlib.icp(src_tf, tmpl,
-                                  max_corr_dist=float(frac * s_tmpl),
-                                  init=T_acc, max_iter=max_iter)
-
-    cur = transform_pointcloud_np(src_tf, T_acc)
     kd = geomlib.KDTree(tmpl)
-    dist, idx = kd.query(cur.astype(np.float32))
-    mask = dist < 0.05 * s_tmpl
-    if mask.sum() >= 16:
-        a = cur[mask]
-        b = tmpl[idx[mask]].astype(np.float64)
-        ca, cb = a.mean(0), b.mean(0)
-        a0, b0 = a - ca, b - cb
-        H = b0.T @ a0
-        U, S, Vt = np.linalg.svd(H)
-        d = np.sign(np.linalg.det(U @ Vt))
-        D = np.diag([1.0, 1.0, d])
-        R = U @ D @ Vt
-        var_a = (a0**2).sum()
-        s = float((S * np.diag(D)).sum() / var_a) if var_a > 0 else 1.0
-        s = float(np.clip(s, 0.8, 1.25))  # polish only; big scale was solved
-        T_sim = np.eye(4)
-        T_sim[:3, :3] = s * R
-        T_sim[:3, 3] = cb - s * (R @ ca)
-        T_acc = T_sim @ T_acc
+    # rounds > 1: an initial scale error shrinks the Umeyama inlier mask
+    # (distant points exceed the 0.05*s gate), so one pass under-corrects;
+    # a second ICP+Umeyama cycle from the corrected pose recovers the rest.
+    for _ in range(max(1, rounds)):
+        for frac in fracs:
+            T_acc, _, _ = geomlib.icp(src_tf, tmpl,
+                                      max_corr_dist=float(frac * s_tmpl),
+                                      init=T_acc, max_iter=max_iter)
+
+        cur = transform_pointcloud_np(src_tf, T_acc)
+        dist, idx = kd.query(cur.astype(np.float32))
+        mask = dist < 0.05 * s_tmpl
+        if mask.sum() >= 16:
+            a = cur[mask]
+            b = tmpl[idx[mask]].astype(np.float64)
+            ca, cb = a.mean(0), b.mean(0)
+            a0, b0 = a - ca, b - cb
+            H = b0.T @ a0
+            U, S, Vt = np.linalg.svd(H)
+            d = np.sign(np.linalg.det(U @ Vt))
+            D = np.diag([1.0, 1.0, d])
+            R = U @ D @ Vt
+            var_a = (a0**2).sum()
+            s = float((S * np.diag(D)).sum() / var_a) if var_a > 0 else 1.0
+            s = float(np.clip(s, 0.8, 1.25))  # polish; big scale was solved
+            T_sim = np.eye(4)
+            T_sim[:3, :3] = s * R
+            T_sim[:3, 3] = cb - s * (R @ ca)
+            T_acc = T_sim @ T_acc
     return T_acc @ T_rel
 
 
@@ -395,6 +399,18 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                 scale_source = np.max(
                     source_np_w.max(0) - source_np_w.min(0)) / 2.0
                 c_src = (source_np_w.max(0) + source_np_w.min(0)) / 2.0
+                # TEASER-normalization scale/center must be ROTATION-
+                # INVARIANT (centroid + RMS radius). The AABB half-extent
+                # is not: for the same shape at different orientations it
+                # differs by up to the extent anisotropy, so the rigid
+                # solver would see two mismatched-scale clouds and converge
+                # in a wrong basin (measured on identical-cloud pairs:
+                # 53-180 deg rotation error + 6.6% phantom scale;
+                # tests/test_registration.py::
+                # test_asym_shape_rotation_recovery_exact_shape).
+                cm_src = source_np_w.mean(0)
+                rms_src = float(np.sqrt(
+                    ((source_np_w - cm_src) ** 2).sum(-1).mean()))
 
                 # register source onto each rotated template, pick best by
                 # normalized unidirectional chamfer
@@ -403,42 +419,76 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                 # GIL, so they run on a thread pool (the reference runs them
                 # sequentially).
                 def solve_one(args):
+                    """One (init, target) solve -> list of candidates.
+
+                    scale_aware: BOTH correspondence strategies are solved
+                    and both candidates enter the band — spc (the
+                    reference's all-pairs sampling; orientation-weak but
+                    the long-validated behavior on noisy partial clouds)
+                    AND FPFH + mutual-NN on rotation-invariantly
+                    normalized clouds (centroid + RMS radius). The spc
+                    path's 10k-random-sample correspondences + 0.01 noise
+                    bound cannot bracket a real rotation (identical-cloud
+                    pairs landed 53-180 deg off); FPFH recovers those to
+                    ~0.1 deg, but degenerates on featureless shapes — so
+                    neither replaces the other
+                    (tests/test_registration.py::
+                    test_asym_shape_rotation_recovery_exact_shape).
+                    The strict-parity path (scale_aware=False) keeps the
+                    reference's spc-only semantics."""
                     T_init, target = args
+                    out = []
                     if scale_aware:
-                        c_tgt = (target.max(0) + target.min(0)) / 2.0
                         s_tgt = np.max(target.max(0) - target.min(0)) / 2.0
-                        src_n = (source_np_w - c_src) / scale_source
-                        tgt_n = (target - c_tgt) / s_tgt
-                        R_rel, t_rel = teaser_fpfh_icp(
-                            src_n, tgt_n, voxel_size=0.1, spc=True)
-                        # T_cand = denorm_tgt @ T_rigid @ norm_src: a sim(3)
-                        # with scale s_tgt / scale_source
-                        T_cand = np.eye(4)
-                        T_cand[:3, :3] = (s_tgt / scale_source) * R_rel
-                        T_cand[:3, 3] = (s_tgt * (t_rel[:, 0]
-                                         - (R_rel @ c_src) / scale_source)
-                                         + c_tgt)
-                        norm = s_tgt
+                        cm_tgt = target.mean(0)
+                        rms_tgt = float(np.sqrt(
+                            ((target - cm_tgt) ** 2).sum(-1).mean()))
+                        src_n = (source_np_w - cm_src) / rms_src
+                        tgt_n = (target - cm_tgt) / rms_tgt
+                        # Candidates compose with the AABB-ratio scale (r2
+                        # behavior — more robust than the RMS ratio on
+                        # PARTIAL clouds, whose point-density weighting
+                        # biases RMS by coverage); rotation/translation
+                        # come from the normalized rigid solve. Centroid
+                        # mapping preserved:
+                        # x -> k R (x - cm_src) + rms_tgt t + cm_tgt.
+                        # `norm` stays the AABB-based target half-extent so
+                        # the normalized-chamfer eta thresholds keep their
+                        # meaning.
+                        k = s_tgt / scale_source
+                        for spc_mode, vox in ((True, 0.1), (False, 0.08)):
+                            R_rel, t_rel = teaser_fpfh_icp(
+                                src_n, tgt_n, voxel_size=vox, spc=spc_mode)
+                            T_cand = np.eye(4)
+                            T_cand[:3, :3] = k * R_rel
+                            T_cand[:3, 3] = (rms_tgt * t_rel[:, 0] + cm_tgt
+                                             - k * (R_rel @ cm_src))
+                            T_rel = np.linalg.inv(T_init) @ T_cand
+                            src_tf = transform_pointcloud_np(source_np_w,
+                                                             T_rel)
+                            cd = cd_to_template(src_tf) / s_tgt
+                            out.append((cd, T_rel, src_tf))
                     else:
                         R_rel, t_rel = teaser_fpfh_icp(
                             source_np_w, target, voxel_size=0.1, spc=True)
                         T_cand = np.eye(4)
                         T_cand[:3, :3] = R_rel
                         T_cand[:3, 3:] = t_rel
-                        norm = scale_source
-                    T_rel = np.linalg.inv(T_init) @ T_cand
-                    src_tf = transform_pointcloud_np(source_np_w, T_rel)
-                    cd = cd_to_template(src_tf) / norm
-                    return cd, T_rel, src_tf
+                        T_rel = np.linalg.inv(T_init) @ T_cand
+                        src_tf = transform_pointcloud_np(source_np_w, T_rel)
+                        out.append((cd_to_template(src_tf) / scale_source,
+                                    T_rel, src_tf))
+                    return out
 
                 pairs = list(zip(transform_list, targets))
                 workers = min(8, len(pairs), os.cpu_count() or 1)
                 t_solve = time.time()
                 if workers > 1:
                     with ThreadPoolExecutor(max_workers=workers) as pool:
-                        results = list(pool.map(solve_one, pairs))
+                        results = [r for rs in pool.map(solve_one, pairs)
+                                   for r in rs]
                 else:
-                    results = [solve_one(p_) for p_ in pairs]
+                    results = [r for p_ in pairs for r in solve_one(p_)]
                 t_solve = time.time() - t_solve
                 best_cd = min(r[0] for r in results)
                 # accept-grade band: any candidate below eta1 is a valid
@@ -581,12 +631,28 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                         return _polish_candidate(src_ds, tmpl_ds, T_q @ T0,
                                                  scale_template,
                                                  fracs=(0.12, 0.05),
-                                                 max_iter=25)
+                                                 max_iter=25, rounds=2)
 
-                    # the native ICP releases the GIL; refine concurrently
+                    # the native ICP releases the GIL; refine concurrently.
+                    # Band candidates get the SAME light polish as the
+                    # composed ones before scoring: their sim(3) scale is
+                    # only the AABB-ratio initializer (up to ~5% off under
+                    # rotation), and a uniform scale error flattens the
+                    # masked-sym scores toward a common value, hiding the
+                    # true-vs-flipped gap the tie-break cap needs
+                    # (identical-cloud notched-box pairs scored 0.0375
+                    # for BOTH until polished; 0.005 vs 0.039 after).
+                    def polish_band(T):
+                        return _polish_candidate(src_ds, tmpl_ds, T,
+                                                 scale_template,
+                                                 fracs=(0.12, 0.05),
+                                                 max_iter=25, rounds=2)
+
                     t_comp = time.time()
                     with ThreadPoolExecutor(max_workers=workers) as pool:
-                        cand_Ts = [r[1] for r in band] + list(pool.map(
+                        band_pol = list(pool.map(polish_band,
+                                                 [r[1] for r in band]))
+                        cand_Ts = band_pol + list(pool.map(
                             compose_one, get_possible_transform_from_bbox()))
                     cands = [(T, transform_pointcloud_np(src_ds, T))
                              for T in cand_Ts]
@@ -599,13 +665,26 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                         print(f"  stage times: solve {t_solve:.1f}s "
                               f"compose {t_comp:.1f}s score {t_score:.1f}s")
                     mbest = min(m for m, _, _ in scored)
-                    ok = [c for c in scored
-                          if c[0] <= max(mbest + 0.02, eta1)]
+                    # Tie-break ELIGIBILITY: the r2 accept-grade band
+                    # (mbest + 0.02, floored at eta1 — tuned on the noisy
+                    # partial-cloud gates) CAPPED at 3x the best score.
+                    # The cap is what keeps a score-DOMINATED outlier out:
+                    # a 7x-worse 180-degree flip of a notched box used to
+                    # win the coverage tie-break on +4 bins (identical-
+                    # cloud pairs, tests/test_registration.py::
+                    # test_asym_shape_rotation_recovery_exact_shape),
+                    # while genuinely ambiguous candidates (sphere
+                    # complementarity: scores within ~1.2-2x of best) stay
+                    # eligible. The mbest+0.008 floor keeps the cap from
+                    # over-pruning when mbest is at noise level.
+                    tie_band = min(max(mbest + 0.02, eta1),
+                                   max(3.0 * mbest, mbest + 0.008))
+                    ok = [c for c in scored if c[0] <= tie_band]
                     if os.environ.get("CATNERF_REG_DEBUG"):
                         for m_, T_, s_ in scored:
                             print(f"  cand masked_sym={m_:.4f} "
                                   f"union={union_of(s_)} "
-                                  f"ok={m_ <= max(mbest + 0.02, eta1)}")
+                                  f"ok={m_ <= tie_band}")
                     score_selected, T_rel, src_tf_ds = max(
                         ok, key=lambda c: coverage_key(c[2]))
                     union_selected = union_of(src_tf_ds)
@@ -616,11 +695,29 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                     # symmetric score survive)
                     t_epilog = time.time()
                     T_pol = _polish_candidate(source_np_w, template_np_w,
-                                              T_rel, scale_template)
+                                              T_rel, scale_template,
+                                              rounds=3)
                     src_pol_ds = transform_pointcloud_np(src_ds, T_pol)
-                    if (union_of(src_pol_ds) >= union_selected - 2
-                            and masked_cd_sym(src_pol_ds)
-                            <= score_selected + 0.01):
+                    score_pol = masked_cd_sym(src_pol_ds)
+                    union_pol = union_of(src_pol_ds)
+                    s_sel = abs(np.linalg.det(T_rel[:3, :3])) ** (1 / 3)
+                    s_pol = abs(np.linalg.det(T_pol[:3, :3])) ** (1 / 3)
+                    dR_pol = (T_pol[:3, :3] / s_pol) @ \
+                        (T_rel[:3, :3] / s_sel).T
+                    rot_delta = np.degrees(np.arccos(np.clip(
+                        (np.trace(dR_pol) - 1.0) / 2.0, -1.0, 1.0)))
+                    if ((union_pol >= union_selected - 2
+                         and score_pol <= score_selected + 0.01)
+                            or (score_pol <= score_selected - 0.005
+                                and rot_delta < 10.0)):
+                        # second arm: a NEAR-RIGID polish (scale/translation
+                        # correction, e.g. Umeyama absorbing a mis-scaled
+                        # candidate) may shed boundary coverage bins and is
+                        # kept on a clear score win; a polish that ROTATED
+                        # the winner is the ICP-pulled-back-onto-overlap
+                        # failure that undoes complementarity (re-measured
+                        # r3: 18-22 cm ScanNet craters) and must still pass
+                        # the union guard above
                         T_rel = T_pol
 
                     # acceptance values at FULL resolution on the winner
@@ -796,38 +893,60 @@ def register_new_instance(registered: list[tuple[np.ndarray, np.ndarray]],
     src = np.asarray(new_pcs, np.float64)
     if src.size < 9:
         raise ValueError("new instance cloud has fewer than 3 points")
-    c_src = (src.max(0) + src.min(0)) / 2.0
-    s_src = float(np.max(src.max(0) - src.min(0)) / 2.0)
-    src_n = (src - c_src) / s_src
+    # Rotation-invariant normalization (centroid + RMS radius), matching
+    # align_poses' solve_one: AABB half-extents change with orientation,
+    # which fed the rigid solver mismatched-scale clouds. The composed
+    # sim(3) scale below still uses the AABB ratio (robust on partial
+    # clouds).
+    c_src = src.mean(0)
+    rms_src = float(np.sqrt(((src - c_src) ** 2).sum(-1).mean()))
+    src_n = (src - c_src) / rms_src
+    s_src_aabb = float(np.max(src.max(0) - src.min(0)) / 2.0)
 
-    c_tgt = (target.max(0) + target.min(0)) / 2.0
     s_tgt = float(np.max(target.max(0) - target.min(0)) / 2.0)
 
     inits = (get_possible_transform_from_bbox() if multi_init_pose
              else [np.eye(4)])
     kd = geomlib.KDTree(np.asarray(target, np.float32))
 
-    best = None
-    for T_init in inits:
-        # rotate the canonical target through the bbox symmetry (canonical
-        # frame = bbox frame, so the 24 inits apply directly), register the
-        # normalized source onto it, undo the init — the same scale-aware
-        # composition as align_poses' solve_one
-        tgt_rot = target @ T_init[:3, :3].T + T_init[:3, 3]
-        ct = (tgt_rot.max(0) + tgt_rot.min(0)) / 2.0
-        st = float(np.max(tgt_rot.max(0) - tgt_rot.min(0)) / 2.0)
-        tgt_n = (tgt_rot - ct) / st
-        R_rel, t_rel = teaser_fpfh_icp(src_n, tgt_n, voxel_size=0.1,
-                                       spc=True)
-        T_cand = np.eye(4)
-        T_cand[:3, :3] = (st / s_src) * R_rel
-        T_cand[:3, 3] = (st * (t_rel[:, 0] - (R_rel @ c_src) / s_src) + ct)
-        T_rel = np.linalg.inv(T_init) @ T_cand  # world -> canonical
-        src_tf = transform_pointcloud_np(src, T_rel)
-        d, _ = kd.query(np.asarray(src_tf, np.float32))
-        cd = float(d.mean()) / s_tgt
-        if best is None or cd < best[0]:
-            best = (cd, T_rel)
+    def run_inits(spc: bool, voxel: float):
+        best = None
+        for T_init in inits:
+            # rotate the canonical target through the bbox symmetry
+            # (canonical frame = bbox frame, so the 24 inits apply
+            # directly), register the normalized source onto it, undo the
+            # init — the same scale-aware composition as align_poses'
+            # solve_one
+            tgt_rot = target @ T_init[:3, :3].T + T_init[:3, 3]
+            ct = tgt_rot.mean(0)
+            rms_t = float(np.sqrt(((tgt_rot - ct) ** 2).sum(-1).mean()))
+            tgt_n = (tgt_rot - ct) / rms_t
+            st_aabb = float(np.max(tgt_rot.max(0) - tgt_rot.min(0)) / 2.0)
+            R_rel, t_rel = teaser_fpfh_icp(src_n, tgt_n, voxel_size=voxel,
+                                           spc=spc)
+            k = st_aabb / s_src_aabb
+            T_cand = np.eye(4)
+            T_cand[:3, :3] = k * R_rel
+            T_cand[:3, 3] = (rms_t * t_rel[:, 0] + ct
+                             - k * (R_rel @ c_src))
+            T_rel = np.linalg.inv(T_init) @ T_cand  # world -> canonical
+            src_tf = transform_pointcloud_np(src, T_rel)
+            d, _ = kd.query(np.asarray(src_tf, np.float32))
+            cd = float(d.mean()) / s_tgt
+            if best is None or cd < best[0]:
+                best = (cd, T_rel)
+        return best
+
+    # FPFH first (rotation-capable on featured shapes, ~0.1 deg on
+    # identical-cloud pairs); if no init reaches accept grade — FPFH
+    # degenerates on featureless/symmetric shapes like spheres — retry
+    # with the reference's all-pairs spc correspondences and keep the
+    # better of the two.
+    best = run_inits(spc=False, voxel=0.08)
+    if best[0] > 0.06:
+        best_spc = run_inits(spc=True, voxel=0.1)
+        if best_spc[0] < best[0]:
+            best = best_spc
 
     cd, T_rel = best
     return np.linalg.inv(T_rel), cd

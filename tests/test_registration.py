@@ -516,3 +516,57 @@ def test_icp_does_not_mutate_init():
     assert T is not init
     np.testing.assert_array_equal(init, np.eye(4))
     assert abs(T[0, 3] - 0.05) < 0.02  # and the solve itself worked
+
+
+def _asym_shape_cloud(fam, n=4000, seed=3):
+    """Surface cloud of an asymmetric synthetic shape (world frame), via
+    ray casting from random outside viewpoints."""
+    from catnerf_tpu.data.synthetic import _make_asym_shape
+
+    rng = np.random.default_rng(seed)
+    shape = _make_asym_shape(
+        fam, rng, center=np.zeros(3), color=np.full(3, 0.5), inst_id=1,
+        cls_id=9, k=0, size_factor=1.0)
+    pts = []
+    total = 0
+    while total < n:
+        eyes = rng.normal(size=(2 * n, 3))
+        eyes = 2.5 * shape.bound_radius * \
+            eyes / np.linalg.norm(eyes, axis=-1, keepdims=True)
+        dirs = rng.uniform(-0.35, 0.35, (2 * n, 3)) * shape.bound_radius \
+            - eyes
+        t = shape.ray_cast(eyes, dirs)
+        hit = np.isfinite(t)
+        p = eyes[hit] + t[hit, None] * dirs[hit]
+        pts.append(p)
+        total += len(p)
+    return np.concatenate(pts)[:n]
+
+
+@pytest.mark.parametrize("fam", ["blob", "box"])
+def test_asym_shape_rotation_recovery_exact_shape(fam):
+    """Same-shape self-registration with a known large rotation must
+    recover the rotation to a few degrees. This isolates ALGORITHMIC
+    rotation error from the cross-instance shape-variation ambiguity seen
+    in the asym gates (diag_registration rot_err_deg includes both)."""
+    cloud = _asym_shape_cloud(fam)
+    R = Rotation.from_euler("xyz", [25, 40, 10], degrees=True).as_matrix()
+    moved = cloud @ R.T + np.array([1.5, 0.2, -0.4])
+
+    inst_dict = {9: {1: {"frame_info": [], "pcs": cloud.copy()},
+                     2: {"frame_info": [], "pcs": moved.copy()}}}
+    count_dict = {9: {1: 100, 2: 50}}
+    bbox3d_dict = {9: {1: None, 2: None}}
+    align_poses(inst_dict, bbox3d_dict, count_dict, {}, name="replica")
+    assert 109 not in inst_dict and 2 in inst_dict[9]
+
+    T1 = np.asarray(inst_dict[9][1]["T_obj"], np.float64)
+    T2 = np.asarray(inst_dict[9][2]["T_obj"], np.float64)
+    s1 = np.linalg.det(T1[:3, :3]) ** (1 / 3)
+    s2 = np.linalg.det(T2[:3, :3]) ** (1 / 3)
+    assert abs(s2 / s1 - 1.0) < 0.05, (s1, s2)  # identical shape, same scale
+    # canon->world rotations; moved = R @ cloud + t  =>  R2 == R @ R1
+    R_est = (T2[:3, :3] / s2) @ np.linalg.inv(T1[:3, :3] / s1)
+    dR = R_est @ R.T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang < 3.0, f"{fam}: rotation recovered {ang:.2f} deg off"
