@@ -34,6 +34,16 @@ class Config:
     # 1 frame per 10 on disk by hand (ref: README.md:34); set
     # frame_stride=10 to run directly on a full vMAP-prepared sequence.
     frame_stride: int = 1
+    # Ray-store caps (0 = unlimited, the reference-faithful default).
+    # At room_0 scale (1200x680, 100+ keyframes) the uncapped store is
+    # ~30M object rays (padded to the largest category across the stacked
+    # axis) + ~80M background rays and exceeds the 16 GB v5e HBM
+    # (measured, scripts/stress_scale.py). A uniform random subsample at
+    # build time is statistically harmless: training draws (n_per_optim x
+    # iters) total rays, far below any reasonable cap, and the store is
+    # shuffled anyway.
+    max_store_rays_per_cat: int = 0
+    max_store_rays_bg: int = 0
 
     # --- trainer ---
     max_n_models: int = 100
@@ -250,6 +260,10 @@ class Config:
         cfg.dataset_format = ds.get("format", cfg.dataset_format)
         cfg.dataset_dir = ds.get("path", cfg.dataset_dir)
         cfg.frame_stride = ds.get("frame_stride", cfg.frame_stride)
+        cfg.max_store_rays_per_cat = ds.get(
+            "max_store_rays_per_cat", cfg.max_store_rays_per_cat)
+        cfg.max_store_rays_bg = ds.get(
+            "max_store_rays_bg", cfg.max_store_rays_bg)
         # anchor RELATIVE dataset paths at the config file's directory, not
         # the process CWD (otherwise the ScanNet intrinsics probe below
         # silently misses and the loader can't find frames)

@@ -35,8 +35,16 @@ class DeviceRayStore(NamedTuple):
     so a training batch is ONE gather op (column layout above; state/obj_idx
     are small ints, exact in f32).
 
-    packed: [n_cls, max_len, 12]; lengths: [n_cls] valid ray counts.
-    bg_packed: [n_bg, 11] (optional) + scalar length.
+    packed: [n_cls, max_len * 12] — rows stored FLAT per category.
+    A [n_cls, max_len, 12] array gets an XLA TPU tiled layout that pads the
+    minor dims to the (8, 128) tile: at room_0 scale (19 x 2M x 12) that is
+    a 13.5x physical blowup, 24.6 GB HBM for a 1.8 GB logical array
+    (measured RESOURCE_EXHAUSTED, scripts/stress_scale.py). Flat rows keep
+    the huge axis minor, so tile padding is negligible; every access is a
+    12-wide contiguous slice, so batch draws stay single-gather.
+
+    lengths: [n_cls] valid ray counts.
+    bg_packed: [(n_bg + pad) * 11] flat (optional) + scalar length.
     """
 
     packed: jnp.ndarray
@@ -88,7 +96,7 @@ def build_device_store(categories: list[CategoryScene],
             packed[i, c.buffer.n : c.buffer.n + window_pad] = np.resize(
                 rows, (window_pad, _CAT_COLS))
     kwargs = dict(
-        packed=jnp.asarray(packed),
+        packed=jnp.asarray(packed.reshape(len(categories), -1)),
         lengths=jnp.asarray([c.buffer.n for c in categories], jnp.int32),
     )
     if background is not None:
@@ -99,19 +107,20 @@ def build_device_store(categories: list[CategoryScene],
             bg_rows = np.concatenate(
                 [bg_rows, np.resize(bg_rows, (bg_window_pad, _BG_COLS))])
         kwargs.update(
-            bg_packed=jnp.asarray(bg_rows),
+            bg_packed=jnp.asarray(bg_rows.reshape(-1)),
             bg_length=jnp.asarray(n, jnp.int32),
         )
     return DeviceRayStore(**kwargs)
 
 
-def _concrete_pad(buf, length) -> int | None:
+def _concrete_pad(buf, length, cols: int) -> int | None:
     """Padding rows past the longest valid buffer, or None when the store
-    is traced (shape/length not readable at Python level)."""
+    is traced (shape/length not readable at Python level). `buf` holds
+    flat rows (cols floats per ray) on its last axis."""
     if isinstance(buf, jax.core.Tracer) or isinstance(length,
                                                       jax.core.Tracer):
         return None
-    return int(buf.shape[-2]) - int(np.max(np.asarray(length)))
+    return int(buf.shape[-1]) // cols - int(np.max(np.asarray(length)))
 
 
 def check_window_pad(store: DeviceRayStore, n_per_cls: int,
@@ -122,14 +131,14 @@ def check_window_pad(store: DeviceRayStore, n_per_cls: int,
     training silently consumes all-zero rays (origin=dir=rgb=depth=0).
     Tolerant of traced stores (no-op when shapes/lengths aren't concrete) —
     factories that take concrete stores must call this themselves."""
-    pad = _concrete_pad(store.packed, store.lengths)
+    pad = _concrete_pad(store.packed, store.lengths, _CAT_COLS)
     if pad is not None and pad < n_per_cls:
         raise ValueError(
             f"window draw of {n_per_cls} rays needs a store built "
             f"with window_pad >= {n_per_cls} (store has {pad} pad "
             "rows); rows past the pad are zeros")
     if n_bg is not None and store.bg_packed is not None:
-        bpad = _concrete_pad(store.bg_packed, store.bg_length)
+        bpad = _concrete_pad(store.bg_packed, store.bg_length, _BG_COLS)
         if bpad is not None and bpad < n_bg:
             raise ValueError(
                 f"window draw of {n_bg} bg rays needs bg_window_pad "
@@ -159,37 +168,51 @@ def sample_batch(store: DeviceRayStore, key: jax.Array, n_per_cls: int,
 
     want_bg=False skips the background draw entirely (a store carrying bg
     buffers for a background-less step must not pay the per-step gather)."""
-    n_cls, max_len, _ = store.packed.shape
+    n_cls = store.packed.shape[0]
+    max_len = store.packed.shape[1] // _CAT_COLS
     k_cat, k_bg = jax.random.split(key)
 
+    # Rows live FLAT on the last axis (12 floats per ray, see
+    # DeviceRayStore); ray index i occupies [i*12, (i+1)*12). Indexing is
+    # widened in flat units so no [.., max_len, 12] intermediate (whose
+    # tiled layout blows up HBM) is ever formed.
+    col = jnp.arange(_CAT_COLS, dtype=jnp.int32)
     if window:
         check_window_pad(store, n_per_cls, n_bg if want_bg else None)
         offs = jax.random.randint(k_cat, (n_cls,), 0, store.lengths)
         rows = jax.vmap(
-            lambda p, o: jax.lax.dynamic_slice_in_dim(p, o, n_per_cls, axis=0)
-        )(store.packed, offs)
+            lambda p, o: jax.lax.dynamic_slice_in_dim(
+                p, o * _CAT_COLS, n_per_cls * _CAT_COLS, axis=0)
+        )(store.packed, offs).reshape(n_cls, n_per_cls, _CAT_COLS)
     elif per_category_gather:
         idx = jax.random.randint(k_cat, (n_cls, n_per_cls), 0,
                                  store.lengths[:, None])
+        flat = idx[:, :, None] * _CAT_COLS + col[None, None, :]
         rows = jnp.take_along_axis(
-            store.packed, idx[:, :, None].astype(jnp.int32), axis=1)
+            store.packed, flat.reshape(n_cls, -1), axis=1
+        ).reshape(n_cls, n_per_cls, _CAT_COLS)
     else:
         idx = jax.random.randint(k_cat, (n_cls, n_per_cls), 0,
                                  store.lengths[:, None])
-        flat_idx = (idx + (jnp.arange(n_cls) * max_len)[:, None]).reshape(-1)
-        rows = jnp.take(store.packed.reshape(n_cls * max_len, _CAT_COLS),
-                        flat_idx, axis=0).reshape(n_cls, n_per_cls, _CAT_COLS)
+        base = (idx + (jnp.arange(n_cls) * max_len)[:, None])
+        flat = (base[:, :, None] * _CAT_COLS + col[None, None, :]).reshape(-1)
+        rows = jnp.take(store.packed.reshape(-1), flat,
+                        axis=0).reshape(n_cls, n_per_cls, _CAT_COLS)
     cat = _unpack_cat(rows)
 
     bg = None
     if store.bg_packed is not None and want_bg:
+        bcol = jnp.arange(_BG_COLS, dtype=jnp.int32)
         if window:
             boff = jax.random.randint(k_bg, (), 0, store.bg_length)
             bg_rows = jax.lax.dynamic_slice_in_dim(
-                store.bg_packed, boff, n_bg, axis=0)
+                store.bg_packed, boff * _BG_COLS, n_bg * _BG_COLS, axis=0
+            ).reshape(n_bg, _BG_COLS)
         else:
             bidx = jax.random.randint(k_bg, (n_bg,), 0, store.bg_length)
-            bg_rows = jnp.take(store.bg_packed, bidx, axis=0)
+            bflat = (bidx[:, None] * _BG_COLS + bcol[None, :]).reshape(-1)
+            bg_rows = jnp.take(store.bg_packed, bflat,
+                               axis=0).reshape(n_bg, _BG_COLS)
         bg = _unpack_bg(bg_rows)
     return cat, bg
 

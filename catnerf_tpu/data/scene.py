@@ -146,6 +146,7 @@ class CategoryScene:
                  sample_dict: dict, cam: CameraInfo,
                  rng: np.random.Generator | None = None):
         self.cls_id = cls_id
+        self.cfg = cfg
         self.is_background = cls_id == 0
         rng = rng if rng is not None else np.random.default_rng(cfg.seed + cls_id)
 
@@ -215,6 +216,14 @@ class CategoryScene:
         arrays = {k: np.concatenate([a[k] for a in per_inst])
                   for k in per_inst[0]}
         arrays["obj_idx"] = np.concatenate(idx_all)
+        cap = (self.cfg.max_store_rays_bg if self.is_background
+               else self.cfg.max_store_rays_per_cat)
+        n = arrays["depth"].shape[0]
+        if cap and n > cap:
+            # uniform subsample (config.py max_store_rays_*: bounds the
+            # device/host ray store at large scene scale; 0 = keep all)
+            sel = rng.choice(n, cap, replace=False)
+            arrays = {k: a[sel] for k, a in arrays.items()}
         return RayBuffer(arrays, rng)
 
     def sample(self, n: int) -> dict[str, np.ndarray]:

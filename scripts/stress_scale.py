@@ -49,6 +49,12 @@ def main():
                          "march numerically (slower scene build)")
     ap.add_argument("--mesh-objects", type=int, default=0,
                     help="mesh only the first N objects (0 = all)")
+    ap.add_argument("--cap-rays", type=int, default=2_000_000,
+                    help="max device-store rays per category (0 = all; "
+                         "uncapped at full scale OOMs the 16 GB HBM — "
+                         "measured RESOURCE_EXHAUSTED)")
+    ap.add_argument("--cap-bg", type=int, default=12_000_000,
+                    help="max background store rays (0 = all)")
     args = ap.parse_args()
 
     from catnerf_tpu.config import Config
@@ -81,6 +87,10 @@ def main():
     cfg.net_hyperparams.latent_dim = 32
     cfg.grid_dim = args.grid_dim
     cfg.seed = args.seed
+    cfg.max_store_rays_per_cat = args.cap_rays
+    cfg.max_store_rays_bg = args.cap_bg
+    result["cap_rays_per_cat"] = args.cap_rays
+    result["cap_rays_bg"] = args.cap_bg
 
     # Loader/session build = ray-cache construction for every instance +
     # background over all keyframes (the reference's sceneCategory setup,

@@ -160,3 +160,34 @@ def test_scene_batcher_shapes():
     assert cat_b["rgbs"].max() <= 1.0
     assert cat_b["obj_indices"].shape == (2, 16)
     assert bg_b["depth"].shape == (64,)
+
+
+def test_ray_store_caps():
+    """config.max_store_rays_per_cat / _bg bound the ray buffers (0 = all);
+    large-scene HBM safety valve (scripts/stress_scale.py measured an
+    uncapped room_0-scale store OOMing the 16 GB v5e)."""
+    from catnerf_tpu.config import Config
+    from catnerf_tpu.data.scene import CategoryScene
+    from catnerf_tpu.data.synthetic import make_scene
+
+    sc = make_scene(n_frames=3, width=80, height=60, n_categories=2,
+                    insts_per_cat=2, seed=0)
+    cfg = Config()
+    cfg.max_store_rays_per_cat, cfg.max_store_rays_bg = 400, 900
+    cls_ids = sorted(c for c in sc.inst_dict if c != 0)
+    cats = [CategoryScene(cfg, c, sc.inst_dict[c], sc.sample_dict, sc.cam)
+            for c in cls_ids]
+    bg = CategoryScene(cfg, 0, sc.inst_dict[0], sc.sample_dict, sc.cam)
+    assert all(c.buffer.n == 400 for c in cats)
+    assert bg.buffer.n == 900
+    # subsample keeps every instance represented and field shapes intact
+    for c in cats:
+        assert set(np.unique(c.buffer.arrays["obj_idx"])) == set(
+            range(c.n_obj))
+        assert c.buffer.arrays["origins"].shape == (400, 3)
+
+    # uncapped default keeps everything
+    cfg0 = Config()
+    c0 = CategoryScene(cfg0, cls_ids[0], sc.inst_dict[cls_ids[0]],
+                       sc.sample_dict, sc.cam)
+    assert c0.buffer.n > 400

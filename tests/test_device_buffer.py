@@ -29,7 +29,10 @@ def test_device_store_shapes_and_sampling():
     store = build_device_store(sess.categories, sess.background)
     n_cls = len(sess.categories)
     assert store.packed.shape[0] == n_cls
-    assert store.packed.shape[1] == max(c.buffer.n for c in sess.categories)
+    # rows are stored FLAT (12 floats per ray) to avoid TPU tile-padding
+    # blowup on a [.., max_len, 12] minor dim (device_buffer.DeviceRayStore)
+    assert store.packed.shape[1] == 12 * max(
+        c.buffer.n for c in sess.categories)
     np.testing.assert_array_equal(
         np.asarray(store.lengths), [c.buffer.n for c in sess.categories])
 
@@ -39,7 +42,8 @@ def test_device_store_shapes_and_sampling():
     assert float(cat.rgbs.max()) <= 1.0
     # sampled depths exist in source buffers (col 9 = depth)
     d0 = np.asarray(cat.depth[0])
-    src = np.asarray(store.packed[0, : int(store.lengths[0]), 9])
+    rows0 = np.asarray(store.packed[0]).reshape(-1, 12)
+    src = rows0[: int(store.lengths[0]), 9]
     assert np.isin(np.round(d0, 5), np.round(src, 5)).all()
 
 
@@ -73,12 +77,14 @@ def test_windowed_sampling_cyclic_and_uniform():
     store = build_device_store(sess.categories, sess.background,
                                window_pad=n, bg_window_pad=n_bg)
     # pad rows replicate the head of each category's valid rows
+    packed3d = [np.asarray(store.packed[c]).reshape(-1, 12)
+                for c in range(store.packed.shape[0])]
     for c in range(store.packed.shape[0]):
         L = int(store.lengths[c])
         np.testing.assert_array_equal(
-            np.asarray(store.packed[c, L:L + n]),
-            np.asarray(store.packed[c, :n]) if L >= n
-            else np.resize(np.asarray(store.packed[c, :L]), (n, 12)))
+            packed3d[c][L:L + n],
+            packed3d[c][:n] if L >= n
+            else np.resize(packed3d[c][:L], (n, 12)))
 
     seen = [set() for _ in range(store.packed.shape[0])]
     for s in range(40):
@@ -87,7 +93,7 @@ def test_windowed_sampling_cyclic_and_uniform():
         for c in range(store.packed.shape[0]):
             L = int(store.lengths[c])
             rows = np.asarray(cat.depth[c])
-            src = np.asarray(store.packed[c, :L, 9])
+            src = packed3d[c][:L, 9]
             # every sampled row comes from the valid set
             assert np.isin(np.round(rows, 5), np.round(src, 5)).all()
             # contiguity: the window matches src at some cyclic offset
