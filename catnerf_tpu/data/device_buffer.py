@@ -88,6 +88,15 @@ def build_device_store(categories: list[CategoryScene],
     sampling (`sample_batch(..., window=True)`) can take a dynamic_slice at
     any offset in [0, length) without wraparound logic."""
     max_len = max(c.buffer.n for c in categories) + window_pad
+    # sample_batch's non-window path computes flat element indices
+    # (idx + cls*max_len)*12 in int32; past 2**31 they silently wrap and
+    # corrupt batches. A store that large (~8.6 GB) should have been capped
+    # via cfg.max_store_rays_per_cat long before this point.
+    if len(categories) * max_len * _CAT_COLS >= 2 ** 31:
+        raise ValueError(
+            f"device ray store too large for int32 flat indexing: "
+            f"{len(categories)} cls x {max_len} rows x {_CAT_COLS} cols >= "
+            f"2**31 elements; cap the store with cfg.max_store_rays_per_cat")
     packed = np.zeros((len(categories), max_len, _CAT_COLS), np.float32)
     for i, c in enumerate(categories):
         rows = _pack_rows(c.buffer.arrays, c.buffer.n, True)
@@ -103,6 +112,11 @@ def build_device_store(categories: list[CategoryScene],
         b = background.buffer.arrays
         n = b["depth"].shape[0]
         bg_rows = _pack_rows(b, n, False)
+        if (n + bg_window_pad) * _BG_COLS >= 2 ** 31:
+            raise ValueError(
+                f"background ray store too large for int32 flat indexing: "
+                f"{n + bg_window_pad} rows x {_BG_COLS} cols >= 2**31 "
+                f"elements; cap the store with cfg.max_store_rays_bg")
         if bg_window_pad:
             bg_rows = np.concatenate(
                 [bg_rows, np.resize(bg_rows, (bg_window_pad, _BG_COLS))])

@@ -220,9 +220,34 @@ class CategoryScene:
                else self.cfg.max_store_rays_per_cat)
         n = arrays["depth"].shape[0]
         if cap and n > cap:
-            # uniform subsample (config.py max_store_rays_*: bounds the
-            # device/host ray store at large scene scale; 0 = keep all)
-            sel = rng.choice(n, cap, replace=False)
+            # Stratified subsample per instance (config.py max_store_rays_*:
+            # bounds the device/host ray store at large scene scale; 0 =
+            # keep all). A uniform draw over the concatenated buffer could
+            # drop a small instance's rays entirely under a tight cap,
+            # leaving that object silently untrained — instead each
+            # instance keeps a share proportional to its ray count, with a
+            # floor of 1 ray per instance that has any.
+            obj = arrays["obj_idx"]
+            uniq, counts = np.unique(obj, return_counts=True)
+            quota = np.maximum(
+                1, np.minimum(counts,
+                              np.floor(counts * cap / n).astype(np.int64)))
+            # exact apportionment: hand flooring's leftover slots to the
+            # strata with headroom (largest first) / trim floor-of-1
+            # overshoot from the largest strata
+            while quota.sum() < cap and np.any(counts > quota):
+                i = int(np.argmax(counts - quota))
+                quota[i] += min(int(counts[i] - quota[i]),
+                                int(cap - quota.sum()))
+            while quota.sum() > cap and quota.max() > 1:
+                i = int(np.argmax(quota))
+                quota[i] -= min(quota[i] - 1, quota.sum() - cap)
+            parts = []
+            for u, q in zip(uniq, quota):
+                rows = np.where(obj == u)[0]
+                parts.append(rng.choice(rows, min(int(q), len(rows)),
+                                        replace=False))
+            sel = np.sort(np.concatenate(parts))
             arrays = {k: a[sel] for k, a in arrays.items()}
         return RayBuffer(arrays, rng)
 

@@ -185,13 +185,24 @@ class _PosedShape:
         pts = o[:, None, :] + d[:, None, :] * ts[..., None]
         inside = self.sdf(pts.reshape(-1, 3)).reshape(len(idx), n_steps) <= 0
         any_h = inside.any(axis=1)
-        first = np.argmax(inside, axis=1)
-        sel = any_h & (first > 0)     # cameras sit outside objects
-        if not sel.any():
+        if not any_h.any():
             return t_out
-        rows = np.where(sel)[0]
+        first = np.argmax(inside, axis=1)
+        rows = np.where(any_h)[0]
         f = first[rows]
-        lo = ts[rows, f - 1]
+        # f == 0: the sample at the bounding-sphere entry t_lo is already
+        # inside the object. With the ray origin outside the bounding
+        # sphere (cameras always are) sdf(origin) > 0, so the crossing
+        # lies in (0, t_lo] — bisect from the origin instead of silently
+        # dropping the hit. An origin INSIDE the sphere breaks that
+        # bracket assumption; guard loudly.
+        zero = f == 0
+        if zero.any() and np.any(c[idx[rows[zero]]] < 0):
+            raise ValueError(
+                "ray_cast: ray origin inside the bounding sphere with the "
+                "first sample already inside the object — place cameras "
+                "outside the object bounds")
+        lo = np.where(zero, 1e-6, ts[rows, np.maximum(f - 1, 0)])
         hi = ts[rows, f]
         o2, d2 = o[rows], d[rows]
         for _ in range(n_bisect):

@@ -191,3 +191,16 @@ def test_ray_store_caps():
     c0 = CategoryScene(cfg0, cls_ids[0], sc.inst_dict[cls_ids[0]],
                        sc.sample_dict, sc.cam)
     assert c0.buffer.n > 400
+
+    # a VERY tight cap still keeps every instance represented: the
+    # subsample is stratified per obj_idx with a floor of 1 (a uniform
+    # draw over the concatenated buffer could silently drop a small
+    # instance, leaving its object untrained)
+    cfg_tight = Config()
+    cfg_tight.max_store_rays_per_cat = 5
+    for cid in cls_ids:
+        ct = CategoryScene(cfg_tight, cid, sc.inst_dict[cid],
+                           sc.sample_dict, sc.cam)
+        assert ct.buffer.n == 5
+        assert set(np.unique(ct.buffer.arrays["obj_idx"])) == set(
+            range(ct.n_obj))
