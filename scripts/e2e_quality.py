@@ -51,6 +51,18 @@ def main():
                          "reference semantics) AND parity dispatch; records "
                          "the joint reference-semantics gate result next to "
                          "the default-path numbers (VERDICT r2 item #4)")
+    ap.add_argument("--flag", action="append", default=[],
+                    metavar="NAME=VALUE",
+                    help="Config override applied AFTER --strict-parity "
+                         "(repeatable), e.g. --flag seg_propagation_rounds=3 "
+                         "— the strict->+flag attribution matrix flips one "
+                         "divergence flag ON at a time from the strict "
+                         "baseline (VERDICT r3 item #1). Bools as 0/1.")
+    ap.add_argument("--dispatch", choices=("parity", "fast"), default=None,
+                    help="override the dispatch mode implied by "
+                         "--parity/--strict-parity (lets the attribution "
+                         "matrix measure fast dispatch from the strict "
+                         "baseline)")
     ap.add_argument("--no-refined-mask", action="store_true",
                     help="scannet only: skip the geometric-segmentation "
                          "mask refinement (raw instance masks)")
@@ -127,6 +139,21 @@ def main():
     if args.strict_parity:
         cfg.apply_strict_parity()
         args.parity = True  # strict parity implies parity dispatch
+    for ov in args.flag:
+        name, _, val = ov.partition("=")
+        if not hasattr(cfg, name):
+            raise SystemExit(f"--flag: Config has no attribute {name!r}")
+        cur = getattr(cfg, name)
+        if isinstance(cur, bool):
+            setattr(cfg, name, bool(int(val)))
+        elif isinstance(cur, int):
+            setattr(cfg, name, int(val))
+        elif isinstance(cur, float):
+            setattr(cfg, name, float(val))
+        else:
+            setattr(cfg, name, val)
+    if args.dispatch is not None:
+        args.parity = args.dispatch == "parity"
 
     if args.fit_holdout and args.registered:
         raise SystemExit("--fit-holdout runs on the GT-pose path "
@@ -329,6 +356,8 @@ def main():
         "shapes": args.shapes,
         "sampling": ("strict-parity" if args.strict_parity
                      else "parity" if args.parity else "fast"),
+        "flag_overrides": args.flag,
+        "dispatch_override": args.dispatch,
         "mesh_dir": out_dir,
     }
     if fit_result is not None:
