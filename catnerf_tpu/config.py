@@ -130,6 +130,15 @@ class Config:
     # wrongly subcategorizes same-shape different-size instances — see
     # geometry/registration.py::align_poses). Disable for strict parity.
     scale_aware_registration: bool = True
+    # Appearance-aware candidate tie-break (ours; the reference scores
+    # candidates by geometry-only raw Chamfer, ref:
+    # src/category_registration.py:257-267, which cannot disambiguate a
+    # near-symmetric shape's 180-degree flip): accept-band candidates whose
+    # observed per-point RGB disagrees with the template's beyond the best
+    # candidate's color score are dropped before the coverage tie-break
+    # (geometry/registration.py::align_poses). Requires
+    # scale_aware_registration; off under strict parity.
+    appearance_tie_break: bool = True
     eta1: float = 0.06
     eta2: float = 0.15
     eta3: float = 0.12
@@ -211,6 +220,7 @@ class Config:
         self.mesh_adaptive_bounds = False
         self.mesh_space_carving = False
         self.scale_aware_registration = False
+        self.appearance_tie_break = False
         self.refined_mask_unknown = False
         self.seg_propagation_rounds = 1
         self.bf16_activations = False
@@ -370,6 +380,8 @@ class Config:
         cfg.multi_init_pose = reg.get("multi_init_pose", cfg.multi_init_pose)
         cfg.scale_aware_registration = reg.get(
             "scale_aware_registration", cfg.scale_aware_registration)
+        cfg.appearance_tie_break = reg.get(
+            "appearance_tie_break", cfg.appearance_tie_break)
         cfg.eta1 = reg.get("eta1", cfg.eta1)
         cfg.eta2 = reg.get("eta2", cfg.eta2)
         cfg.eta3 = reg.get("eta3", cfg.eta3)

@@ -42,8 +42,14 @@ from catnerf_tpu.ops.sim3 import transform_pointcloud_np
 
 
 def get_all_poses(inst_dict: dict, sample_dict: dict, cam: CameraInfo,
-                  name: str = "replica", max_depth: float = 8.0) -> None:
-    """Stage 1 (ref: src/category_registration.py:18-56)."""
+                  name: str = "replica", max_depth: float = 8.0,
+                  want_color: bool = False) -> None:
+    """Stage 1 (ref: src/category_registration.py:18-56).
+
+    want_color (ours): additionally store per-point observed RGB for each
+    instance cloud (`pcs_rgb`, NN-transferred from the masked unprojected
+    pixels so `pcs` itself stays bit-identical) — consumed by the
+    appearance-aware candidate tie-break in align_poses."""
     t1 = time.time()
     for cls_id, inst_dict_cls in inst_dict.items():
         if cls_id == 0:
@@ -71,6 +77,14 @@ def get_all_poses(inst_dict: dict, sample_dict: dict, cam: CameraInfo,
 
                         info["pcs"] = geomlib.voxel_downsample(
                             np.asarray(info["pcs"], np.float32), 0.01)
+                if want_color and info["pcs"] is not None \
+                        and len(info["pcs"]):
+                    from catnerf_tpu.geometry.pointcloud import \
+                        colorize_pointcloud
+
+                    info["pcs_rgb"] = colorize_pointcloud(
+                        info["pcs"], inst_id, info["frame_info"],
+                        sample_dict, cam)
     print(f"get_all_poses took {time.time() - t1:.1f}s")
 
 
@@ -308,7 +322,7 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                 field_dict: dict, name: str = "replica",
                 multi_init_pose: bool = True, eta1: float = 0.06,
                 eta2: float = 0.15, eta3: float = 0.12,
-                scale_aware: bool = True) -> None:
+                scale_aware: bool = True, appearance: bool = True) -> None:
     """Stage 3 (ref: src/category_registration.py:179-324).
 
     scale_aware (ours; the reference registers raw metric clouds): normalize
@@ -320,7 +334,19 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
     losing exactly the category-level field sharing the method is built on.
     The per-instance sim(3) scale is re-estimated downstream from the
     aligned cloud (get_obb), so a scaled T_rel is fully consistent.
-    Disable (cfg.scale_aware_registration=false) for strict parity."""
+    Disable (cfg.scale_aware_registration=false) for strict parity.
+
+    appearance (ours; requires scale_aware and `pcs_rgb` colors from
+    get_all_poses(want_color=True)): geometry alone cannot disambiguate a
+    near-symmetric shape's flip (the reference shares this limit — its
+    candidate selection is geometry-only raw Chamfer,
+    ref: src/category_registration.py:257-267; measured: a notched box's
+    true alignment beats its 180-degree flip by only 13% Chamfer, inside
+    registration noise). Accept-band candidates whose observed per-point
+    RGB disagrees with the template's beyond the best candidate's color
+    score (+margin) are dropped before the coverage tie-break; candidates
+    with too little overlap to judge stay eligible (complementary
+    alignments must not be excluded by 'cannot judge')."""
     t1 = time.time()
     cls_id_add = 100 if name == "replica" else 10000
 
@@ -398,6 +424,22 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                 source_np_w = np.asarray(inst_dict_cls[obj_id]["pcs"])
                 scale_source = np.max(
                     source_np_w.max(0) - source_np_w.min(0)) / 2.0
+                # Candidate sim(3) scale k must be ROTATION-INVARIANT too:
+                # the world-AABB half-extent above inflates by up to the
+                # box-diagonal factor for a source sitting rotated in the
+                # world (measured: 0.334 vs 0.275 object-aligned on a
+                # jittered notched box => every candidate composed a ~25%
+                # shrink, the shrunken flip then beat the true rotation on
+                # the masked score). The OBB max half-extent is the same
+                # extent statistic (keeps the r2 partial-cloud robustness
+                # over the density-biased RMS ratio) but orientation-free,
+                # and matches the template's own scale convention
+                # (get_pose_from_pointcloud). scale_source (AABB) is kept
+                # for the parity path's chamfer normalization.
+                T_src_obb, _ = get_pose_from_pointcloud(source_np_w)
+                scale_source_obb = (
+                    abs(np.linalg.det(T_src_obb[:3, :3])) ** (1.0 / 3.0)
+                    if T_src_obb is not None else scale_source)
                 c_src = (source_np_w.max(0) + source_np_w.min(0)) / 2.0
                 # TEASER-normalization scale/center must be ROTATION-
                 # INVARIANT (centroid + RMS radius). The AABB half-extent
@@ -445,17 +487,24 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                             ((target - cm_tgt) ** 2).sum(-1).mean()))
                         src_n = (source_np_w - cm_src) / rms_src
                         tgt_n = (target - cm_tgt) / rms_tgt
-                        # Candidates compose with the AABB-ratio scale (r2
-                        # behavior — more robust than the RMS ratio on
+                        # Candidates compose with an extent-ratio scale
+                        # (r2 behavior — more robust than the RMS ratio on
                         # PARTIAL clouds, whose point-density weighting
-                        # biases RMS by coverage); rotation/translation
-                        # come from the normalized rigid solve. Centroid
-                        # mapping preserved:
+                        # biases RMS by coverage), measured via OBB max
+                        # half-extents so it is rotation-invariant on both
+                        # sides (r4 fix; see scale_source_obb above);
+                        # rotation/translation come from the normalized
+                        # rigid solve. Centroid mapping preserved:
                         # x -> k R (x - cm_src) + rms_tgt t + cm_tgt.
                         # `norm` stays the AABB-based target half-extent so
                         # the normalized-chamfer eta thresholds keep their
                         # meaning.
-                        k = s_tgt / scale_source
+                        k = scale_template / scale_source_obb
+                        if os.environ.get("CATNERF_REG_DEBUG2"):
+                            print(f"  solve k={k:.3f} s_tgt={s_tgt:.3f} "
+                                  f"scale_source={scale_source:.3f} "
+                                  f"obb={scale_source_obb:.3f} "
+                                  f"rms_src={rms_src:.3f} rms_tgt={rms_tgt:.3f}")
                         for spc_mode, vox in ((True, 0.1), (False, 0.08)):
                             R_rel, t_rel = teaser_fpfh_icp(
                                 src_n, tgt_n, voxel_size=vox, spc=spc_mode)
@@ -540,6 +589,49 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                     tmpl_ds = geomlib.voxel_downsample(
                         np.asarray(template_np_w, np.float32),
                         0.04 * scale_template)
+
+                    # Appearance tie-break setup: colors for the
+                    # downsampled clouds by NN transfer from the full-res
+                    # colored clouds (pcs_rgb rows align with pcs rows).
+                    tmpl_rgb_full = inst_dict_cls[obj_id_repr].get("pcs_rgb")
+                    src_rgb_full = inst_dict_cls[obj_id].get("pcs_rgb")
+                    use_color = (appearance and tmpl_rgb_full is not None
+                                 and src_rgb_full is not None)
+                    if use_color:
+                        kd_src_full = geomlib.KDTree(
+                            np.asarray(source_np_w, np.float32))
+                        _, i_s = kd_src_full.query(src_ds)
+                        src_ds_rgb = np.asarray(src_rgb_full)[i_s]
+                        _, i_t = kd_tmpl.query(tmpl_ds)
+                        tmpl_ds_rgb = np.asarray(tmpl_rgb_full)[i_t]
+                        kd_tmpl_ds = geomlib.KDTree(
+                            np.asarray(tmpl_ds, np.float32))
+                        r_color = 0.06 * scale_template
+
+                        def color_cd(s_pts):
+                            """Symmetric mean RGB disagreement over
+                            close NN pairs (within r_color); None when
+                            neither direction has enough overlap to
+                            judge. s_pts rows are transformed src_ds rows,
+                            so src_ds_rgb stays aligned."""
+                            s32 = np.asarray(s_pts, np.float32)
+                            vals = []
+                            d, ix = kd_tmpl_ds.query(s32)
+                            close = d < r_color
+                            if close.sum() >= max(30, 0.05 * len(s32)):
+                                vals.append(float(np.abs(
+                                    src_ds_rgb[close]
+                                    - tmpl_ds_rgb[ix[close]]).mean()))
+                            kd_s = geomlib.KDTree(s32)
+                            d2, ix2 = kd_s.query(
+                                np.asarray(tmpl_ds, np.float32))
+                            close2 = d2 < r_color
+                            if close2.sum() >= max(30,
+                                                   0.05 * len(tmpl_ds)):
+                                vals.append(float(np.abs(
+                                    tmpl_ds_rgb[close2]
+                                    - src_ds_rgb[ix2[close2]]).mean()))
+                            return max(vals) if vals else None
 
                     cd0, T0, src0 = min(band, key=lambda r: r[0])
                     tmpl_c = canon(tmpl_ds)
@@ -662,6 +754,10 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                     scored = [(masked_cd_sym(s), T, s) for T, s in cands]
                     t_score = time.time() - t_score
                     if os.environ.get("CATNERF_REG_DEBUG"):
+                        # stash for out-of-band inspection (diag scripts)
+                        align_poses._debug_cands = [(m, np.copy(T))
+                                                    for m, T, _ in scored]
+                    if os.environ.get("CATNERF_REG_DEBUG"):
                         print(f"  stage times: solve {t_solve:.1f}s "
                               f"compose {t_comp:.1f}s score {t_score:.1f}s")
                     mbest = min(m for m, _, _ in scored)
@@ -680,6 +776,27 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                     tie_band = min(max(mbest + 0.02, eta1),
                                    max(3.0 * mbest, mbest + 0.008))
                     ok = [c for c in scored if c[0] <= tie_band]
+                    if use_color and len(ok) > 1:
+                        # Appearance filter: drop candidates whose observed
+                        # color disagreement clearly exceeds the best
+                        # candidate's (geometric flips of textured shapes
+                        # misplace the texture); 'cannot judge' (None:
+                        # too little overlap — exactly the complementary
+                        # alignments) stays eligible.
+                        cscores = [color_cd(c[2]) for c in ok]
+                        judged = [c for c in cscores if c is not None]
+                        if judged:
+                            c_min = min(judged)
+                            c_cut = c_min + max(0.02, 0.25 * c_min)
+                            kept = [cand for cand, cs_ in zip(ok, cscores)
+                                    if cs_ is None or cs_ <= c_cut]
+                            if os.environ.get("CATNERF_REG_DEBUG"):
+                                for (m_, _, s_), cs_ in zip(ok, cscores):
+                                    print(f"  color cand sym={m_:.4f} "
+                                          f"rgb={cs_ if cs_ is None else round(cs_, 4)} "
+                                          f"kept={cs_ is None or cs_ <= c_cut}")
+                            if kept:
+                                ok = kept
                     if os.environ.get("CATNERF_REG_DEBUG"):
                         for m_, T_, s_ in scored:
                             print(f"  cand masked_sym={m_:.4f} "
@@ -849,7 +966,9 @@ def run_registration(inst_dict: dict, sample_dict: dict, cam: CameraInfo,
     count_dict: dict = {}
     field_dict: dict = {}
     get_all_poses(inst_dict, sample_dict, cam, name=name,
-                  max_depth=cfg.max_depth)
+                  max_depth=cfg.max_depth,
+                  want_color=(cfg.appearance_tie_break
+                              and cfg.scale_aware_registration))
     get_uncertainty_fields(inst_dict, bbox3d_dict, count_dict, field_dict,
                            cfg, name=name,
                            load_pretrained=cfg.load_pretrained,
@@ -857,7 +976,8 @@ def run_registration(inst_dict: dict, sample_dict: dict, cam: CameraInfo,
     align_poses(inst_dict, bbox3d_dict, count_dict, field_dict, name=name,
                 multi_init_pose=cfg.multi_init_pose, eta1=cfg.eta1,
                 eta2=cfg.eta2, eta3=cfg.eta3,
-                scale_aware=cfg.scale_aware_registration)
+                scale_aware=cfg.scale_aware_registration,
+                appearance=cfg.appearance_tie_break)
 
 
 def register_new_instance(registered: list[tuple[np.ndarray, np.ndarray]],

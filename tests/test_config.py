@@ -17,6 +17,7 @@ STRICT_PARITY_FLAGS = (
     "mesh_adaptive_bounds",
     "mesh_space_carving",
     "scale_aware_registration",
+    "appearance_tie_break",
     "refined_mask_unknown",
     "bf16_activations",
     "use_fused_kernels",
