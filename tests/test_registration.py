@@ -570,3 +570,71 @@ def test_asym_shape_rotation_recovery_exact_shape(fam):
     dR = R_est @ R.T
     ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
     assert ang < 3.0, f"{fam}: rotation recovered {ang:.2f} deg off"
+
+
+def _jittered_box_cloud(rng, n=4000):
+    """Notched box with the gate's per-instance half-extent jitter,
+    identity orientation, surface cloud via ray casting."""
+    from catnerf_tpu.data.synthetic import NotchedBox
+
+    half = np.array([0.26, 0.19, 0.14]) * rng.uniform(0.9, 1.1, 3)
+    shape = NotchedBox(np.zeros(3), np.eye(3), np.full(3, 0.5), 1, 9,
+                       half=half, notch_center=half * np.array([0.9, 0.85,
+                                                                0.95]),
+                       notch_half=half * np.array([0.55, 0.5, 0.65]))
+    pts, total = [], 0
+    while total < n:
+        eyes = rng.normal(size=(2 * n, 3))
+        eyes = 2.5 * shape.bound_radius * \
+            eyes / np.linalg.norm(eyes, axis=-1, keepdims=True)
+        dirs = rng.uniform(-0.35, 0.35, (2 * n, 3)) * shape.bound_radius \
+            - eyes
+        t = shape.ray_cast(eyes, dirs)
+        hit = np.isfinite(t)
+        pts.append(eyes[hit] + t[hit, None] * dirs[hit])
+        total += int(hit.sum())
+    return np.concatenate(pts)[:n]
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_jittered_box_flip_resolved_by_appearance(seed):
+    """Cross-instance notched boxes (per-instance half-extent jitter, a
+    real 30/-20/55-deg relative rotation): geometry alone picks the
+    180-degree flip (the reference's geometric registration shares this
+    limit; r3 measured the true alignment beating the flip by only 13%
+    Chamfer), but the appearance tie-break on planted octant colors
+    resolves it to <15 deg. Also guards the r4 rotation-invariant
+    candidate-scale fix: with the world-AABB scale ratio the rotated
+    source composed a ~25% shrink and these pairs subcategorized or
+    flipped even WITH color."""
+    rng1 = np.random.default_rng(100 + seed)
+    rng2 = np.random.default_rng(200 + seed)
+    c1 = _jittered_box_cloud(rng1)
+    c2o = _jittered_box_cloud(rng2)
+    R_true = Rotation.from_euler("xyz", [30, -20, 55],
+                                 degrees=True).as_matrix()
+    c2 = c2o @ R_true.T + np.array([1.1, -0.3, 0.6])
+
+    def tex(p):
+        return (0.25 + 0.5 * np.stack(
+            [p[:, 0] > 0, p[:, 1] > 0, p[:, 2] > 0], -1)).astype(np.float32)
+
+    inst_dict = {9: {1: {"frame_info": [], "pcs": c1.copy(),
+                         "pcs_rgb": tex(c1)},
+                     2: {"frame_info": [], "pcs": c2.copy(),
+                         "pcs_rgb": tex(c2o)}}}
+    align_poses(inst_dict, {9: {1: None, 2: None}}, {9: {1: 100, 2: 50}},
+                {}, name="replica", appearance=True)
+    assert 109 not in inst_dict and 2 in inst_dict[9], \
+        "jittered same-family pair must not subcategorize"
+
+    T1 = np.asarray(inst_dict[9][1]["T_obj"], np.float64)
+    T2 = np.asarray(inst_dict[9][2]["T_obj"], np.float64)
+    s1 = np.linalg.det(T1[:3, :3]) ** (1 / 3)
+    s2 = np.linalg.det(T2[:3, :3]) ** (1 / 3)
+    # jitter bounds the true relative scale to [0.9/1.1, 1.1/0.9]
+    assert 0.75 < s2 / s1 < 1.35, (s1, s2)
+    R_est = (T2[:3, :3] / s2) @ np.linalg.inv(T1[:3, :3] / s1)
+    dR = R_est @ R_true.T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang < 15.0, f"seed {seed}: flip not resolved ({ang:.1f} deg)"
