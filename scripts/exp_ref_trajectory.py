@@ -19,9 +19,16 @@ This is the strongest dataset-free end-to-end equivalence statement
 available in this environment: if our field/loss/optimizer semantics
 diverged from the reference's, the two training curves would separate.
 
+With --mesh (VERDICT r3 item #8), both endpoints are additionally MESHED
+and scored against the analytic synthetic GT: the torch endpoint's
+parameters travel back through the reference-schema checkpoint importer
+(train/checkpoint.py) into our mesher, so trajectory parity becomes
+converged-ARTIFACT parity — reference-executed weights and our parity
+path must reconstruct the same surfaces to the same accuracy.
+
 Usage:
   PYTHONPATH=/root/repo python scripts/exp_ref_trajectory.py \
-      [--iters 200] [--json /tmp/out.json]
+      [--iters 200] [--json /tmp/out.json] [--mesh] [--grid-dim 64]
 """
 
 from __future__ import annotations
@@ -247,6 +254,12 @@ def main():
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--json", default="")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--mesh", action="store_true",
+                    help="mesh both endpoints (torch params via the "
+                         "checkpoint importer -> our mesher) and score "
+                         "against the analytic GT")
+    ap.add_argument("--grid-dim", type=int, default=64,
+                    help="mesh grid cap for --mesh (CPU run: keep small)")
     args = ap.parse_args()
 
     import jax
@@ -264,6 +277,7 @@ def main():
     cfg = Config()
     cfg.net_hyperparams.latent_dim = 32
     cfg.seed = args.seed
+    cfg.grid_dim = args.grid_dim
     scene = make_scene(n_frames=8, width=96, height=72, n_categories=2,
                        insts_per_cat=2, seed=args.seed)
 
@@ -306,6 +320,88 @@ def main():
         n = (len(x) // w) * w
         return x[:n].reshape(-1, w).mean(axis=1)
 
+    mesh_result = None
+    if args.mesh:
+        import tempfile
+
+        import jax.numpy as jnp
+
+        from catnerf_tpu.mesher.mesh import load_mesh
+        from catnerf_tpu.mesher.meshing import mesh_scene
+        from catnerf_tpu.metrics.synthetic_eval import score_shape
+        from catnerf_tpu.train.checkpoint import (
+            codenerf_params_from_state_dict,
+            occupancy_params_from_state_dict)
+
+        def score_session(sess_x, tag):
+            out_dir = tempfile.mkdtemp(prefix=f"ref_traj_{tag}_")
+            written = mesh_scene(sess_x, out_dir, args.iters)
+            per_obj, accs, comps, ratios = {}, [], [], []
+            for s in scene.spheres:
+                path = written.get(s.inst_id)
+                if path is None:
+                    per_obj[s.inst_id] = None
+                    continue
+                m, per_obj[s.inst_id] = score_shape(load_mesh(path), s)
+                accs.append(m["accuracy"])
+                comps.append(m["completion"])
+                ratios.append(m["completion_ratio"])
+            return {
+                "mean_accuracy_cm": round(float(np.mean(accs)), 3),
+                "mean_completion_cm": round(float(np.mean(comps)), 3),
+                "mean_completion_ratio_pct": round(float(np.mean(ratios)),
+                                                   2),
+                "n_meshed": len(accs),
+                "per_object": per_obj,
+            }
+
+        t0 = time.time()
+        parity_scores = score_session(sess, "parity")
+
+        # Reference-executed endpoint: torch weights -> reference-schema
+        # importer -> our parameter tree -> our mesher.
+        template = jax.device_get(sess2.state.params)
+        fc_trees = [codenerf_params_from_state_dict(m_.state_dict())
+                    for m_ in tr.models]
+        new_params = dict(template)
+        new_params["cat_fc"] = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *fc_trees)
+        new_params["cat_pe"] = {"B": jnp.stack(
+            [jnp.asarray(pe.B_layer.weight.detach().numpy())
+             for pe in tr.pes])}
+        new_params["codes"] = {
+            "shape": jnp.stack(
+                [jnp.asarray(sc.weight.detach().numpy())
+                 for sc in tr.shape_codes]),
+            "texture": jnp.stack(
+                [jnp.asarray(tc.weight.detach().numpy())
+                 for tc in tr.tex_codes]),
+        }
+        if tr.bg_model is not None:
+            new_params["bg_fc"] = jax.tree.map(
+                jnp.asarray,
+                occupancy_params_from_state_dict(tr.bg_model.state_dict()))
+            new_params["bg_pe"] = {"B": jnp.asarray(
+                tr.bg_pe.B_layer.weight.detach().numpy())}
+        sess2.state = sess2.state._replace(params=new_params)
+        ref_scores = score_session(sess2, "ref")
+        mesh_result = {
+            "parity_endpoint": parity_scores,
+            "reference_executed_endpoint": ref_scores,
+            "accuracy_diff_cm": round(
+                ref_scores["mean_accuracy_cm"]
+                - parity_scores["mean_accuracy_cm"], 3),
+            "ratio_diff_pct": round(
+                ref_scores["mean_completion_ratio_pct"]
+                - parity_scores["mean_completion_ratio_pct"], 2),
+            "mesh_wall_s": round(time.time() - t0, 1),
+        }
+        print(f"mesh endpoints: parity={parity_scores['mean_accuracy_cm']}"
+              f"/{parity_scores['mean_completion_ratio_pct']}% "
+              f"ref-executed={ref_scores['mean_accuracy_cm']}"
+              f"/{ref_scores['mean_completion_ratio_pct']}%",
+              file=sys.stderr)
+
     w_tot_j, w_tot_t = windows(jax_tot), windows(t_tot)
     psnr_j, psnr_t = windows(jax_psnr.mean(axis=1)), windows(t_psnr.mean(axis=1))
     result = {
@@ -321,6 +417,8 @@ def main():
         "max_window_psnr_diff_db": round(
             float(np.max(np.abs(psnr_j - psnr_t))), 3),
     }
+    if mesh_result is not None:
+        result["mesh"] = mesh_result
     print(json.dumps(result))
     if args.json:
         with open(args.json, "w") as f:
