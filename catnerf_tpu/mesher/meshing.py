@@ -26,6 +26,33 @@ from catnerf_tpu.ops.sim3 import tensor_to_se3_np
 BOUND_EXTENT_BG = 0.995
 BOUND_EXTENT_OBJ = 0.9
 
+# ---------------------------------------------------------------------------
+# Mesh-all phase attribution (VERDICT r3 item #3): cumulative wall time per
+# phase across mesh_field/mesh_scene calls. scripts/stress_scale.py and the
+# gates print this after mesh-all so the dominant phase is measured, not
+# guessed.
+# ---------------------------------------------------------------------------
+import threading as _threading
+import time as _time
+
+MESH_TIMINGS: dict[str, float] = {}
+_TIMINGS_LOCK = _threading.Lock()
+
+
+def _t_add(phase: str, dt: float) -> None:
+    with _TIMINGS_LOCK:
+        MESH_TIMINGS[phase] = MESH_TIMINGS.get(phase, 0.0) + dt
+
+
+def reset_mesh_timings() -> None:
+    with _TIMINGS_LOCK:
+        MESH_TIMINGS.clear()
+
+
+def mesh_timings() -> dict[str, float]:
+    with _TIMINGS_LOCK:
+        return {k: round(v, 2) for k, v in sorted(MESH_TIMINGS.items())}
+
 
 def space_carve_mask(points_w: np.ndarray, depths: np.ndarray,
                      T_wc: np.ndarray, cam, margin: float,
@@ -159,6 +186,179 @@ def _pad_to_chunks(points: np.ndarray, chunk: int):
     return points, n
 
 
+# ---------------------------------------------------------------------------
+# Device-resident grid evaluation (r4 mesh-all optimization).
+#
+# The r3 stress gate spent 319.5 s meshing 40 objects: per object the host
+# built a grid_dim^3 x 3 float32 grid (200 MB at 256^3), shipped it over
+# the ~134 MB/s tunnel, evaluated, pulled occupancy back, then ran a
+# per-frame numpy space-carve loop over millions of points. Here the UNIT
+# grid lives on device (cached per grid_dim) and each attempt ships only
+# the 12-float affine; space carving runs inside the same jitted program
+# (a lax.scan over carve views per tile), so the only per-attempt
+# transfers are occupancy + seen-mask downloads.
+# ---------------------------------------------------------------------------
+
+_UNIT_GRID_CACHE: dict[tuple[int, int], tuple[jnp.ndarray, int]] = {}
+_GRID_LOCK = _threading.Lock()
+
+
+def _unit_grid(dim: int, chunk: int):
+    """[-1, 1]^3 grid (ij-order, matching the host meshgrid layout) padded
+    to a chunk multiple, resident on device. Returns (grid [n_pad, 3], n)."""
+    with _GRID_LOCK:
+        hit = _UNIT_GRID_CACHE.get((dim, chunk))
+        if hit is not None:
+            return hit
+    t = np.linspace(-1.0, 1.0, dim, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(t, t, t, indexing="ij")
+    pts = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    pts, n = _pad_to_chunks(pts, chunk)
+    g = jnp.asarray(pts)
+    with _GRID_LOCK:
+        _UNIT_GRID_CACHE[(dim, chunk)] = (g, n)
+    return g, n
+
+
+def _carve_tile(pts_w, depths, T_wc, K, margin):
+    """Seen-empty mask for one tile of world points, scanning over carve
+    views in-graph (same rules as the host space_carve_mask)."""
+    W, H = depths.shape[1], depths.shape[2]
+    fx, fy, cx, cy = K[0], K[1], K[2], K[3]
+
+    def frame(seen, inp):
+        T, depth = inp
+        pc = (pts_w - T[:3, 3]) @ T[:3, :3]  # (p - t) @ Rcw.T, Rcw = R.T
+        z = pc[:, 2]
+        safe_z = jnp.where(jnp.abs(z) > 1e-6, z, 1.0)
+        px = fx * pc[:, 0] / safe_z + cx
+        py = fy * pc[:, 1] / safe_z + cy
+        ok = (z > 0.05) & (px >= 0) & (px <= W - 1) & \
+             (py >= 0) & (py <= H - 1)
+        ix = jnp.clip(jnp.round(jnp.where(ok, px, 0.0)).astype(jnp.int32),
+                      0, W - 1)
+        iy = jnp.clip(jnp.round(jnp.where(ok, py, 0.0)).astype(jnp.int32),
+                      0, H - 1)
+        obs = depth[ix, iy]
+        hit = ok & (obs > 0) & (z < obs - margin)
+        return seen | hit, None
+
+    seen0 = jnp.zeros(pts_w.shape[0], bool)
+    seen, _ = jax.lax.scan(frame, seen0, (T_wc, depths))
+    return seen
+
+
+@partial(jax.jit, static_argnames=("is_background", "scale", "max_deg",
+                                   "chunk", "carve"))
+def _eval_grid_program(pe, fc, sc, tc, grid_unit, scale3, Tg_R, Tg_t,
+                       Tw_R, Tw_t, depths, T_wc, K, margin, *,
+                       is_background, scale, max_deg, chunk, carve):
+    """(occ, seen_empty) over the affine-placed unit grid, fully on device.
+    pts = (unit * scale3) @ Tg_R.T + Tg_t; carve projects pts through
+    Tw (grid->world) into every view."""
+    fn = field_chunk_fn(is_background=is_background, scale=scale,
+                        max_deg=max_deg, want_color=False)
+    tiles = grid_unit.reshape(-1, chunk, 3)
+
+    def tile_fn(tile):
+        pts = (tile * scale3) @ Tg_R.T + Tg_t
+        occ = fn(pe, fc, sc, tc, pts)
+        if carve:
+            pts_w = pts @ Tw_R.T + Tw_t
+            seen = _carve_tile(pts_w, depths, T_wc, K, margin)
+            occ = jnp.where(seen, jnp.float32(0.0), occ)
+        else:
+            seen = jnp.zeros(pts.shape[0], bool)
+        return occ, seen
+
+    occ, seen = jax.lax.map(tile_fn, tiles)
+    return occ.reshape(-1), seen.reshape(-1)
+
+
+def host_grid_points(grid_dim: int, scale_np: np.ndarray,
+                     transform_np: np.ndarray) -> np.ndarray:
+    """Host mirror of the device grid placement (ij-order [-1,1]^3 cube,
+    per-axis scale, then the 4x4 affine) — used by the sharded fallback
+    and by tests stubbing `_grid_occ_seen` with analytic fields."""
+    t = np.linspace(-1.0, 1.0, grid_dim, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(t, t, t, indexing="ij")
+    pts = (np.stack([gx, gy, gz], -1).reshape(-1, 3)
+           * np.asarray(scale_np, np.float32))
+    return (pts @ transform_np[:3, :3].T
+            + transform_np[:3, 3]).astype(np.float32)
+
+
+def _grid_occ_seen(params, cfg, shape_code, texture_code, *, grid_dim,
+                   scale_np, transform_np, world_transform, carve,
+                   is_background, voxel_w, device_mesh, chunk):
+    """THE grid-evaluation seam of mesh_field: (occ [dim^3],
+    seen_empty [dim^3] | None) for one affine grid placement. Module-level
+    so tests can stub the whole evaluation with an analytic field
+    (tests/test_mesher.py adaptive-bounds tests)."""
+    if device_mesh is None:
+        # Device-resident grid path: only the 12-float affine (and, on
+        # carve, the margin scalar) ships per attempt; occupancy and the
+        # seen-mask come back. The 200 MB host grid build + upload of the
+        # old path was the dominant mesh-all transfer cost at 256^3.
+        t0 = _time.time()
+        grid_unit, n_valid = _unit_grid(grid_dim, chunk)
+        if carve is not None:
+            depths, T_wc, cam = carve
+            depths_j = jnp.asarray(np.asarray(depths, np.float32))
+            twc_j = jnp.asarray(np.asarray(T_wc, np.float32))
+            K = jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32)
+            Tw = (np.asarray(world_transform, np.float32)
+                  if world_transform is not None
+                  else np.eye(4, dtype=np.float32))
+        else:
+            depths_j = jnp.zeros((1, 1, 1), jnp.float32)
+            twc_j = jnp.zeros((1, 4, 4), jnp.float32)
+            K = jnp.zeros((4,), jnp.float32)
+            Tw = np.eye(4, dtype=np.float32)
+        sc_j = (jnp.asarray(shape_code) if shape_code is not None
+                else jnp.zeros((0,), jnp.float32))
+        tc_j = (jnp.asarray(texture_code) if texture_code is not None
+                else jnp.zeros((0,), jnp.float32))
+        occ_d, seen_d = _eval_grid_program(
+            params["pe"], params["fc"], sc_j, tc_j, grid_unit,
+            jnp.asarray(scale_np, jnp.float32),
+            jnp.asarray(transform_np[:3, :3]),
+            jnp.asarray(transform_np[:3, 3]),
+            jnp.asarray(Tw[:3, :3]), jnp.asarray(Tw[:3, 3]),
+            depths_j, twc_j, K, jnp.float32(3.0 * voxel_w),
+            is_background=is_background,
+            scale=cfg.bg_scale if is_background else cfg.obj_scale,
+            max_deg=cfg.n_unidir_funcs, chunk=chunk,
+            carve=carve is not None)
+        occ = np.asarray(occ_d[:n_valid])
+        seen_empty = (np.asarray(seen_d[:n_valid]) if carve is not None
+                      else None)
+        _t_add("grid_eval", _time.time() - t0)
+        return occ, seen_empty
+
+    # host-grid fallback: the sharded (multi-chip) grid path consumes host
+    # points (parallel/grid_eval.py)
+    t0 = _time.time()
+    grid_pts = host_grid_points(grid_dim, scale_np, transform_np)
+    occ, _ = eval_points(grid_pts, params, cfg, shape_code, texture_code,
+                         is_background=is_background, want_color=False,
+                         device_mesh=device_mesh)
+    _t_add("grid_eval", _time.time() - t0)
+    seen_empty = None
+    if carve is not None:
+        t0 = _time.time()
+        if world_transform is not None:
+            pts_w = (grid_pts @ world_transform[:3, :3].T
+                     + world_transform[:3, 3])
+        else:
+            pts_w = grid_pts
+        depths, T_wc, cam = carve
+        seen_empty = space_carve_mask(pts_w, depths, T_wc, cam,
+                                      margin=3.0 * voxel_w)
+        _t_add("carve_host", _time.time() - t0)
+    return occ, seen_empty
+
+
 def eval_points(points: np.ndarray, params: dict, cfg: Config,
                 shape_code=None, texture_code=None, *, is_background: bool,
                 chunk: int = 262144, want_color: bool = True,
@@ -248,39 +448,28 @@ def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
     hi = -lo                                         # the grid's local frame
     max_grow = 3 if (cfg.mesh_adaptive_bounds and not is_background) else 0
 
+    chunk = 262144
+    do_carve = carve is not None and not is_background
+    if world_transform is not None:
+        ws = abs(np.linalg.det(world_transform[:3, :3])) ** (1 / 3)
+    else:
+        ws = 1.0
+
     for attempt in range(max_grow + 1):
         scale_np = (hi - lo) / 2.0
         offset = (hi + lo) / 2.0
         transform_np = np.eye(4, dtype=np.float32)
         transform_np[:3, :3] = R if R is not None else np.eye(3)
         transform_np[:3, 3] = center + (R @ offset if R is not None else offset)
-        # grid built host-side (numpy mirror of render_ops.make_3d_grid):
-        # it is consumed on host anyway (carve mask, MC), and a
-        # device-built grid cost a pure-waste ~25 MB device->host pull per
-        # grow attempt over the ~134 MB/s link
-        t = np.linspace(occ_range[0], occ_range[1], grid_dim,
-                        dtype=np.float32)
-        gx, gy, gz = np.meshgrid(t, t, t, indexing="ij")
-        grid_pts = (np.stack([gx, gy, gz], -1).reshape(-1, 3)
-                    * scale_np.astype(np.float32))
-        grid_pts = (grid_pts @ transform_np[:3, :3].T
-                    + transform_np[:3, 3]).astype(np.float32)
-        occ, _ = eval_points(grid_pts, params, cfg, shape_code, texture_code,
-                             is_background=is_background, want_color=False,
-                             device_mesh=device_mesh)
-        seen_empty = None
-        if carve is not None and not is_background:
-            if world_transform is not None:
-                ws = abs(np.linalg.det(world_transform[:3, :3])) ** (1 / 3)
-                pts_w = (grid_pts @ world_transform[:3, :3].T
-                         + world_transform[:3, 3])
-            else:
-                ws = 1.0
-                pts_w = grid_pts
-            depths, T_wc, cam = carve
-            voxel_w = float(np.max(scale_np)) * 2.0 / (grid_dim - 1) * ws
-            seen_empty = space_carve_mask(pts_w, depths, T_wc, cam,
-                                          margin=3.0 * voxel_w)
+        voxel_w = float(np.max(scale_np)) * 2.0 / (grid_dim - 1) * ws
+        occ, seen_empty = _grid_occ_seen(
+            params, cfg, shape_code, texture_code, grid_dim=grid_dim,
+            scale_np=scale_np, transform_np=transform_np,
+            world_transform=world_transform,
+            carve=carve if do_carve else None,
+            is_background=is_background, voxel_w=voxel_w,
+            device_mesh=device_mesh, chunk=chunk)
+        if seen_empty is not None:
             occ = np.where(seen_empty, np.float32(0.0), occ)
         if occ.max() <= 0.5:  # nothing to extract anywhere in the grid
             return None
@@ -327,10 +516,14 @@ def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
         # (the reference has the same artifact). Raise interior empty
         # regions above the level; the outer crossing band keeps its exact
         # values, so subvoxel interpolation is unaffected.
+        t0 = _time.time()
         occ3 = _fill_unobservable_interior(occ3, observed_free=seen_empty3)
+        _t_add("fill_interior", _time.time() - t0)
 
+    t0 = _time.time()
     out = geomlib.marching_cubes(occ3, 0.5,
                                  method=getattr(cfg, "mesh_method", "mc"))
+    _t_add("marching_cubes", _time.time() - t0)
     if out is None:
         return None
     verts, tris = out
@@ -344,11 +537,13 @@ def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
         mesh.apply_transform(transform_np)
 
     # vertex colors by re-query (ref: src/trainer.py:111-121)
+    t0 = _time.time()
     _, color = eval_points(mesh.vertices.astype(np.float32), params, cfg,
                            shape_code, texture_code,
                            is_background=is_background,
                            device_mesh=device_mesh)
     mesh.vertex_colors = (np.clip(color, 0, 1) * 255).astype(np.uint8)
+    _t_add("vertex_color", _time.time() - t0)
     return mesh
 
 
@@ -437,6 +632,7 @@ def mesh_scene(session, out_dir: str, iteration: int,
     only_objects: restrict to these obj ids (background 0 included only if
     listed)."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     os.makedirs(out_dir, exist_ok=True)
     written: dict[int, str] = {}
@@ -446,15 +642,34 @@ def mesh_scene(session, out_dir: str, iteration: int,
                      for obj_id in cat.obj_ids]
     if only_objects is not None:
         obj_ids = [o for o in obj_ids if o in set(only_objects)]
-    for obj_id in obj_ids:
+
+    def one(obj_id):
         mesh = mesh_object(session, obj_id, carve=carve,
                            device_mesh=device_mesh)
         if mesh is None:
+            return obj_id, None
+        path = os.path.join(out_dir,
+                            f"iteration_{iteration}_obj{obj_id}.obj")
+        t0 = _time.time()
+        mesh.export(path)
+        _t_add("export", _time.time() - t0)
+        return obj_id, path
+
+    # Two objects in flight: device grid-eval of object k+1 overlaps the
+    # host phases (interior fill, marching cubes, export) of object k —
+    # device dispatches serialize on the chip, host work runs during the
+    # device wait (r4 mesh-all pipeline; the C++/numpy phases release the
+    # GIL for their bulk). Sequential when sharded: the multi-chip grid
+    # path shares the mesh across objects.
+    if device_mesh is None and len(obj_ids) > 1:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            results = list(pool.map(one, obj_ids))
+    else:
+        results = [one(o) for o in obj_ids]
+    for obj_id, path in results:
+        if path is None:
             if obj_id != 0:
                 print(f"mesh failed obj {obj_id}")
             continue
-        path = os.path.join(out_dir,
-                            f"iteration_{iteration}_obj{obj_id}.obj")
-        mesh.export(path)
         written[obj_id] = path
     return written

@@ -82,11 +82,14 @@ def main():
         # gate exit code is its own pass/fail (the strict baseline FAILS
         # its gate by design); the JSON line is the measurement
         line = proc.stdout.decode().strip().splitlines()
-        if not line:
+        try:
+            rec = json.loads(line[-1]) if line else None
+        except json.JSONDecodeError:
+            rec = None
+        if rec is None:
             print(f"[FAIL] {name}: no JSON output (see {log_path})",
                   flush=True)
             continue
-        rec = json.loads(line[-1])
         rec["gate_exit"] = proc.returncode
         rec["wall_s"] = round(time.time() - t0, 1)
         with open(out_path, "w") as f:

@@ -159,8 +159,12 @@ def main():
         only = [s.inst_id for s in scene.spheres[:args.mesh_objects]]
     else:
         only = None
+    from catnerf_tpu.mesher import meshing as _meshing
+
+    _meshing.reset_mesh_timings()
     written = mesh_scene(sess, out_dir, iters, only_objects=only)
     result["mesh_all_s"] = round(time.time() - t0, 1)
+    result["mesh_phase_s"] = _meshing.mesh_timings()
     result["n_meshed"] = len(written)
     result["peak_host_rss_gb"] = round(rss_gb(), 2)
 

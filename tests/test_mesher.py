@@ -203,13 +203,22 @@ def test_mesh_adaptive_bounds_recovers_clipped_surface(monkeypatch):
     sphere_c = np.array([0.1, 0.0, 0.25])  # offset along z like the diag
     sphere_r = 0.5
 
+    def occ_of(points):
+        d = np.linalg.norm(np.asarray(points) - sphere_c, axis=-1)
+        return (1.0 / (1.0 + np.exp((d - sphere_r) * 60.0))).astype(
+            np.float32)
+
+    def fake_grid(params, cfg, sc, tc, *, grid_dim, scale_np, transform_np,
+                  **kw):
+        pts = meshing.host_grid_points(grid_dim, scale_np, transform_np)
+        return occ_of(pts), None
+
     def fake_eval(points, params, cfg, sc=None, tc=None, *, is_background,
                   chunk=262144, want_color=True, device_mesh=None):
-        d = np.linalg.norm(np.asarray(points) - sphere_c, axis=-1)
-        occ = 1.0 / (1.0 + np.exp((d - sphere_r) * 60.0))
-        return occ.astype(np.float32), np.zeros((len(points), 3), np.float32)
+        return occ_of(points), np.zeros((len(points), 3), np.float32)
 
-    monkeypatch.setattr(meshing, "eval_points", fake_eval)
+    monkeypatch.setattr(meshing, "_grid_occ_seen", fake_grid)
+    monkeypatch.setattr(meshing, "eval_points", fake_eval)  # vertex colors
     cfg = Config()
     # OBB from the "observed" cloud: z-extent 30% short, center biased low
     bound = OrientedBBox(center=np.array([0.1, 0.0, 0.1]), R=np.eye(3),
@@ -243,13 +252,22 @@ def test_mesh_adaptive_bounds_canonical_frame(monkeypatch):
     sphere_c = np.array([0.0, 0.0, 0.3])
     sphere_r = 0.8
 
+    def occ_of(points):
+        d = np.linalg.norm(np.asarray(points) - sphere_c, axis=-1)
+        return (1.0 / (1.0 + np.exp((d - sphere_r) * 60.0))).astype(
+            np.float32)
+
+    def fake_grid(params, cfg, sc, tc, *, grid_dim, scale_np, transform_np,
+                  **kw):
+        pts = meshing.host_grid_points(grid_dim, scale_np, transform_np)
+        return occ_of(pts), None
+
     def fake_eval(points, params, cfg, sc=None, tc=None, *, is_background,
                   chunk=262144, want_color=True, device_mesh=None):
-        d = np.linalg.norm(np.asarray(points) - sphere_c, axis=-1)
-        occ = 1.0 / (1.0 + np.exp((d - sphere_r) * 60.0))
-        return occ.astype(np.float32), np.zeros((len(points), 3), np.float32)
+        return occ_of(points), np.zeros((len(points), 3), np.float32)
 
-    monkeypatch.setattr(meshing, "eval_points", fake_eval)
+    monkeypatch.setattr(meshing, "_grid_occ_seen", fake_grid)
+    monkeypatch.setattr(meshing, "eval_points", fake_eval)  # vertex colors
     cfg = Config()
     cfg.mesh_adaptive_bounds = True
     mesh = meshing.mesh_field({}, cfg, grid_dim=64, is_background=False,
@@ -364,3 +382,65 @@ def test_load_ply_crlf_header_and_truncated(tmp_path):
     bad.write_bytes(b"ply\nformat ascii 1.0\nelement vertex 3\n")
     with pytest.raises(ValueError, match="end_header"):
         load_mesh(str(bad))
+
+
+def test_device_grid_program_matches_host_path():
+    """The r4 device-resident grid program (canonical grid + in-graph
+    affine + in-graph space carve) must reproduce the host path: host
+    grid build + eval_points + space_carve_mask."""
+    import jax
+
+    from catnerf_tpu.data.camera import CameraInfo
+    from catnerf_tpu.models import codenerf
+
+    cfg = Config()
+    key = jax.random.PRNGKey(4)
+    params = {
+        "pe": {"B": jax.random.normal(key, (21, 3)) * 5.0},
+        "fc": codenerf.init_params(jax.random.PRNGKey(5), latent_dim=8,
+                                   W=16),
+    }
+    sc = np.zeros(8, np.float32)
+    tc = np.zeros(8, np.float32)
+
+    cam = CameraInfo(32, 24, 30.0, 30.0, 16.0, 12.0)
+    rng = np.random.default_rng(0)
+    depths = rng.uniform(0.5, 3.0, (3, 32, 24)).astype(np.float32)
+    depths[0, :4] = 0.0
+    T_wc = np.stack([np.eye(4, dtype=np.float32) for _ in range(3)])
+    T_wc[1][:3, 3] = [0.3, -0.2, -1.5]
+    T_wc[2][:3, :3] = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]],
+                               np.float32)
+    carve = (depths, T_wc, cam)
+    Tw = np.eye(4)
+    Tw[:3, 3] = [0.1, 0.0, 1.2]
+
+    dim, chunk = 32, 4096
+    scale_np = np.array([0.8, 0.7, 0.9])
+    transform_np = np.eye(4, dtype=np.float32)
+    transform_np[:3, 3] = [0.05, -0.1, 0.2]
+    voxel_w = float(np.max(scale_np)) * 2.0 / (dim - 1)
+
+    occ_d, seen_d = meshing._grid_occ_seen(
+        params, cfg, sc, tc, grid_dim=dim, scale_np=scale_np,
+        transform_np=transform_np, world_transform=Tw, carve=carve,
+        is_background=False, voxel_w=voxel_w, device_mesh=None,
+        chunk=chunk)
+
+    pts = meshing.host_grid_points(dim, scale_np, transform_np)
+    occ_h, _ = meshing.eval_points(pts, params, cfg, sc, tc,
+                                   is_background=False, chunk=chunk,
+                                   want_color=False)
+    pts_w = pts @ Tw[:3, :3].T + Tw[:3, 3]
+    seen_h = meshing.space_carve_mask(pts_w, depths, T_wc, cam,
+                                      margin=3.0 * voxel_w)
+
+    # the device program zeroes carved voxels in-graph; mirror on host
+    occ_h = np.where(seen_h, np.float32(0.0), occ_h)
+    assert seen_d is not None
+    agree = seen_d == seen_h
+    mism = (~agree).mean()
+    assert mism < 1e-3, f"carve mask mismatch fraction {mism}"
+    np.testing.assert_allclose(occ_d[agree], occ_h[agree], rtol=1e-5,
+                               atol=1e-5)
+    assert seen_h.any() and (~seen_h).any()  # the fixture exercises both
