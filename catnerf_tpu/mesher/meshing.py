@@ -100,7 +100,32 @@ def _fill_unobservable_interior(occ3: np.ndarray,
     observed_free: voxels some training view directly observed as empty
     (the space-carve mask) — these are NEVER filled: a genuinely observed
     concavity (an open bowl's interior) is blocked on >=5 axes and would
-    otherwise be clobbered back to solid, undoing the carve."""
+    otherwise be clobbered back to solid, undoing the carve.
+
+    The >=4 (not 5) blocked threshold: wide shallow craters in
+    never-observed regions are blocked on only 4 axes and survived the
+    >=5 fill (measured up to 21 cm inward artifacts on the ScanNet
+    gate's blind-spot category; >=4 cut its gate accuracy 1.175 ->
+    1.051 cm with the Replica gate unchanged). Safe because
+    observed_free voxels are never filled.
+
+    The mask is computed in C++ (geomlib.interior_cavity_mask — one
+    border flood fill + six directional sweeps); the scipy+numpy
+    original is kept as _fill_unobservable_interior_py and pinned equal
+    by tests/test_mesher.py (binary_fill_holes alone was 10+ s at 256^3
+    on this single-core box; the native mask is ~0.2 s)."""
+    cavity = geomlib.interior_cavity_mask(occ3 > 0.5, observed_free,
+                                          min_blocked=4)
+    if cavity.any():
+        occ3 = np.where(cavity, np.float32(0.51), occ3)
+    return occ3
+
+
+def _fill_unobservable_interior_py(occ3: np.ndarray,
+                                   observed_free: np.ndarray | None = None
+                                   ) -> np.ndarray:
+    """Reference scipy/numpy implementation of the interior fill —
+    retained as the equivalence oracle for the native mask."""
     from scipy import ndimage
 
     solid = occ3 > 0.5
@@ -111,12 +136,6 @@ def _fill_unobservable_interior(occ3: np.ndarray,
         blocked += np.flip(
             np.maximum.accumulate(np.flip(solid, ax), axis=ax), ax
         ).astype(np.int8)
-    # >=4 (not 5): wide shallow craters in never-observed regions are
-    # blocked on only 4 axes and survived the >=5 fill (measured up to
-    # 21 cm inward artifacts on the ScanNet gate's blind-spot category;
-    # >=4 cut its gate accuracy 1.175 -> 1.051 cm with the Replica gate
-    # unchanged). Safe because observed_free voxels are excluded below —
-    # genuinely observed concavities are never filled.
     cavity |= (~solid) & (blocked >= 4)
     if observed_free is not None:
         cavity &= ~observed_free

@@ -150,6 +150,31 @@ def _fp(a: np.ndarray):
 class geomlib:
     """Static namespace over the C ABI."""
 
+    @staticmethod
+    def interior_cavity_mask(solid: np.ndarray,
+                             observed_free: np.ndarray | None = None,
+                             min_blocked: int = 4) -> np.ndarray:
+        """Cavity mask for the mesher's interior fill: empty voxels that
+        are either holes (not border-connected through empty space,
+        scipy binary_fill_holes semantics, 6-connectivity) or blocked by
+        solid in >= min_blocked of the 6 axis directions, minus
+        observed_free. solid: (nx, ny, nz) bool/uint8. ~50x the
+        scipy+numpy recipe at 256^3 (single-core box)."""
+        lib = _load()
+        s = np.ascontiguousarray(solid, dtype=np.uint8)
+        nx, ny, nz = s.shape
+        cavity = np.empty_like(s)
+        if observed_free is not None:
+            of = np.ascontiguousarray(observed_free, dtype=np.uint8)
+            of_ptr = of.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        else:
+            of_ptr = None
+        lib.interior_cavity_mask(
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), of_ptr,
+            nx, ny, nz, min_blocked,
+            cavity.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return cavity.astype(bool)
+
     # -------------------------------------------------- marching cubes
     @staticmethod
     def marching_cubes(grid: np.ndarray, level: float = 0.5,

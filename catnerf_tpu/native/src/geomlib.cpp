@@ -486,3 +486,127 @@ void radius_outlier_mask(const float* pts, int n, float radius,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Interior cavity mask for mesh extraction (mesher/meshing.py
+// _fill_unobservable_interior). Exact port of the numpy/scipy recipe:
+//   holes   = empty voxels NOT connected to the array border through empty
+//             (scipy binary_fill_holes semantics, 6-connectivity)
+//   blocked = per-voxel count of the 6 axis directions in which a solid
+//             voxel exists at <= / >= coordinate (numpy maximum.accumulate
+//             forward+backward per axis)
+//   cavity  = (~solid) & (holes | blocked >= min_blocked) & ~observed_free
+// scipy's binary_fill_holes was 10+ s at 256^3 on this box; this is one
+// BFS + six sweeps (~0.2 s).
+// ---------------------------------------------------------------------------
+
+#include <vector>
+
+extern "C" {
+
+void interior_cavity_mask(const uint8_t* solid, const uint8_t* observed_free,
+                          int nx, int ny, int nz, int min_blocked,
+                          uint8_t* cavity) {
+  const int64_t n = int64_t(nx) * ny * nz;
+  const int64_t sx = int64_t(ny) * nz, sy = nz, sz = 1;
+
+  // 1. outside = empty voxels reachable from the border through empty
+  std::vector<uint8_t> outside(n, 0);
+  std::vector<int64_t> stack;
+  stack.reserve(1 << 16);
+  auto push = [&](int64_t idx) {
+    if (!solid[idx] && !outside[idx]) {
+      outside[idx] = 1;
+      stack.push_back(idx);
+    }
+  };
+  for (int x = 0; x < nx; ++x)
+    for (int y = 0; y < ny; ++y) {
+      push(x * sx + y * sy);
+      push(x * sx + y * sy + (nz - 1));
+    }
+  for (int x = 0; x < nx; ++x)
+    for (int z = 0; z < nz; ++z) {
+      push(x * sx + z);
+      push(x * sx + int64_t(ny - 1) * sy + z);
+    }
+  for (int y = 0; y < ny; ++y)
+    for (int z = 0; z < nz; ++z) {
+      push(y * sy + z);
+      push(int64_t(nx - 1) * sx + y * sy + z);
+    }
+  while (!stack.empty()) {
+    int64_t idx = stack.back();
+    stack.pop_back();
+    int x = int(idx / sx), y = int((idx / sy) % ny), z = int(idx % nz);
+    if (x > 0) push(idx - sx);
+    if (x < nx - 1) push(idx + sx);
+    if (y > 0) push(idx - sy);
+    if (y < ny - 1) push(idx + sy);
+    if (z > 0) push(idx - sz);
+    if (z < nz - 1) push(idx + sz);
+  }
+
+  // 2. blocked-direction counts: forward+backward running max per axis
+  std::vector<uint8_t> blocked(n, 0);
+  // x axis (stride sx)
+  for (int y = 0; y < ny; ++y)
+    for (int z = 0; z < nz; ++z) {
+      int64_t base = y * sy + z;
+      uint8_t seen = 0;
+      for (int x = 0; x < nx; ++x) {
+        int64_t i = base + x * sx;
+        seen |= solid[i];
+        blocked[i] += seen;
+      }
+      seen = 0;
+      for (int x = nx - 1; x >= 0; --x) {
+        int64_t i = base + x * sx;
+        seen |= solid[i];
+        blocked[i] += seen;
+      }
+    }
+  // y axis (stride sy)
+  for (int x = 0; x < nx; ++x)
+    for (int z = 0; z < nz; ++z) {
+      int64_t base = x * sx + z;
+      uint8_t seen = 0;
+      for (int y = 0; y < ny; ++y) {
+        int64_t i = base + y * sy;
+        seen |= solid[i];
+        blocked[i] += seen;
+      }
+      seen = 0;
+      for (int y = ny - 1; y >= 0; --y) {
+        int64_t i = base + y * sy;
+        seen |= solid[i];
+        blocked[i] += seen;
+      }
+    }
+  // z axis (contiguous)
+  for (int x = 0; x < nx; ++x)
+    for (int y = 0; y < ny; ++y) {
+      int64_t base = x * sx + y * sy;
+      uint8_t seen = 0;
+      for (int z = 0; z < nz; ++z) {
+        int64_t i = base + z;
+        seen |= solid[i];
+        blocked[i] += seen;
+      }
+      seen = 0;
+      for (int z = nz - 1; z >= 0; --z) {
+        int64_t i = base + z;
+        seen |= solid[i];
+        blocked[i] += seen;
+      }
+    }
+
+  // 3. combine
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t c = !solid[i] && (!outside[i] || blocked[i] >= min_blocked);
+    if (observed_free && observed_free[i]) c = 0;
+    cavity[i] = c;
+  }
+}
+
+}  // extern "C"

@@ -444,3 +444,33 @@ def test_device_grid_program_matches_host_path():
     np.testing.assert_allclose(occ_d[agree], occ_h[agree], rtol=1e-5,
                                atol=1e-5)
     assert seen_h.any() and (~seen_h).any()  # the fixture exercises both
+
+
+def test_native_interior_cavity_matches_scipy():
+    """The C++ interior_cavity_mask must reproduce the scipy/numpy fill
+    recipe exactly — structured crust + random fields, with and without
+    an observed-free mask."""
+    rng = np.random.default_rng(7)
+
+    def check(occ, free):
+        a = meshing._fill_unobservable_interior(occ.copy(),
+                                                observed_free=free)
+        b = meshing._fill_unobservable_interior_py(occ.copy(),
+                                                   observed_free=free)
+        np.testing.assert_array_equal(a, b)
+
+    # structured: crust sphere with an open channel (the cup fixture)
+    n = 48
+    t = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(t, t, t, indexing="ij")
+    d = np.sqrt(X**2 + Y**2 + Z**2)
+    occ = (0.1 + 0.8 * np.exp(-((d - 0.6) / 0.1) ** 2)).astype(np.float32)
+    check(occ, None)
+    check(occ, d > 0.8)
+
+    # random blobs (exercises hole/border topology + all 6 sweeps)
+    for _ in range(3):
+        occ = rng.uniform(0, 1, (24, 20, 28)).astype(np.float32)
+        occ = np.where(occ > 0.7, 0.9, 0.1).astype(np.float32)
+        check(occ, None)
+        check(occ, rng.uniform(size=occ.shape) > 0.8)
