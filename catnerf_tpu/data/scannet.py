@@ -101,6 +101,7 @@ class ScanNet:
                 else:
                     for inst in self.inst_dict[cls_id].values():
                         inst.pop("pcs", None)
+                        inst.pop("pcs_rgb", None)
             with open(result_file, "wb") as f:
                 pickle.dump(self.inst_dict, f)
 
