@@ -604,6 +604,15 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                         src_ds_rgb = np.asarray(src_rgb_full)[i_s]
                         _, i_t = kd_tmpl.query(tmpl_ds)
                         tmpl_ds_rgb = np.asarray(tmpl_rgb_full)[i_t]
+                        # Per-cloud mean-centering: the discriminative
+                        # signal is the SPATIAL color pattern, not the
+                        # per-instance base albedo — two instances of a
+                        # category may be differently colored overall
+                        # (measured: uncentered scoring dropped the
+                        # complementary winner on the sphere gate's
+                        # different-hue pair, 0.94 -> 1.25 cm / 98.8%).
+                        src_ds_rgb = src_ds_rgb - src_ds_rgb.mean(0)
+                        tmpl_ds_rgb = tmpl_ds_rgb - tmpl_ds_rgb.mean(0)
                         kd_tmpl_ds = geomlib.KDTree(
                             np.asarray(tmpl_ds, np.float32))
                         r_color = 0.06 * scale_template
@@ -785,7 +794,12 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                         # alignments) stays eligible.
                         cscores = [color_cd(c[2]) for c in ok]
                         judged = [c for c in cscores if c is not None]
-                        if judged:
+                        # Filter only on a CLEAR signal: when the judged
+                        # scores barely separate (max-min < 0.03 — e.g.
+                        # texture-free or symmetric-texture shapes), color
+                        # carries no candidate-discriminating information
+                        # and must not perturb the geometric tie-break.
+                        if judged and max(judged) - min(judged) >= 0.03:
                             c_min = min(judged)
                             c_cut = c_min + max(0.02, 0.25 * c_min)
                             kept = [cand for cand, cs_ in zip(ok, cscores)
