@@ -785,37 +785,46 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                     tie_band = min(max(mbest + 0.02, eta1),
                                    max(3.0 * mbest, mbest + 0.008))
                     ok = [c for c in scored if c[0] <= tie_band]
-                    if use_color and len(ok) > 1:
-                        # Appearance filter: drop candidates whose observed
-                        # color disagreement clearly exceeds the best
-                        # candidate's (geometric flips of textured shapes
-                        # misplace the texture); 'cannot judge' (None:
-                        # too little overlap — exactly the complementary
-                        # alignments) stays eligible.
-                        cscores = [color_cd(c[2]) for c in ok]
-                        judged = [c for c in cscores if c is not None]
-                        # Filter only on a CLEAR signal: when the judged
-                        # scores barely separate (max-min < 0.03 — e.g.
-                        # texture-free or symmetric-texture shapes), color
-                        # carries no candidate-discriminating information
-                        # and must not perturb the geometric tie-break.
-                        if judged and max(judged) - min(judged) >= 0.03:
-                            c_min = min(judged)
-                            c_cut = c_min + max(0.02, 0.25 * c_min)
-                            kept = [cand for cand, cs_ in zip(ok, cscores)
-                                    if cs_ is None or cs_ <= c_cut]
-                            if os.environ.get("CATNERF_REG_DEBUG"):
-                                for (m_, _, s_), cs_ in zip(ok, cscores):
-                                    print(f"  color cand sym={m_:.4f} "
-                                          f"rgb={cs_ if cs_ is None else round(cs_, 4)} "
-                                          f"kept={cs_ is None or cs_ <= c_cut}")
-                            if kept:
-                                ok = kept
                     if os.environ.get("CATNERF_REG_DEBUG"):
                         for m_, T_, s_ in scored:
                             print(f"  cand masked_sym={m_:.4f} "
                                   f"union={union_of(s_)} "
                                   f"ok={m_ <= tie_band}")
+                    # Appearance tie-break — STRICTLY SUBORDINATE to the
+                    # coverage objective: color only discriminates among
+                    # candidates whose canonical coverage union is within
+                    # 2 bins of the maximum. Pre-filtering the whole band
+                    # by color was measured to drop the complementary
+                    # coverage winner when instance textures are unrelated
+                    # (randomly rotated checker on spheres: 0.94 ->
+                    # 1.24 cm / 98.8% gate regression); within a
+                    # coverage-equivalent set (a near-symmetric shape's
+                    # true-vs-flip pair has identical coverage), color is
+                    # exactly the right discriminator.
+                    if use_color and len(ok) > 1:
+                        best_union = max(union_of(c[2]) for c in ok)
+                        top = [c for c in ok
+                               if union_of(c[2]) >= best_union - 2]
+                        if len(top) > 1:
+                            cscores = [color_cd(c[2]) for c in top]
+                            judged = [c for c in cscores if c is not None]
+                            # act only on a CLEAR signal (max-min >= 0.03:
+                            # texture-free shapes carry no information)
+                            if judged and max(judged) - min(judged) >= 0.03:
+                                c_min = min(judged)
+                                c_cut = c_min + max(0.02, 0.25 * c_min)
+                                kept = [cand for cand, cs_
+                                        in zip(top, cscores)
+                                        if cs_ is None or cs_ <= c_cut]
+                                if os.environ.get("CATNERF_REG_DEBUG"):
+                                    for (m_, _, s_), cs_ in zip(top,
+                                                                cscores):
+                                        print(
+                                            f"  color cand sym={m_:.4f} "
+                                            f"rgb={cs_ if cs_ is None else round(cs_, 4)} "
+                                            f"kept={cs_ is None or cs_ <= c_cut}")
+                                if kept:
+                                    ok = kept
                     score_selected, T_rel, src_tf_ds = max(
                         ok, key=lambda c: coverage_key(c[2]))
                     union_selected = union_of(src_tf_ds)
