@@ -139,6 +139,13 @@ class Config:
     # (geometry/registration.py::align_poses). Requires
     # scale_aware_registration; off under strict parity.
     appearance_tie_break: bool = True
+    # Candidate sim(3) scale statistic for align_poses: "obb" (OBB max
+    # half-extent ratio — rotation-invariant; r4 default) or "rms_vox"
+    # (RMS radius on voxel-downsampled clouds — rotation-invariant AND
+    # less sensitive to rim-eroded partial clouds; r4-end diagnosis of
+    # the asym-ScanNet band suggests switching in r5 after full gate
+    # validation).
+    reg_candidate_scale: str = "obb"
     eta1: float = 0.06
     eta2: float = 0.15
     eta3: float = 0.12

@@ -322,7 +322,8 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                 field_dict: dict, name: str = "replica",
                 multi_init_pose: bool = True, eta1: float = 0.06,
                 eta2: float = 0.15, eta3: float = 0.12,
-                scale_aware: bool = True, appearance: bool = True) -> None:
+                scale_aware: bool = True, appearance: bool = True,
+                candidate_scale: str = "obb") -> None:
     """Stage 3 (ref: src/category_registration.py:179-324).
 
     scale_aware (ours; the reference registers raw metric clouds): normalize
@@ -348,6 +349,7 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
     with too little overlap to judge stay eligible (complementary
     alignments must not be excluded by 'cannot judge')."""
     t1 = time.time()
+    candidate_scale = os.environ.get("CATNERF_CAND_SCALE", candidate_scale)
     cls_id_add = 100 if name == "replica" else 10000
 
     def _usable_cloud(pts) -> bool:
@@ -440,6 +442,31 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                 scale_source_obb = (
                     abs(np.linalg.det(T_src_obb[:3, :3])) ** (1.0 / 3.0)
                     if T_src_obb is not None else scale_source)
+                # Alternative candidate-scale statistic (r4 end,
+                # CATNERF_CAND_SCALE=rms_vox or cfg.reg_candidate_scale):
+                # RMS radius on voxel-downsampled clouds — rotation-
+                # invariant like the OBB ratio, but measured on uniform
+                # density (voxelization removes the r2 objection that raw
+                # RMS is biased by per-view point density). Motivated by
+                # the asym-ScanNet diagnosis: rim-eroded TSDF clouds give
+                # OBB extents 10-28% under the object and every instance
+                # subcategorized.
+                if candidate_scale == "rms_vox":
+                    from catnerf_tpu.native.lib import geomlib as _gl
+
+                    s_vox = _gl.voxel_downsample(
+                        np.asarray(source_np_w, np.float32),
+                        0.02 * scale_template)
+                    scale_source_cand = float(np.sqrt(
+                        ((s_vox - s_vox.mean(0)) ** 2).sum(-1).mean()))
+                    t_vox = _gl.voxel_downsample(
+                        np.asarray(template_np_w, np.float32),
+                        0.02 * scale_template)
+                    scale_tmpl_cand = float(np.sqrt(
+                        ((t_vox - t_vox.mean(0)) ** 2).sum(-1).mean()))
+                else:
+                    scale_source_cand = scale_source_obb
+                    scale_tmpl_cand = scale_template
                 c_src = (source_np_w.max(0) + source_np_w.min(0)) / 2.0
                 # TEASER-normalization scale/center must be ROTATION-
                 # INVARIANT (centroid + RMS radius). The AABB half-extent
@@ -499,7 +526,7 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                         # `norm` stays the AABB-based target half-extent so
                         # the normalized-chamfer eta thresholds keep their
                         # meaning.
-                        k = scale_template / scale_source_obb
+                        k = scale_tmpl_cand / scale_source_cand
                         if os.environ.get("CATNERF_REG_DEBUG2"):
                             print(f"  solve k={k:.3f} s_tgt={s_tgt:.3f} "
                                   f"scale_source={scale_source:.3f} "
@@ -1000,7 +1027,8 @@ def run_registration(inst_dict: dict, sample_dict: dict, cam: CameraInfo,
                 multi_init_pose=cfg.multi_init_pose, eta1=cfg.eta1,
                 eta2=cfg.eta2, eta3=cfg.eta3,
                 scale_aware=cfg.scale_aware_registration,
-                appearance=cfg.appearance_tie_break)
+                appearance=cfg.appearance_tie_break,
+                candidate_scale=cfg.reg_candidate_scale)
 
 
 def register_new_instance(registered: list[tuple[np.ndarray, np.ndarray]],
