@@ -245,6 +245,10 @@ class Config:
             raise ValueError(
                 f"mesh_method must be 'mc' or 'tetra', got "
                 f"{self.mesh_method!r}")
+        if self.reg_candidate_scale not in ("obb", "rms_vox", "trim_ext"):
+            raise ValueError(
+                f"reg_candidate_scale must be 'obb', 'rms_vox' or "
+                f"'trim_ext', got {self.reg_candidate_scale!r}")
         if self.n_unidir_funcs != 5:
             # the CodeNeRF trunk/color split is architecturally fixed at
             # EMB_SIZE1=87 / EMB_SIZE2=42, i.e. max_deg=5 (the reference
@@ -389,6 +393,8 @@ class Config:
             "scale_aware_registration", cfg.scale_aware_registration)
         cfg.appearance_tie_break = reg.get(
             "appearance_tie_break", cfg.appearance_tie_break)
+        cfg.reg_candidate_scale = reg.get(
+            "reg_candidate_scale", cfg.reg_candidate_scale)
         cfg.eta1 = reg.get("eta1", cfg.eta1)
         cfg.eta2 = reg.get("eta2", cfg.eta2)
         cfg.eta3 = reg.get("eta3", cfg.eta3)

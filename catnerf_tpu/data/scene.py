@@ -232,16 +232,22 @@ class CategoryScene:
             quota = np.maximum(
                 1, np.minimum(counts,
                               np.floor(counts * cap / n).astype(np.int64)))
-            # exact apportionment: hand flooring's leftover slots to the
-            # strata with headroom (largest first) / trim floor-of-1
-            # overshoot from the largest strata
+            # exact apportionment: spread flooring's leftover slots ONE at
+            # a time across strata with headroom (descending headroom) so
+            # no single stratum absorbs the whole remainder; trim
+            # floor-of-1 overshoot the same way from the largest strata
             while quota.sum() < cap and np.any(counts > quota):
-                i = int(np.argmax(counts - quota))
-                quota[i] += min(int(counts[i] - quota[i]),
-                                int(cap - quota.sum()))
+                for i in np.argsort(quota - counts):  # descending headroom
+                    if quota.sum() >= cap:
+                        break
+                    if counts[i] > quota[i]:
+                        quota[i] += 1
             while quota.sum() > cap and quota.max() > 1:
-                i = int(np.argmax(quota))
-                quota[i] -= min(quota[i] - 1, quota.sum() - cap)
+                for i in np.argsort(-quota):
+                    if quota.sum() <= cap:
+                        break
+                    if quota[i] > 1:
+                        quota[i] -= 1
             parts = []
             for u, q in zip(uniq, quota):
                 rows = np.where(obj == u)[0]

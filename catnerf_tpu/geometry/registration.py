@@ -318,6 +318,39 @@ def _polish_candidate(source_w: np.ndarray, template_w: np.ndarray,
     return T_acc @ T_rel
 
 
+#: Valid values for cfg.reg_candidate_scale / align_poses(candidate_scale=).
+CANDIDATE_SCALE_STATS = ("obb", "rms_vox", "trim_ext")
+
+
+def candidate_scale_stat(pts: np.ndarray, statistic: str,
+                         vox: float) -> float:
+    """Rotation-invariant per-cloud size statistic for the candidate sim(3)
+    scale ratio in align_poses (the "obb" statistic lives inline there —
+    it reuses the template OBB already computed for the pose).
+
+    Both statistics run on a voxel-downsampled cloud so per-view point
+    density cannot bias them (the r2 objection to raw RMS), and both are
+    functions of point-to-centroid radii so they are rotation-invariant:
+
+    - "rms_vox": RMS radius. Low weight on the extreme rim -> robust to
+      the rim erosion TSDF clouds + eroded masks produce (the r4
+      asym-ScanNet diagnosis: OBB extents of eroded clouds under-measure
+      the object 10-28% and every instance spuriously subcategorized).
+    - "trim_ext": 95th-percentile radius — a robust 'max extent' between
+      OBB (p100 of the support) and RMS; kept for A/B
+      (VERDICT r4 next-round item 1).
+    """
+    from catnerf_tpu.native.lib import geomlib
+
+    p = geomlib.voxel_downsample(np.asarray(pts, np.float32), vox)
+    r = np.sqrt(((p - p.mean(0)) ** 2).sum(-1))
+    if statistic == "rms_vox":
+        return float(np.sqrt((r ** 2).mean()))
+    if statistic == "trim_ext":
+        return float(np.quantile(r, 0.95))
+    raise ValueError(f"unknown candidate-scale statistic {statistic!r}")
+
+
 def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                 field_dict: dict, name: str = "replica",
                 multi_init_pose: bool = True, eta1: float = 0.06,
@@ -349,7 +382,17 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
     with too little overlap to judge stay eligible (complementary
     alignments must not be excluded by 'cannot judge')."""
     t1 = time.time()
-    candidate_scale = os.environ.get("CATNERF_CAND_SCALE", candidate_scale)
+    env_scale = os.environ.get("CATNERF_CAND_SCALE")
+    if env_scale and env_scale != candidate_scale:
+        # diag/experiment hook; announce so gate logs stay reproducible
+        # (a stray env var must never silently change registration numerics)
+        print(f"align_poses: CATNERF_CAND_SCALE={env_scale!r} overrides "
+              f"configured candidate_scale={candidate_scale!r}")
+        candidate_scale = env_scale
+    if candidate_scale not in CANDIDATE_SCALE_STATS:
+        raise ValueError(
+            f"candidate_scale must be one of {CANDIDATE_SCALE_STATS}, "
+            f"got {candidate_scale!r}")
     cls_id_add = 100 if name == "replica" else 10000
 
     def _usable_cloud(pts) -> bool:
@@ -442,28 +485,18 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                 scale_source_obb = (
                     abs(np.linalg.det(T_src_obb[:3, :3])) ** (1.0 / 3.0)
                     if T_src_obb is not None else scale_source)
-                # Alternative candidate-scale statistic (r4 end,
-                # CATNERF_CAND_SCALE=rms_vox or cfg.reg_candidate_scale):
-                # RMS radius on voxel-downsampled clouds — rotation-
-                # invariant like the OBB ratio, but measured on uniform
-                # density (voxelization removes the r2 objection that raw
-                # RMS is biased by per-view point density). Motivated by
-                # the asym-ScanNet diagnosis: rim-eroded TSDF clouds give
-                # OBB extents 10-28% under the object and every instance
-                # subcategorized.
-                if candidate_scale == "rms_vox":
-                    from catnerf_tpu.native.lib import geomlib as _gl
-
-                    s_vox = _gl.voxel_downsample(
-                        np.asarray(source_np_w, np.float32),
-                        0.02 * scale_template)
-                    scale_source_cand = float(np.sqrt(
-                        ((s_vox - s_vox.mean(0)) ** 2).sum(-1).mean()))
-                    t_vox = _gl.voxel_downsample(
-                        np.asarray(template_np_w, np.float32),
-                        0.02 * scale_template)
-                    scale_tmpl_cand = float(np.sqrt(
-                        ((t_vox - t_vox.mean(0)) ** 2).sum(-1).mean()))
+                # Alternative candidate-scale statistics (r4-end diagnosis:
+                # rim-eroded TSDF clouds give OBB extents 10-28% under the
+                # object and every asym-ScanNet instance spuriously
+                # subcategorized) — see candidate_scale_stat above. The
+                # SAME statistic runs on both clouds so shared erosion
+                # cancels in the ratio.
+                if candidate_scale in ("rms_vox", "trim_ext"):
+                    vox_cand = 0.02 * scale_template
+                    scale_source_cand = candidate_scale_stat(
+                        source_np_w, candidate_scale, vox_cand)
+                    scale_tmpl_cand = candidate_scale_stat(
+                        template_np_w, candidate_scale, vox_cand)
                 else:
                     scale_source_cand = scale_source_obb
                     scale_tmpl_cand = scale_template
@@ -917,6 +950,17 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                     # src/category_registration.py:257-267)
                     chamfer_unidir, T_rel, src_tf = min(results,
                                                         key=lambda r: r[0])
+                    # Reference quirk, surfaced by the executed-reference
+                    # A/B (tests/test_reference_exec_align.py): in the
+                    # multi-init branch the mid-band OPPOSITE chamfer is
+                    # computed against `inst_pcs_transformed`, a stale
+                    # loop variable still holding the LAST init's
+                    # transformed cloud — not the argmin-selected one
+                    # (ref: src/category_registration.py:258-283).
+                    # Preserved verbatim under strict parity; the
+                    # scale_aware path scores the selected candidate.
+                    src_tf_opp = results[-1][2] if multi_init_pose \
+                        else src_tf
                 print(f"registered obj {obj_id} in cls {cls_id}: "
                       f"chamfer={chamfer_unidir:.4f}")
 
@@ -929,7 +973,7 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                         chamfer_opp = opposite_cd()
                     else:
                         chamfer_opp = chamfer_unidirectional(
-                            template_np_w, src_tf) / scale_template
+                            template_np_w, src_tf_opp) / scale_template
                     subcategorize = chamfer_opp > eta3
 
                 if subcategorize:
