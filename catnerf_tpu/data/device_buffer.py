@@ -16,6 +16,7 @@ training; parity mode keeps the exact semantics).
 
 from __future__ import annotations
 
+import time as _time
 from typing import NamedTuple
 
 import jax
@@ -24,6 +25,7 @@ import numpy as np
 
 from catnerf_tpu.data.scene import CategoryScene
 from catnerf_tpu.train.step import BackgroundBatch, CategoryBatch
+from catnerf_tpu.utils import phase_add
 
 
 _CAT_COLS = 12  # origins 0:3 | dirs 3:6 | rgb 6:9 | depth 9 | state 10 | obj 11
@@ -53,9 +55,13 @@ class DeviceRayStore(NamedTuple):
     bg_length: jnp.ndarray | None = None
 
 
-def _pack_rows(arrays: dict, n: int, with_obj: bool) -> np.ndarray:
+def _pack_rows(arrays: dict, n: int, with_obj: bool,
+               out: np.ndarray | None = None) -> np.ndarray:
+    """Pack a ray buffer into flat f32 rows; `out` (a view into the store)
+    writes in place, skipping one full-store copy."""
     cols = _CAT_COLS if with_obj else _BG_COLS
-    out = np.zeros((n, cols), np.float32)
+    if out is None:
+        out = np.zeros((n, cols), np.float32)
     out[:, 0:3] = arrays["origins"]
     out[:, 3:6] = arrays["dirs"]
     out[:, 6:9] = np.asarray(arrays["rgb"], np.float32) / 255.0
@@ -97,20 +103,25 @@ def build_device_store(categories: list[CategoryScene],
             f"device ray store too large for int32 flat indexing: "
             f"{len(categories)} cls x {max_len} rows x {_CAT_COLS} cols >= "
             f"2**31 elements; cap the store with cfg.max_store_rays_per_cat")
+    t_pack = _time.time()
     packed = np.zeros((len(categories), max_len, _CAT_COLS), np.float32)
     for i, c in enumerate(categories):
-        rows = _pack_rows(c.buffer.arrays, c.buffer.n, True)
-        packed[i, : c.buffer.n] = rows
+        rows = _pack_rows(c.buffer.arrays, c.buffer.n, True,
+                          out=packed[i, : c.buffer.n])
         if window_pad:
             packed[i, c.buffer.n : c.buffer.n + window_pad] = np.resize(
                 rows, (window_pad, _CAT_COLS))
+    phase_add("fast_path", "store_pack", _time.time() - t_pack)
+    t_up = _time.time()
     kwargs = dict(
         packed=jnp.asarray(packed.reshape(len(categories), -1)),
         lengths=jnp.asarray([c.buffer.n for c in categories], jnp.int32),
     )
+    phase_add("fast_path", "store_upload_dispatch", _time.time() - t_up)
     if background is not None:
         b = background.buffer.arrays
         n = b["depth"].shape[0]
+        t_pack = _time.time()
         bg_rows = _pack_rows(b, n, False)
         if (n + bg_window_pad) * _BG_COLS >= 2 ** 31:
             raise ValueError(
@@ -120,10 +131,13 @@ def build_device_store(categories: list[CategoryScene],
         if bg_window_pad:
             bg_rows = np.concatenate(
                 [bg_rows, np.resize(bg_rows, (bg_window_pad, _BG_COLS))])
+        phase_add("fast_path", "store_pack", _time.time() - t_pack)
+        t_up = _time.time()
         kwargs.update(
             bg_packed=jnp.asarray(bg_rows.reshape(-1)),
             bg_length=jnp.asarray(n, jnp.int32),
         )
+        phase_add("fast_path", "store_upload_dispatch", _time.time() - t_up)
     return DeviceRayStore(**kwargs)
 
 

@@ -23,12 +23,14 @@ one shuffled ray buffer. Differences from the reference, by design:
 from __future__ import annotations
 
 import dataclasses
+import time
 
 import numpy as np
 
 from catnerf_tpu.config import Config
 from catnerf_tpu.data.camera import CameraInfo
 from catnerf_tpu.ops.sim3 import sim3_to_tensor_np
+from catnerf_tpu.utils import phase_add
 
 
 @dataclasses.dataclass
@@ -113,29 +115,42 @@ def build_instance_ray_arrays(frame_info: list, sample_dict: dict, cam,
     cached camera-frame dirs into the target frame: world (R, t straight
     from T_WC), cloud-centered world (t shifted), or canonical object
     (inv(T_obj) @ T_WC — R then carries the 1/s sim(3) factor while depth
-    stays metric)."""
-    origins, dirs_l, rgb_l, state_l, depth_l = [], [], [], [], []
-    for fi in frame_info:
+    stays metric).
+
+    Outputs are PREALLOCATED and filled per frame (bit-identical to the
+    former list+concatenate: slice assignment performs the same
+    round-to-nearest downcasts) — the concatenates re-copied every array
+    once, and this loop IS the session build at stress scale
+    (VERDICT r4 item #5)."""
+    t0 = time.time()
+    bboxes = [tuple(int(v) for v in fi["bbox"]) for fi in frame_info]
+    sizes = [(w1 - w0) * (h1 - h0) for w0, w1, h0, h1 in bboxes]
+    n_total = int(sum(sizes))
+    origins = np.empty((n_total, 3), np.float32)
+    dirs_a = np.empty((n_total, 3), np.float32)
+    rgb_a = np.empty((n_total, 3), np.uint8)
+    state_a = np.empty((n_total,), np.uint8)
+    depth_a = np.empty((n_total,), np.float32)
+    off = 0
+    for fi, (w0, w1, h0, h1), n_px in zip(frame_info, bboxes, sizes):
         sample = sample_dict[fi["frame"]]
-        w0, w1, h0, h1 = (int(v) for v in fi["bbox"])
         R, t = pose_fn(np.asarray(sample["T"], dtype=np.float64))
         crop_dirs = cam.rays_dir_cache[w0:w1, h0:h1].reshape(-1, 3)
-        dirs = (crop_dirs @ R.T).astype(np.float32)
-        n_px = dirs.shape[0]
-        origins.append(np.broadcast_to(t.astype(np.float32), (n_px, 3)))
-        dirs_l.append(dirs)
-        rgb_l.append(sample["image"][w0:w1, h0:h1].reshape(-1, 3)
-                     .astype(np.uint8))
-        state_l.append(_pixel_states(sample["obj_mask"][w0:w1, h0:h1],
-                                     this_id).reshape(-1))
-        depth_l.append(sample["depth"][w0:w1, h0:h1].reshape(-1)
-                       .astype(np.float32))
+        sl = slice(off, off + n_px)
+        dirs_a[sl] = crop_dirs @ R.T
+        origins[sl] = t
+        rgb_a[sl] = sample["image"][w0:w1, h0:h1].reshape(-1, 3)
+        state_a[sl] = _pixel_states(sample["obj_mask"][w0:w1, h0:h1],
+                                    this_id).reshape(-1)
+        depth_a[sl] = sample["depth"][w0:w1, h0:h1].reshape(-1)
+        off += n_px
+    phase_add("session", "ray_build", time.time() - t0)
     return {
-        "origins": np.concatenate(origins),
-        "dirs": np.concatenate(dirs_l),
-        "rgb": np.concatenate(rgb_l),
-        "state": np.concatenate(state_l),
-        "depth": np.concatenate(depth_l),
+        "origins": origins,
+        "dirs": dirs_a,
+        "rgb": rgb_a,
+        "state": state_a,
+        "depth": depth_a,
     }
 
 
@@ -219,6 +234,7 @@ class CategoryScene:
         cap = (self.cfg.max_store_rays_bg if self.is_background
                else self.cfg.max_store_rays_per_cat)
         n = arrays["depth"].shape[0]
+        t_sub = time.time()
         if cap and n > cap:
             # Stratified subsample per instance (config.py max_store_rays_*:
             # bounds the device/host ray store at large scene scale; 0 =
@@ -255,7 +271,11 @@ class CategoryScene:
                                         replace=False))
             sel = np.sort(np.concatenate(parts))
             arrays = {k: a[sel] for k, a in arrays.items()}
-        return RayBuffer(arrays, rng)
+            phase_add("session", "store_cap_subsample", time.time() - t_sub)
+        t_shuf = time.time()
+        buf = RayBuffer(arrays, rng)
+        phase_add("session", "buffer_shuffle", time.time() - t_shuf)
+        return buf
 
     def sample(self, n: int) -> dict[str, np.ndarray]:
         return self.buffer.sample(n)

@@ -37,6 +37,9 @@ import time as _time
 
 MESH_TIMINGS: dict[str, float] = {}
 _TIMINGS_LOCK = _threading.Lock()
+#: (grid_dim, is_background, carve) program keys already dispatched once —
+#: used to attribute first-call (compile-bearing) grid_eval time separately.
+_GRID_PROGS_SEEN: set = set()
 
 
 def _t_add(phase: str, dt: float) -> None:
@@ -47,6 +50,7 @@ def _t_add(phase: str, dt: float) -> None:
 def reset_mesh_timings() -> None:
     with _TIMINGS_LOCK:
         MESH_TIMINGS.clear()
+        _GRID_PROGS_SEEN.clear()
 
 
 def mesh_timings() -> dict[str, float]:
@@ -205,6 +209,34 @@ def _pad_to_chunks(points: np.ndarray, chunk: int):
     return points, n
 
 
+#: Tail-tile pad sizes for eval_points (ascending; the final tile of a
+#: query pads to the smallest bucket that holds it, full tiles always run
+#: at `chunk`). Each size is one more compiled program per field type, so
+#: the set is small; without it every distinct padded length compiles a
+#: fresh XLA program and a 5k-vertex color re-query pays a full
+#: 262144-point one (measured r4: vertex_color 86.1 s of a 161.7 s
+#: mesh-all at stress scale).
+_TAIL_BUCKETS = (4096, 16384, 65536)
+
+
+def _tile_plan(n: int, chunk: int) -> list[tuple[int, int]]:
+    """[(n_valid, padded_size), ...] covering n points: full `chunk` tiles
+    plus one bucket-padded tail, so the number of DISTINCT program shapes
+    is bounded by the bucket set rather than by the number of distinct
+    query lengths."""
+    plan = []
+    off = 0
+    while n - off >= chunk:
+        plan.append((chunk, chunk))
+        off += chunk
+    tail = n - off
+    if tail or not plan:
+        size = next((b for b in _TAIL_BUCKETS if b >= tail and b < chunk),
+                    chunk)
+        plan.append((tail, size))
+    return plan
+
+
 # ---------------------------------------------------------------------------
 # Device-resident grid evaluation (r4 mesh-all optimization).
 #
@@ -352,7 +384,18 @@ def _grid_occ_seen(params, cfg, shape_code, texture_code, *, grid_dim,
         occ = np.asarray(occ_d[:n_valid])
         seen_empty = (np.asarray(seen_d[:n_valid]) if carve is not None
                       else None)
-        _t_add("grid_eval", _time.time() - t0)
+        dt = _time.time() - t0
+        _t_add("grid_eval", dt)
+        # Per-program-shape attribution: the first call for a (dim,
+        # field-type, carve) key pays the XLA compile (or the persistent-
+        # cache load); later same-bucket objects reuse it. Splitting the
+        # two answers "how much of grid_eval is compile?" directly in the
+        # stress gate's mesh_phase_s (VERDICT r4 item #3b).
+        prog_key = (grid_dim, is_background, carve is not None)
+        with _TIMINGS_LOCK:
+            first = prog_key not in _GRID_PROGS_SEEN
+            _GRID_PROGS_SEEN.add(prog_key)
+        _t_add(f"grid_eval.dim{grid_dim}" + (".first" if first else ""), dt)
         return occ, seen_empty
 
     # host-grid fallback: the sharded (multi-chip) grid path consumes host
@@ -394,19 +437,35 @@ def eval_points(points: np.ndarray, params: dict, cfg: Config,
         return eval_points_sharded(
             points, params, cfg, device_mesh, shape_code, texture_code,
             is_background=is_background, chunk=chunk, want_color=want_color)
-    pts_padded, n = _pad_to_chunks(np.asarray(points, np.float32), chunk)
-    pts = jnp.asarray(pts_padded)
-    if is_background:
-        occ, rgb = _eval_occupancy_chunked(
-            params["pe"], params["fc"], pts, bg_scale=cfg.bg_scale,
-            max_deg=cfg.n_unidir_funcs, chunk=chunk, want_color=want_color)
-    else:
-        occ, rgb = _eval_codenerf_chunked(
-            params["pe"], params["fc"], jnp.asarray(shape_code),
-            jnp.asarray(texture_code), pts, obj_scale=cfg.obj_scale,
-            max_deg=cfg.n_unidir_funcs, chunk=chunk, want_color=want_color)
-    return np.asarray(occ[:n]), (np.asarray(rgb[:n]) if rgb is not None
-                                 else None)
+    pts_np = np.asarray(points, np.float32)
+    n = len(pts_np)
+    if not is_background:
+        sc, tc = jnp.asarray(shape_code), jnp.asarray(texture_code)
+    # Host loop over fixed-shape tiles: every full tile reuses ONE compiled
+    # program and the tail pads to a _TAIL_BUCKETS size, instead of jitting
+    # the whole padded query (one XLA compile per distinct length). All
+    # tiles are dispatched before any result is pulled, so device compute
+    # and the device->host transfers overlap across tiles.
+    parts, off = [], 0
+    for n_valid, size in _tile_plan(n, chunk):
+        tile, _ = _pad_to_chunks(pts_np[off:off + n_valid], size)
+        pts = jnp.asarray(tile)
+        if is_background:
+            occ, rgb = _eval_occupancy_chunked(
+                params["pe"], params["fc"], pts, bg_scale=cfg.bg_scale,
+                max_deg=cfg.n_unidir_funcs, chunk=size,
+                want_color=want_color)
+        else:
+            occ, rgb = _eval_codenerf_chunked(
+                params["pe"], params["fc"], sc, tc, pts,
+                obj_scale=cfg.obj_scale, max_deg=cfg.n_unidir_funcs,
+                chunk=size, want_color=want_color)
+        parts.append((n_valid, occ, rgb))
+        off += n_valid
+    occ = np.concatenate([np.asarray(o[:m]) for m, o, _ in parts])[:n]
+    rgb = (np.concatenate([np.asarray(r[:m]) for m, _, r in parts])[:n]
+           if want_color else None)
+    return occ, rgb
 
 
 def adaptive_grid_dim(extent, live_voxel_size: float, grid_dim_max: int) -> int:

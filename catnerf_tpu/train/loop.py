@@ -18,6 +18,7 @@ from catnerf_tpu.models import codes as codes_mod
 from catnerf_tpu.train import packing
 from catnerf_tpu.train.state import TrainState, init_train_state
 from catnerf_tpu.train.step import StepMetrics, make_train_step
+from catnerf_tpu.utils import phase_timer
 
 
 class TrainingSession:
@@ -48,9 +49,11 @@ class TrainingSession:
         self.obj_mask = codes_mod.obj_validity_mask(n_objs)
         key = jax.random.PRNGKey(cfg.seed)
         self.base_key, init_key = jax.random.split(key)
-        self.state: TrainState = init_train_state(
-            init_key, cfg, n_objs, with_background=self.background is not None
-        )
+        with phase_timer("session", "state_init"):
+            self.state: TrainState = init_train_state(
+                init_key, cfg, n_objs,
+                with_background=self.background is not None
+            )
         self.n_per_cls = self.batcher.rays_per_category(cfg.n_per_optim)
         self._pack_spec = packing.make_spec(
             len(self.cls_ids), self.n_per_cls, cfg.n_per_optim_bg,
@@ -210,12 +213,14 @@ class TrainingSession:
                 store, n_per_cls=self.n_per_cls,
                 n_bg=self.cfg.n_per_optim_bg, n_inner=n_inner, window=True)
         else:
-            inner = make_train_step(
-                self.cfg, self.obj_mask,
-                with_background=self.background is not None, jit=False)
-            self._superstep = make_superstep(
-                inner, store, n_per_cls=self.n_per_cls,
-                n_bg=self.cfg.n_per_optim_bg, n_inner=n_inner, window=True)
+            with phase_timer("fast_path", "superstep_build"):
+                inner = make_train_step(
+                    self.cfg, self.obj_mask,
+                    with_background=self.background is not None, jit=False)
+                self._superstep = make_superstep(
+                    inner, store, n_per_cls=self.n_per_cls,
+                    n_bg=self.cfg.n_per_optim_bg, n_inner=n_inner,
+                    window=True)
         self._n_inner = n_inner
 
     def run_fast(self, n_steps: int) -> StepMetrics:

@@ -18,6 +18,47 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# ---------------------------------------------------------------------------
+# Named phase-timing registry (the mesher's MESH_TIMINGS pattern, shared):
+# cumulative wall time per (group, phase) so gate scripts can report where
+# a pipeline stage's wall clock goes instead of guessing (VERDICT r4 item
+# #5: session build + fast-path setup had no attribution like mesh-all's).
+# ---------------------------------------------------------------------------
+import threading as _threading
+
+_PHASE_TIMINGS: dict[str, dict[str, float]] = {}
+_PHASE_LOCK = _threading.Lock()
+
+
+def phase_add(group: str, phase: str, dt: float) -> None:
+    with _PHASE_LOCK:
+        g = _PHASE_TIMINGS.setdefault(group, {})
+        g[phase] = g.get(phase, 0.0) + dt
+
+
+def phase_timings(group: str) -> dict[str, float]:
+    with _PHASE_LOCK:
+        return {k: round(v, 2)
+                for k, v in sorted(_PHASE_TIMINGS.get(group, {}).items())}
+
+
+def reset_phase_timings(group: str | None = None) -> None:
+    with _PHASE_LOCK:
+        if group is None:
+            _PHASE_TIMINGS.clear()
+        else:
+            _PHASE_TIMINGS.pop(group, None)
+
+
+@contextlib.contextmanager
+def phase_timer(group: str, phase: str):
+    t0 = time.time()
+    try:
+        yield
+    finally:
+        phase_add(group, phase, time.time() - t0)
+
+
 @contextlib.contextmanager
 def performance_measure(name: str):
     """Wall-clock timing context (ref: src/scene_cateogries.py:10-22). Use

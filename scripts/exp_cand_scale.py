@@ -65,14 +65,24 @@ EROSIONS = {
 }
 
 
-def make_pair(fam, seed, erosion):
+def make_pair(fam, seed, erosion, same_shape=True):
+    """same_shape=True (default): the pair is the SAME shape at two
+    size_factors, so the true ratio of ANY size statistic is exactly the
+    size ratio and estimator error isolates EROSION robustness — the r4
+    failure mechanism. same_shape=False keeps the original different-
+    instance pairing, but then k_true (a max-extent ratio) is obb's own
+    statistic by construction and the comparison is biased toward obb;
+    kept only to show cross-shape spread."""
     rng = np.random.default_rng(seed)
     tmpl = _make_asym_shape(fam, rng, center=np.zeros(3),
                             color=np.full(3, 0.5), inst_id=1, cls_id=9,
                             k=0, size_factor=1.0)
-    src = _make_asym_shape(fam, rng, center=np.array([1.4, -0.3, 0.5]),
+    rng2 = np.random.default_rng(seed)  # same draws -> same shape
+    src = _make_asym_shape(fam, rng2 if same_shape else rng,
+                           center=np.array([1.4, -0.3, 0.5]),
                            color=np.full(3, 0.5), inst_id=2, cls_id=9,
-                           k=1, size_factor=1.0)
+                           k=0 if same_shape else 1,
+                           size_factor=1.35 if same_shape else 1.0)
     c_tmpl = eroded_view_cloud(tmpl, rng, n_views=10, graze_cos=0.15)
     nv, gc, band = EROSIONS[erosion]
     c_src = eroded_view_cloud(src, rng, n_views=nv, graze_cos=gc, band=band)

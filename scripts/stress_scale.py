@@ -96,9 +96,13 @@ def main():
     # background over all keyframes (the reference's sceneCategory setup,
     # src/scene_cateogries.py:119-260).
     t0 = time.time()
+    from catnerf_tpu.utils import phase_timings, reset_phase_timings
+
+    reset_phase_timings()
     sess = TrainingSession(cfg, scene.inst_dict, scene.sample_dict,
                            cam=scene.cam)
     result["session_build_s"] = round(time.time() - t0, 1)
+    result["session_phase_s"] = phase_timings("session")
     result["n_categories_loaded"] = len(sess.cls_ids)
 
     cat_rays = sum(c.buffer.n for c in sess.categories)
@@ -120,6 +124,12 @@ def main():
 
     jax.block_until_ready(sess._store.packed)
     result["fast_path_setup_s"] = round(time.time() - t0, 1)
+    fp = dict(phase_timings("fast_path"))
+    # the block_until_ready above is the store-upload WAIT: total setup
+    # minus the attributed host phases
+    fp["store_upload_wait"] = round(
+        result["fast_path_setup_s"] - sum(fp.values()), 2)
+    result["fast_phase_s"] = fp
     store = sess._store
     dev_bytes = store.packed.nbytes + (
         store.bg_packed.nbytes if store.bg_packed is not None else 0)

@@ -638,3 +638,71 @@ def test_jittered_box_flip_resolved_by_appearance(seed):
     dR = R_est @ R_true.T
     ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
     assert ang < 15.0, f"seed {seed}: flip not resolved ({ang:.1f} deg)"
+
+
+def test_appearance_subordinate_to_coverage_adversarial_texture():
+    """Pin of the r4 Replica-sphere regression mechanism (BASELINE.md r4:
+    a whole-band color pre-filter regressed the sphere gate 0.94 ->
+    1.24 cm / 98.8%): when instance textures don't encode the true
+    relative pose, color evidence can actively prefer a coverage-LOSING
+    candidate — here both domes carry the SAME world-frame checker, so
+    the blind-spot-stacking identity-rotation candidate gets near-perfect
+    color agreement while the complementary coverage winner mismatches.
+    Color may only discriminate among candidates within 2 union-bins of
+    the max coverage (registration.py tie-break subordination).
+    Mutation-verified: color-filtering the whole accept band keeps only
+    the identity-rotation candidates, stacks the two domes' blind spots,
+    and fails the union assertion."""
+    from catnerf_tpu.geometry.registration import _coverage_bins
+
+    rng = np.random.default_rng(3)
+
+    def dome(radius, center, open_dir, cos_cap=0.55, n=6000):
+        u = rng.normal(size=(n, 3))
+        u /= np.linalg.norm(u, axis=-1, keepdims=True)
+        keep = u @ np.asarray(open_dir) < cos_cap
+        pts = center + radius * u[keep]
+        return pts + rng.normal(0, 0.002, pts.shape)
+
+    def grad(pts, center, M=np.eye(3)):
+        # smooth direction-gradient texture, optionally pre-rotated by M:
+        # a candidate rotating the source by R gets near-zero color
+        # disagreement iff R ~ M (see the color-model comment below)
+        u = (pts - center) @ M.T
+        u = u / np.linalg.norm(u, axis=-1, keepdims=True)
+        return (0.5 + 0.45 * u).astype(np.float32)
+
+    # the complementarity test's geometry...
+    ctr_a, ctr_b = np.zeros(3), np.array([2.0, 0.0, 0.0])
+    v_a, v_b = np.array([1.0, 0.0, 0.0]), np.array([-0.8, 0.6, 0.0])
+    v_b = v_b / np.linalg.norm(v_b)
+    a = dome(0.5, ctr_a, v_a)
+    b = dome(0.5, ctr_b, v_b)
+    # ...plus the adversarial texture: the source's gradient is pre-rotated
+    # by R_stack (the rotation mapping b's hole direction onto a's), so
+    # color agreement is maximal exactly for the hole-STACKING candidate —
+    # the pure-Chamfer winner the coverage tie-break exists to reject.
+    # Color and chamfer both prefer R_stack; only the coverage-union
+    # objective resists, so subordination is the single line of defense.
+    axis = np.cross(v_b, v_a)
+    axis = axis / np.linalg.norm(axis)
+    ang = np.arccos(np.clip(v_b @ v_a, -1, 1))
+    R_stack = Rotation.from_rotvec(ang * axis).as_matrix()
+
+    inst_dict = {9: {1: {"frame_info": [], "pcs": a,
+                         "pcs_rgb": grad(a, ctr_a)},
+                     2: {"frame_info": [], "pcs": b,
+                         "pcs_rgb": grad(b, ctr_b, R_stack)}}}
+    align_poses(inst_dict, {9: {1: None, 2: None}}, {9: {1: 100, 2: 50}},
+                {}, name="replica", scale_aware=True, appearance=True)
+    assert 109 not in inst_dict and 2 in inst_dict[9]
+
+    c1 = transform_pointcloud_np(a, np.linalg.inv(inst_dict[9][1]["T_obj"]))
+    c2 = transform_pointcloud_np(b, np.linalg.inv(inst_dict[9][2]["T_obj"]))
+    b1, b2 = _coverage_bins(c1), _coverage_bins(c2)
+    union = (b1 | b2).sum()
+    # blind spots must not coincide: the union recovers at least half of
+    # what the template alone is missing (same bar as the color-free
+    # complementarity test)
+    assert union >= b1.sum() + 0.5 * (b1.size - b1.sum()), (
+        union, b1.sum(), b2.sum())
