@@ -245,10 +245,11 @@ class Config:
             raise ValueError(
                 f"mesh_method must be 'mc' or 'tetra', got "
                 f"{self.mesh_method!r}")
-        if self.reg_candidate_scale not in ("obb", "rms_vox", "trim_ext"):
+        if self.reg_candidate_scale not in ("obb", "rms_vox", "trim_ext",
+                                            "aabb"):
             raise ValueError(
-                f"reg_candidate_scale must be 'obb', 'rms_vox' or "
-                f"'trim_ext', got {self.reg_candidate_scale!r}")
+                f"reg_candidate_scale must be 'obb', 'rms_vox', 'trim_ext' "
+                f"or 'aabb', got {self.reg_candidate_scale!r}")
         if self.n_unidir_funcs != 5:
             # the CodeNeRF trunk/color split is architecturally fixed at
             # EMB_SIZE1=87 / EMB_SIZE2=42, i.e. max_deg=5 (the reference

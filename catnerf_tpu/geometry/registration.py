@@ -319,7 +319,7 @@ def _polish_candidate(source_w: np.ndarray, template_w: np.ndarray,
 
 
 #: Valid values for cfg.reg_candidate_scale / align_poses(candidate_scale=).
-CANDIDATE_SCALE_STATS = ("obb", "rms_vox", "trim_ext")
+CANDIDATE_SCALE_STATS = ("obb", "rms_vox", "trim_ext", "aabb")
 
 
 def candidate_scale_stat(pts: np.ndarray, statistic: str,
@@ -559,13 +559,26 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                         # `norm` stays the AABB-based target half-extent so
                         # the normalized-chamfer eta thresholds keep their
                         # meaning.
-                        k = scale_tmpl_cand / scale_source_cand
+                        # "aabb" restores the r3 behavior (the per-
+                        # target world-AABB ratio, rotation-VARIANT — its
+                        # inflation incidentally compensated rim erosion)
+                        # as an A/B control for the r4 asym-ScanNet
+                        # regression (VERDICT r5 item #1).
+                        if candidate_scale == "aabb":
+                            k = s_tgt / scale_source
+                        else:
+                            k = scale_tmpl_cand / scale_source_cand
                         if os.environ.get("CATNERF_REG_DEBUG2"):
                             print(f"  solve k={k:.3f} s_tgt={s_tgt:.3f} "
                                   f"scale_source={scale_source:.3f} "
                                   f"obb={scale_source_obb:.3f} "
                                   f"rms_src={rms_src:.3f} rms_tgt={rms_tgt:.3f}")
-                        for spc_mode, vox in ((True, 0.1), (False, 0.08)):
+                        # diag/experiment hook (scripts/diag_registration
+                        # A/Bs): "spc" restores the r3 single-strategy solve
+                        modes = ((True, 0.1), (False, 0.08))
+                        if os.environ.get("CATNERF_REG_MODES") == "spc":
+                            modes = ((True, 0.1),)
+                        for spc_mode, vox in modes:
                             R_rel, t_rel = teaser_fpfh_icp(
                                 src_n, tgt_n, voxel_size=vox, spc=spc_mode)
                             T_cand = np.eye(4)

@@ -155,11 +155,6 @@ def main():
     if args.dispatch is not None:
         args.parity = args.dispatch == "parity"
 
-    if args.fit_holdout and args.registered:
-        raise SystemExit("--fit-holdout runs on the GT-pose path "
-                         "(the held-out pose itself is ESTIMATED by "
-                         "register_new_instance)")
-
     scene = make_scene(n_frames=24, width=160, height=120, n_categories=3,
                        insts_per_cat=3 if args.fit_holdout else 2,
                        seed=args.seed, shape_family=args.shapes)
@@ -174,6 +169,11 @@ def main():
         del inst_dict_train[held_cls][held_out]
         print(f"holding out instance {held_out} of category {held_cls}",
               file=sys.stderr)
+    # loader-frame ids of the held-out instance/category (the ScanNet
+    # loader remaps inst +1 / cls + CLS_OFFSET); updated below
+    held_out_l = held_out
+    held_cls_l = held_cls if held_out is not None else None
+    data_full = None   # full-layout loader (registered fit-holdout)
 
     if args.registered:
         sys.path.insert(0, os.path.join(
@@ -184,6 +184,20 @@ def main():
         cfg.fx = cfg.fy = scene.cam.fx
         cfg.cx, cfg.cy = scene.cam.cx, scene.cam.cy
         cfg.load_pretrained = False   # self-pretrained uncertainty fields
+        # Registered fit-holdout (VERDICT r4 item #7): the held-out
+        # instance is erased from the TRAINING layout's instance masks
+        # (the loader never sees it — it takes no part in registration,
+        # canonical-frame establishment, or training), while a second
+        # FULL layout provides its loader-grade observations (eroded-mask
+        # clouds + bbox crops) for the new-instance path.
+        scene_train = scene
+        if held_out is not None:
+            import copy as _copy
+
+            scene_train = _copy.deepcopy(scene)
+            for s_ in scene_train.sample_dict.values():
+                m = s_["obj_mask"]
+                m[m == held_out] = 0
         if args.dataset == "scannet":
             from test_scannet_fixture import CLS_OFFSET, write_scannet_layout
 
@@ -192,7 +206,7 @@ def main():
             cfg.dataset_format = "ScanNet"
             cfg.mw = cfg.mh = 4            # edge crop (ref: cfg mw=10)
             cfg.use_refined_mask = not args.no_refined_mask
-            write_scannet_layout(scene, data_dir, cfg.depth_scale)
+            write_scannet_layout(scene_train, data_dir, cfg.depth_scale)
             # corrupt one pose to exercise inf-pose frame skipping
             # (ref: src/dataset.py:295-301)
             inf_frame = max(scene.sample_dict.keys())
@@ -201,6 +215,19 @@ def main():
             print("running full ScanNet registration pipeline...",
                   file=sys.stderr)
             data = ScanNet(cfg)
+            if held_out is not None:
+                import copy as _copy
+
+                full_dir = tempfile.mkdtemp(prefix="e2e_fitreg_full_")
+                write_scannet_layout(scene, full_dir, cfg.depth_scale)
+                np.savetxt(os.path.join(full_dir, "pose",
+                                        f"{inf_frame}.txt"),
+                           np.full((4, 4), np.inf))
+                cfg_full = _copy.deepcopy(cfg)
+                cfg_full.dataset_dir = full_dir
+                data_full = ScanNet(cfg_full, run_registration=False)
+                held_out_l = held_out + 1
+                held_cls_l = held_cls + CLS_OFFSET
             # loader remaps: inst +1, cls + CLS_OFFSET; remap eval targets
             for s in scene.spheres:
                 s.inst_id += 1
@@ -210,9 +237,17 @@ def main():
 
             from catnerf_tpu.data.replica import Replica
 
-            write_replica_layout(scene, data_dir, cfg.depth_scale)
+            write_replica_layout(scene_train, data_dir, cfg.depth_scale)
             print("running full registration pipeline...", file=sys.stderr)
             data = Replica(cfg)
+            if held_out is not None:
+                import copy as _copy
+
+                full_dir = tempfile.mkdtemp(prefix="e2e_fitreg_full_")
+                write_replica_layout(scene, full_dir, cfg.depth_scale)
+                cfg_full = _copy.deepcopy(cfg)
+                cfg_full.dataset_dir = full_dir
+                data_full = Replica(cfg_full, run_registration=False)
         inst_dict, sample_dict = data.inst_dict, data.sample_dict
         sess = TrainingSession(cfg, inst_dict, sample_dict)
     else:
@@ -253,7 +288,7 @@ def main():
     per_obj = {}
     accs, comps, ratios = [], [], []
     for s in scene.spheres:
-        if held_out is not None and s.inst_id == held_out:
+        if held_out is not None and s.inst_id == held_out_l:
             continue  # scored separately through the fit path below
         path = written.get(s.inst_id)
         if path is None:
@@ -289,25 +324,62 @@ def main():
         from catnerf_tpu.mesher.meshing import adaptive_grid_dim, mesh_field
 
         t_fit = _time.time()
-        registered = []
-        for oid in sorted(scene.inst_dict[held_cls]):
-            if oid == held_out:
-                continue
-            info_o = scene.inst_dict[held_cls][oid]
-            registered.append((accumulate_pointcloud(
-                oid, info_o["frame_info"], scene.sample_dict, sess.cam),
-                info_o["T_obj"]))
-        info_new = scene.inst_dict[held_cls][held_out]
-        pcs_new = accumulate_pointcloud(held_out, info_new["frame_info"],
-                                        scene.sample_dict, sess.cam)
+        if args.registered:
+            # Registered path (VERDICT r4 item #7): templates are the
+            # TRAINED instances' loader-grade (eroded-mask) clouds with
+            # their ESTIMATED sim(3) poses; the held-out cloud and bbox
+            # crops come from the full-layout loader. These are the
+            # new-instance flow's hardest inputs: nothing here touches GT.
+            from catnerf_tpu.native.lib import geomlib
+
+            def _loader_cloud(oid):
+                info_f = data_full.inst_dict[held_cls_l][oid]
+                pcs = info_f.get("pcs")
+                if pcs is None:
+                    return accumulate_pointcloud(
+                        oid, info_f["frame_info"], data_full.sample_dict,
+                        sess.cam)
+                # same 0.01 voxel grid get_all_poses feeds registration
+                return geomlib.voxel_downsample(
+                    np.asarray(pcs, np.float32), 0.01)
+
+            trained = data.inst_dict.get(held_cls_l, {})
+            if held_cls_l not in sess.cls_ids or len(trained) < 1:
+                raise SystemExit(
+                    f"fit-holdout: category {held_cls_l} was split or "
+                    f"dropped during registration (trained ids "
+                    f"{sorted(data.inst_dict)}); no trained multi-"
+                    f"instance category to adopt into")
+            registered = [(_loader_cloud(oid), info_o["T_obj"])
+                          for oid, info_o in sorted(trained.items())]
+            pcs_new = _loader_cloud(held_out_l)
+            fi_new = data_full.inst_dict[held_cls_l][held_out_l][
+                "frame_info"]
+            sdict_fit = data_full.sample_dict
+        else:
+            registered = []
+            for oid in sorted(scene.inst_dict[held_cls]):
+                if oid == held_out:
+                    continue
+                info_o = scene.inst_dict[held_cls][oid]
+                registered.append((accumulate_pointcloud(
+                    oid, info_o["frame_info"], scene.sample_dict, sess.cam),
+                    info_o["T_obj"]))
+            info_gt = scene.inst_dict[held_cls][held_out]
+            pcs_new = accumulate_pointcloud(
+                held_out, info_gt["frame_info"], scene.sample_dict,
+                sess.cam)
+            fi_new = info_gt["frame_info"]
+            sdict_fit = scene.sample_dict
         T_est, reg_cd = register_new_instance(registered, pcs_new)
-        T_gt = np.asarray(info_new["T_obj"], np.float64)
+        T_gt = np.asarray(scene.inst_dict[held_cls][held_out]["T_obj"],
+                          np.float64)
         s_gt = abs(np.linalg.det(T_gt[:3, :3])) ** (1 / 3)
 
-        res = fit_instance(sess, held_cls, info_new["frame_info"],
-                           scene.sample_dict, sess.cam, T_est, held_out,
+        res = fit_instance(sess, held_cls_l, fi_new,
+                           sdict_fit, sess.cam, T_est, held_out_l,
                            steps=1000, optimize_pose=True)
-        params = sess.category_params(held_cls)
+        params = sess.category_params(held_cls_l)
         dim = adaptive_grid_dim(res.extent, cfg.live_voxel_size,
                                 cfg.grid_dim)
         fmesh = mesh_field(params, cfg, grid_dim=dim, is_background=False,
@@ -318,10 +390,11 @@ def main():
             # canonical -> scene: one affine (apply_transform is a general
             # affine multiply; no need to split scale and rigid parts)
             fmesh.apply_transform(np.asarray(res.T_obj, np.float64))
-            sp = next(s for s in scene.spheres if s.inst_id == held_out)
+            sp = next(s for s in scene.spheres if s.inst_id == held_out_l)
             _, fit_metrics = score_sphere(fmesh, sp)
         fit_result = {
-            "held_out": held_out,
+            "held_out": held_out_l,
+            "path": "registered" if args.registered else "gt_pose",
             "registration_chamfer": round(reg_cd, 4),
             "pose_center_err_cm": round(100.0 * float(
                 np.linalg.norm(res.T_obj[:3, 3] - T_gt[:3, 3])), 3),
