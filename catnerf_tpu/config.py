@@ -114,6 +114,15 @@ class Config:
     # measured up to 36% junk mesh vertices on partially observed objects).
     # Disable with the other mesh_* flags for strict-parity comparisons.
     mesh_space_carving: bool = True
+    # Mesh a multi-instance category's objects over the CATEGORY-UNION
+    # canonical extent (elementwise max of member canonical extents)
+    # instead of each instance's own observed extent (ours; a rim-eroded
+    # template's OBB under-measures its true extent — measured up to 34%
+    # of the GT surface outside the eval grid on the asym-ScanNet diag —
+    # while the shared canonical frame means a better-observed member's
+    # extent covers the blind spot). Disable with the other mesh_* flags
+    # for strict-parity comparisons.
+    mesh_category_extent: bool = True
     # Iso-surface extraction: "mc" = table-driven classic marching cubes
     # (the reference's skimage vertex semantics, ref: src/vis.py:8-9;
     # fewer triangles, sharper interpolation), "tetra" = 6-tetrahedra
@@ -226,6 +235,7 @@ class Config:
         self.mesh_fill_interior = False
         self.mesh_adaptive_bounds = False
         self.mesh_space_carving = False
+        self.mesh_category_extent = False
         self.scale_aware_registration = False
         self.appearance_tie_break = False
         self.refined_mask_unknown = False
@@ -380,6 +390,8 @@ class Config:
             "mesh_adaptive_bounds", cfg.mesh_adaptive_bounds)
         cfg.mesh_space_carving = vis.get(
             "mesh_space_carving", cfg.mesh_space_carving)
+        cfg.mesh_category_extent = vis.get(
+            "mesh_category_extent", cfg.mesh_category_extent)
         cfg.mesh_method = vis.get("mesh_method", cfg.mesh_method)
 
         cfg.load_registration_result = reg.get(

@@ -823,11 +823,15 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                                                  max_iter=25, rounds=2)
 
                     t_comp = time.time()
+                    compose_Qs = get_possible_transform_from_bbox()
+                    if os.environ.get("CATNERF_REG_NO_COMPOSE"):
+                        # diag A/B hook: solver-evidence candidates only
+                        compose_Qs = []
                     with ThreadPoolExecutor(max_workers=workers) as pool:
                         band_pol = list(pool.map(polish_band,
                                                  [r[1] for r in band]))
                         cand_Ts = band_pol + list(pool.map(
-                            compose_one, get_possible_transform_from_bbox()))
+                            compose_one, compose_Qs))
                     cands = [(T, transform_pointcloud_np(src_ds, T))
                              for T in cand_Ts]
                     t_comp = time.time() - t_comp
@@ -860,8 +864,10 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                     ok = [c for c in scored if c[0] <= tie_band]
                     if os.environ.get("CATNERF_REG_DEBUG"):
                         for m_, T_, s_ in scored:
+                            c_ = color_cd(s_) if use_color else None
                             print(f"  cand masked_sym={m_:.4f} "
                                   f"union={union_of(s_)} "
+                                  f"rgb={'-' if c_ is None else round(c_, 4)} "
                                   f"ok={m_ <= tie_band}")
                     # Appearance tie-break — STRICTLY SUBORDINATE to the
                     # coverage objective: color only discriminates among

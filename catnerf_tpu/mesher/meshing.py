@@ -479,7 +479,7 @@ def adaptive_grid_dim(extent, live_voxel_size: float, grid_dim_max: int) -> int:
 
 def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
                is_background: bool, shape_code=None, texture_code=None,
-               bound=None, extent=None, carve=None,
+               bound=None, extent=None, extent_canon=None, carve=None,
                world_transform=None, device_mesh=None) -> TriMesh | None:
     """Extract one object's colored mesh (ref: src/trainer.py:62-123).
 
@@ -515,6 +515,15 @@ def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
         base_extent = np.asarray(bound.extent, np.float64)
         R = np.asarray(bound.R, np.float64)
         center = np.asarray(bound.center, np.float64)
+    elif extent_canon is not None:
+        # category-union canonical box (cfg.mesh_category_extent): RAW
+        # canonical units, deliberately NOT re-normalized — a member whose
+        # canonical cloud extends past the instance's own unit-normalized
+        # box (blind-spot coverage by a better-observed member) must grow
+        # the grid, which extent / max(extent/2) would undo.
+        base_extent = np.asarray(extent_canon, np.float64)
+        R = None
+        center = np.zeros(3)
     else:
         assert extent is not None
         base_extent = (np.asarray(extent, np.float64)
@@ -675,7 +684,29 @@ def mesh_object(session, obj_id: int, *, carve="auto",
     tc = np.asarray(params["texture_codes"][k])
     if multi:
         extent = cat.extent_dict[obj_id]
-        dim = adaptive_grid_dim(extent, cfg.live_voxel_size, cfg.grid_dim)
+        extent_canon = None
+        if getattr(cfg, "mesh_category_extent", False):
+            # category-union canonical extent: members share the canonical
+            # frame, so a better-observed member's canonical box covers a
+            # rim-eroded member's blind spots (up to 34% of GT surface
+            # outside the per-instance grid, diag_registration)
+            exts = []
+            for oid in cat.obj_ids:
+                e = cat.extent_dict.get(oid)
+                t = cat.object_tensor_dict.get(oid)
+                if e is not None and t is not None and float(t[0]) > 0:
+                    exts.append(np.asarray(e, np.float64) / float(t[0]))
+            if len(exts) > 1:
+                extent_canon = np.max(exts, axis=0)
+        # the union box is larger than the instance's own normalized box
+        # (max component 2.0); scale the adaptive dim by that growth so
+        # the voxel size in world units is preserved (a grown box at the
+        # same dim coarsens the mesh — measured -1.1 cm accuracy on the
+        # asym-ScanNet gate's obj5)
+        growth = (float(np.max(extent_canon)) / 2.0
+                  if extent_canon is not None else 1.0)
+        dim = adaptive_grid_dim(np.asarray(extent) * max(1.0, growth),
+                                cfg.live_voxel_size, cfg.grid_dim)
         obj_tensor = cat.object_tensor_dict[obj_id]
         T_world = tensor_to_se3_np(obj_tensor[1:])
         T_world = T_world.copy()
@@ -683,6 +714,7 @@ def mesh_object(session, obj_id: int, *, carve="auto",
         mesh = mesh_field(params, cfg, grid_dim=dim,
                           is_background=False, shape_code=sc,
                           texture_code=tc, extent=extent,
+                          extent_canon=extent_canon,
                           carve=carve, world_transform=T_world,
                           device_mesh=device_mesh)
         if mesh is not None:

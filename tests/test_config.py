@@ -16,6 +16,7 @@ STRICT_PARITY_FLAGS = (
     "mesh_fill_interior",
     "mesh_adaptive_bounds",
     "mesh_space_carving",
+    "mesh_category_extent",
     "scale_aware_registration",
     "appearance_tie_break",
     "refined_mask_unknown",
