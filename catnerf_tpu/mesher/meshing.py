@@ -201,6 +201,12 @@ def _eval_occupancy_chunked(pe_params, fc_params, points, *, bg_scale,
                        points, chunk, want_color)
 
 
+#: On-device uint8 color quantization (one dispatch per tile; the mesh
+#: stores uint8 vertex colors anyway, so quantize before the download).
+_rgb_to_u8 = jax.jit(
+    lambda r: jnp.round(jnp.clip(r, 0.0, 1.0) * 255.0).astype(jnp.uint8))
+
+
 def _pad_to_chunks(points: np.ndarray, chunk: int):
     n = len(points)
     n_pad = (-n) % chunk
@@ -323,7 +329,12 @@ def _eval_grid_program(pe, fc, sc, tc, grid_unit, scale3, Tg_R, Tg_t,
         return occ, seen
 
     occ, seen = jax.lax.map(tile_fn, tiles)
-    return occ.reshape(-1), seen.reshape(-1)
+    # occupancy ships uint8: the grid download is the dominant per-attempt
+    # transfer (67 MB f32 at 256^3 over the ~134 MB/s tunnel) and marching
+    # cubes only interpolates the 0.5 crossing — half a quantum (1/510) of
+    # iso-position error vs a 4x smaller transfer
+    occ_u8 = jnp.round(jnp.clip(occ, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return occ_u8.reshape(-1), seen.reshape(-1)
 
 
 def host_grid_points(grid_dim: int, scale_np: np.ndarray,
@@ -381,7 +392,7 @@ def _grid_occ_seen(params, cfg, shape_code, texture_code, *, grid_dim,
             scale=cfg.bg_scale if is_background else cfg.obj_scale,
             max_deg=cfg.n_unidir_funcs, chunk=chunk,
             carve=carve is not None)
-        occ = np.asarray(occ_d[:n_valid])
+        occ = np.asarray(occ_d[:n_valid]).astype(np.float32) / 255.0
         seen_empty = (np.asarray(seen_d[:n_valid]) if carve is not None
                       else None)
         dt = _time.time() - t0
@@ -405,6 +416,12 @@ def _grid_occ_seen(params, cfg, shape_code, texture_code, *, grid_dim,
     occ, _ = eval_points(grid_pts, params, cfg, shape_code, texture_code,
                          is_background=is_background, want_color=False,
                          device_mesh=device_mesh)
+    # mirror the device path's uint8 occupancy quantization (same f32
+    # clip*255+round) so sharded and single-device meshes stay
+    # byte-identical
+    occ = np.round(np.clip(occ.astype(np.float32), np.float32(0),
+                           np.float32(1)) * np.float32(255)
+                   ).astype(np.uint8).astype(np.float32) / 255.0
     _t_add("grid_eval", _time.time() - t0)
     seen_empty = None
     if carve is not None:
@@ -424,10 +441,15 @@ def _grid_occ_seen(params, cfg, shape_code, texture_code, *, grid_dim,
 def eval_points(points: np.ndarray, params: dict, cfg: Config,
                 shape_code=None, texture_code=None, *, is_background: bool,
                 chunk: int = 262144, want_color: bool = True,
+                want_occ: bool = True, color_u8: bool = False,
                 device_mesh=None):
     """(occ, color) at arbitrary 3D points, chunked on device
     (ref: src/trainer.py:125-151). want_color=False skips the color branch
-    and its device->host transfer (grid passes only need occupancy).
+    and its device->host transfer (grid passes only need occupancy);
+    want_occ=False computes occupancy in-graph but skips its download
+    (the vertex-color re-query discards it — 4 MB per 262k tile over the
+    tunnel); color_u8 quantizes colors to uint8 ON DEVICE (the mesh wants
+    uint8 anyway — a 4x smaller transfer).
     device_mesh: a jax.sharding.Mesh routes the evaluation data-parallel
     over all its devices (parallel/grid_eval.py; bitwise-identical output,
     zero collectives)."""
@@ -460,9 +482,12 @@ def eval_points(points: np.ndarray, params: dict, cfg: Config,
                 params["pe"], params["fc"], sc, tc, pts,
                 obj_scale=cfg.obj_scale, max_deg=cfg.n_unidir_funcs,
                 chunk=size, want_color=want_color)
+        if color_u8 and rgb is not None:
+            rgb = _rgb_to_u8(rgb)
         parts.append((n_valid, occ, rgb))
         off += n_valid
-    occ = np.concatenate([np.asarray(o[:m]) for m, o, _ in parts])[:n]
+    occ = (np.concatenate([np.asarray(o[:m]) for m, o, _ in parts])[:n]
+           if want_occ else None)
     rgb = (np.concatenate([np.asarray(r[:m]) for m, _, r in parts])[:n]
            if want_color else None)
     return occ, rgb
@@ -623,13 +648,22 @@ def mesh_field(params: dict, cfg: Config, *, grid_dim: int,
     if transform_np is not None:
         mesh.apply_transform(transform_np)
 
-    # vertex colors by re-query (ref: src/trainer.py:111-121)
+    # vertex colors by re-query (ref: src/trainer.py:111-121); occupancy
+    # is computed but not downloaded, colors come back uint8 (the mesh
+    # stores uint8) — 16x less transfer than f32 occ+rgb
     t0 = _time.time()
     _, color = eval_points(mesh.vertices.astype(np.float32), params, cfg,
                            shape_code, texture_code,
                            is_background=is_background,
+                           want_occ=False, color_u8=device_mesh is None,
                            device_mesh=device_mesh)
-    mesh.vertex_colors = (np.clip(color, 0, 1) * 255).astype(np.uint8)
+    # the f32 (sharded) branch ROUNDS like the device uint8 path so both
+    # produce byte-identical vertex colors
+    mesh.vertex_colors = (color if color.dtype == np.uint8
+                          else np.round(
+                              np.clip(color.astype(np.float32), np.float32(0),
+                                      np.float32(1)) * np.float32(255)
+                          ).astype(np.uint8))
     _t_add("vertex_color", _time.time() - t0)
     return mesh
 

@@ -214,7 +214,7 @@ def test_mesh_adaptive_bounds_recovers_clipped_surface(monkeypatch):
         return occ_of(pts), None
 
     def fake_eval(points, params, cfg, sc=None, tc=None, *, is_background,
-                  chunk=262144, want_color=True, device_mesh=None):
+                  chunk=262144, want_color=True, device_mesh=None, **kw):
         return occ_of(points), np.zeros((len(points), 3), np.float32)
 
     monkeypatch.setattr(meshing, "_grid_occ_seen", fake_grid)
@@ -263,7 +263,7 @@ def test_mesh_adaptive_bounds_canonical_frame(monkeypatch):
         return occ_of(pts), None
 
     def fake_eval(points, params, cfg, sc=None, tc=None, *, is_background,
-                  chunk=262144, want_color=True, device_mesh=None):
+                  chunk=262144, want_color=True, device_mesh=None, **kw):
         return occ_of(points), np.zeros((len(points), 3), np.float32)
 
     monkeypatch.setattr(meshing, "_grid_occ_seen", fake_grid)
@@ -441,8 +441,10 @@ def test_device_grid_program_matches_host_path():
     agree = seen_d == seen_h
     mism = (~agree).mean()
     assert mism < 1e-3, f"carve mask mismatch fraction {mism}"
-    np.testing.assert_allclose(occ_d[agree], occ_h[agree], rtol=1e-5,
-                               atol=1e-5)
+    # the device program ships occupancy uint8-quantized (half a quantum
+    # = 1/510 max dequantization error; MC only interpolates the 0.5
+    # crossing)
+    np.testing.assert_allclose(occ_d[agree], occ_h[agree], atol=1.0 / 509)
     assert seen_h.any() and (~seen_h).any()  # the fixture exercises both
 
 
