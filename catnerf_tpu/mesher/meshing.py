@@ -306,35 +306,36 @@ def _carve_tile(pts_w, depths, T_wc, K, margin):
 
 
 @partial(jax.jit, static_argnames=("is_background", "scale", "max_deg",
-                                   "chunk", "carve"))
-def _eval_grid_program(pe, fc, sc, tc, grid_unit, scale3, Tg_R, Tg_t,
-                       Tw_R, Tw_t, depths, T_wc, K, margin, *,
-                       is_background, scale, max_deg, chunk, carve):
-    """(occ, seen_empty) over the affine-placed unit grid, fully on device.
-    pts = (unit * scale3) @ Tg_R.T + Tg_t; carve projects pts through
-    Tw (grid->world) into every view."""
+                                   "carve"))
+def _eval_grid_slab(pe, fc, sc, tc, slab, scale3, Tg_R, Tg_t,
+                    Tw_R, Tw_t, depths, T_wc, K, margin, *,
+                    is_background, scale, max_deg, carve):
+    """(occ_u8, seen_empty) for ONE fixed-size slab of the affine-placed
+    unit grid. pts = (slab * scale3) @ Tg_R.T + Tg_t; carve projects pts
+    through Tw (grid->world) into every view.
+
+    One slab-shaped program serves EVERY grid dim (the host loops over
+    slabs): the former whole-grid program had a distinct tile count per
+    dim bucket, and its per-dim trace/compile-load cost ~50 s of every
+    stress-scale mesh-all even with a warm persistent cache
+    (mesh_phase_s grid_eval.dim*.first).
+
+    Occupancy ships uint8: the grid download is the dominant per-attempt
+    transfer (67 MB f32 at 256^3 over the ~134 MB/s tunnel) and marching
+    cubes only interpolates the 0.5 crossing — half a quantum (1/510) of
+    iso-position error vs a 4x smaller transfer."""
     fn = field_chunk_fn(is_background=is_background, scale=scale,
                         max_deg=max_deg, want_color=False)
-    tiles = grid_unit.reshape(-1, chunk, 3)
-
-    def tile_fn(tile):
-        pts = (tile * scale3) @ Tg_R.T + Tg_t
-        occ = fn(pe, fc, sc, tc, pts)
-        if carve:
-            pts_w = pts @ Tw_R.T + Tw_t
-            seen = _carve_tile(pts_w, depths, T_wc, K, margin)
-            occ = jnp.where(seen, jnp.float32(0.0), occ)
-        else:
-            seen = jnp.zeros(pts.shape[0], bool)
-        return occ, seen
-
-    occ, seen = jax.lax.map(tile_fn, tiles)
-    # occupancy ships uint8: the grid download is the dominant per-attempt
-    # transfer (67 MB f32 at 256^3 over the ~134 MB/s tunnel) and marching
-    # cubes only interpolates the 0.5 crossing — half a quantum (1/510) of
-    # iso-position error vs a 4x smaller transfer
+    pts = (slab * scale3) @ Tg_R.T + Tg_t
+    occ = fn(pe, fc, sc, tc, pts)
+    if carve:
+        pts_w = pts @ Tw_R.T + Tw_t
+        seen = _carve_tile(pts_w, depths, T_wc, K, margin)
+        occ = jnp.where(seen, jnp.float32(0.0), occ)
+    else:
+        seen = jnp.zeros(pts.shape[0], bool)
     occ_u8 = jnp.round(jnp.clip(occ, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-    return occ_u8.reshape(-1), seen.reshape(-1)
+    return occ_u8, seen
 
 
 def host_grid_points(grid_dim: int, scale_np: np.ndarray,
@@ -381,20 +382,29 @@ def _grid_occ_seen(params, cfg, shape_code, texture_code, *, grid_dim,
                 else jnp.zeros((0,), jnp.float32))
         tc_j = (jnp.asarray(texture_code) if texture_code is not None
                 else jnp.zeros((0,), jnp.float32))
-        occ_d, seen_d = _eval_grid_program(
-            params["pe"], params["fc"], sc_j, tc_j, grid_unit,
-            jnp.asarray(scale_np, jnp.float32),
-            jnp.asarray(transform_np[:3, :3]),
-            jnp.asarray(transform_np[:3, 3]),
-            jnp.asarray(Tw[:3, :3]), jnp.asarray(Tw[:3, 3]),
-            depths_j, twc_j, K, jnp.float32(3.0 * voxel_w),
-            is_background=is_background,
-            scale=cfg.bg_scale if is_background else cfg.obj_scale,
-            max_deg=cfg.n_unidir_funcs, chunk=chunk,
-            carve=carve is not None)
-        occ = np.asarray(occ_d[:n_valid]).astype(np.float32) / 255.0
-        seen_empty = (np.asarray(seen_d[:n_valid]) if carve is not None
-                      else None)
+        args = (jnp.asarray(scale_np, jnp.float32),
+                jnp.asarray(transform_np[:3, :3]),
+                jnp.asarray(transform_np[:3, 3]),
+                jnp.asarray(Tw[:3, :3]), jnp.asarray(Tw[:3, 3]),
+                depths_j, twc_j, K, jnp.float32(3.0 * voxel_w))
+        # host loop over fixed-shape slabs: every dim bucket reuses the
+        # SAME compiled program; all slabs are dispatched (async) before
+        # any result is pulled so compute and downloads overlap
+        slabs = grid_unit.reshape(-1, chunk, 3)
+        outs = [
+            _eval_grid_slab(
+                params["pe"], params["fc"], sc_j, tc_j, slabs[i], *args,
+                is_background=is_background,
+                scale=cfg.bg_scale if is_background else cfg.obj_scale,
+                max_deg=cfg.n_unidir_funcs, carve=carve is not None)
+            for i in range(slabs.shape[0])
+        ]
+        occ = np.concatenate(
+            [np.asarray(o) for o, _ in outs])[:n_valid].astype(
+            np.float32) / 255.0
+        seen_empty = (np.concatenate(
+            [np.asarray(s) for _, s in outs])[:n_valid]
+            if carve is not None else None)
         dt = _time.time() - t0
         _t_add("grid_eval", dt)
         # Per-program-shape attribution: the first call for a (dim,

@@ -60,26 +60,43 @@ def init_train_state(key: jax.Array, cfg: Config, n_objs_per_cls: list[int],
     """
     n_cls = len(n_objs_per_cls)
     nh = cfg.net_hyperparams
-    k_fc, k_codes, k_bg = jax.random.split(key, 3)
+    n_objs = list(int(n) for n in n_objs_per_cls)
 
-    fc_list = [
-        codenerf.init_params(
-            k, shape_blocks=nh.shape_blocks, texture_blocks=nh.texture_blocks,
-            W=nh.W, latent_dim=nh.latent_dim,
-        )
-        for k in jax.random.split(k_fc, n_cls)
-    ]
-    params: dict[str, Any] = {
-        "cat_pe": ensemble.stack_params([embedding.init_params() for _ in range(n_cls)]),
-        "cat_fc": ensemble.stack_params(fc_list),
-        "codes": codes_mod.init_stacked_codes(k_codes, n_objs_per_cls, nh.latent_dim),
-    }
-    if with_background:
-        params["bg_pe"] = embedding.init_params()
-        params["bg_fc"] = occupancy.init_params(
-            k_bg, hidden_size=cfg.hidden_feature_size_bg
-        )
+    def build(key):
+        k_fc, k_codes, k_bg = jax.random.split(key, 3)
+        fc_list = [
+            codenerf.init_params(
+                k, shape_blocks=nh.shape_blocks,
+                texture_blocks=nh.texture_blocks,
+                W=nh.W, latent_dim=nh.latent_dim,
+            )
+            for k in jax.random.split(k_fc, n_cls)
+        ]
+        params: dict[str, Any] = {
+            "cat_pe": ensemble.stack_params(
+                [embedding.init_params() for _ in range(n_cls)]),
+            "cat_fc": ensemble.stack_params(fc_list),
+            "codes": codes_mod.init_stacked_codes(k_codes, n_objs,
+                                                  nh.latent_dim),
+        }
+        if with_background:
+            params["bg_pe"] = embedding.init_params()
+            params["bg_fc"] = occupancy.init_params(
+                k_bg, hidden_size=cfg.hidden_feature_size_bg
+            )
+        tx = make_optimizer(cfg)
+        opt_state = tx.init(params)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=jnp.zeros((), jnp.int32))
 
-    tx = make_optimizer(cfg)
-    opt_state = tx.init(params)
-    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+    # On accelerators: ONE jitted program. Eagerly this issues hundreds of
+    # small RNG/zeros ops, each paying the axon tunnel's ~2.8 ms dispatch
+    # round-trip — measured 50-60 s at the 20-category stress scale
+    # (session_phase_s.state_init); jitted it is one (persistently
+    # cacheable) compile + one dispatch. On CPU the eager build stays: it
+    # is already fast there, and XLA's fused scale-multiplies drift the
+    # weights ~1 ULP (3e-8) vs the eager ops the loss-curve goldens were
+    # generated from.
+    if jax.default_backend() == "cpu":
+        return build(key)
+    return jax.jit(build)(key)
