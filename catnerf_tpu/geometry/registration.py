@@ -859,8 +859,10 @@ def align_poses(inst_dict: dict, bbox3d_dict: dict, count_dict: dict,
                     # complementarity: scores within ~1.2-2x of best) stay
                     # eligible. The mbest+0.008 floor keeps the cap from
                     # over-pruning when mbest is at noise level.
+                    cap_mult = float(os.environ.get("CATNERF_REG_CAP",
+                                                    "3.0"))
                     tie_band = min(max(mbest + 0.02, eta1),
-                                   max(3.0 * mbest, mbest + 0.008))
+                                   max(cap_mult * mbest, mbest + 0.008))
                     ok = [c for c in scored if c[0] <= tie_band]
                     if os.environ.get("CATNERF_REG_DEBUG"):
                         for m_, T_, s_ in scored:

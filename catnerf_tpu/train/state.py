@@ -62,41 +62,41 @@ def init_train_state(key: jax.Array, cfg: Config, n_objs_per_cls: list[int],
     nh = cfg.net_hyperparams
     n_objs = list(int(n) for n in n_objs_per_cls)
 
-    def build(key):
-        k_fc, k_codes, k_bg = jax.random.split(key, 3)
-        fc_list = [
-            codenerf.init_params(
-                k, shape_blocks=nh.shape_blocks,
-                texture_blocks=nh.texture_blocks,
-                W=nh.W, latent_dim=nh.latent_dim,
-            )
-            for k in jax.random.split(k_fc, n_cls)
-        ]
-        params: dict[str, Any] = {
-            "cat_pe": ensemble.stack_params(
-                [embedding.init_params() for _ in range(n_cls)]),
-            "cat_fc": ensemble.stack_params(fc_list),
-            "codes": codes_mod.init_stacked_codes(k_codes, n_objs,
-                                                  nh.latent_dim),
-        }
-        if with_background:
-            params["bg_pe"] = embedding.init_params()
-            params["bg_fc"] = occupancy.init_params(
-                k_bg, hidden_size=cfg.hidden_feature_size_bg
-            )
-        tx = make_optimizer(cfg)
-        opt_state = tx.init(params)
-        return TrainState(params=params, opt_state=opt_state,
-                          step=jnp.zeros((), jnp.int32))
-
-    # On accelerators: ONE jitted program. Eagerly this issues hundreds of
-    # small RNG/zeros ops, each paying the axon tunnel's ~2.8 ms dispatch
-    # round-trip — measured 50-60 s at the 20-category stress scale
-    # (session_phase_s.state_init); jitted it is one (persistently
-    # cacheable) compile + one dispatch. On CPU the eager build stays: it
-    # is already fast there, and XLA's fused scale-multiplies drift the
-    # weights ~1 ULP (3e-8) vs the eager ops the loss-curve goldens were
-    # generated from.
-    if jax.default_backend() == "cpu":
-        return build(key)
-    return jax.jit(build)(key)
+    # The RNG draws stay EAGER: jitting them lets XLA fuse the
+    # normal*std scale-multiplies ~1 ULP differently (measured 3e-8 on
+    # half the weight leaves), which would drift the loss-curve goldens.
+    # Wrapping the WHOLE build in one jit was also measured SLOWER on the
+    # TPU (96-131 s vs eager 77 s at 20 categories, warm persistent
+    # cache: the Python trace of hundreds of ops plus a ~90 s XLA compile
+    # are not amortized — tracing is never cached). The stacking and the
+    # optimizer-moment init ARE jitted below: stack/zeros are exact, and
+    # eagerly they were ~90 per-leaf dispatches each over the tunnel
+    # (measured 24.4 s + 19.7 s of the 77 s).
+    k_fc, k_codes, k_bg = jax.random.split(key, 3)
+    # (vmapping init_params over the keys is bit-identical but measured
+    # SLOWER end-to-end — its per-process trace + batched-op compiles
+    # exceed the loop's op-cached eager dispatches: 45-46 s vs 37 s)
+    fc_list = [
+        codenerf.init_params(
+            k, shape_blocks=nh.shape_blocks,
+            texture_blocks=nh.texture_blocks,
+            W=nh.W, latent_dim=nh.latent_dim,
+        )
+        for k in jax.random.split(k_fc, n_cls)
+    ]
+    stack = jax.jit(ensemble.stack_params)
+    params: dict[str, Any] = {
+        "cat_pe": stack([embedding.init_params() for _ in range(n_cls)]),
+        "cat_fc": stack(fc_list),
+        "codes": codes_mod.init_stacked_codes(k_codes, n_objs,
+                                              nh.latent_dim),
+    }
+    if with_background:
+        params["bg_pe"] = embedding.init_params()
+        params["bg_fc"] = occupancy.init_params(
+            k_bg, hidden_size=cfg.hidden_feature_size_bg
+        )
+    tx = make_optimizer(cfg)
+    opt_state = jax.jit(tx.init)(params)
+    return TrainState(params=params, opt_state=opt_state,
+                      step=jnp.zeros((), jnp.int32))
